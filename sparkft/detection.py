@@ -1,0 +1,164 @@
+"""Script-run splitting and script/language detection.
+
+Parity targets:
+- per-char script classify: charabia/src/detection/script_language.rs:185-238
+- script-run grouping: charabia/src/segmenter/mod.rs:155-168 — maximal runs of
+  a single script; `Script::Other` chars (digits, punctuation, spaces) glue to
+  the current run.
+- whole-run script detection: charabia/src/detection/mod.rs:42-44 delegates to
+  whatlang's per-char histogram; reimplemented here as the argmax of the same
+  per-char classification over the run (runs are script-homogeneous modulo
+  glued `Other` chars, so this is equivalent in practice).
+- language detection: charabia/src/detection/mod.rs:26-38 —
+  * allow_list with exactly one entry short-circuits to that language;
+  * Latin script with no allow_list => None (detection skipped);
+  * otherwise whatlang trigram detection. We replace the trigram model with a
+    deterministic per-script heuristic sufficient for segmenter dispatch
+    (dispatch only consults the language for scripts with >=2 registered
+    segmenters: Cj and Arabic under the default feature set):
+      - Cj: any kana present -> jpn, else cmn
+      - Arabic: any Persian-specific char (chars.rs:45-61) -> pes, else ara
+      - single-language scripts map 1:1 (Hangul->kor, Thai->tha, Khmer->khm,
+        Greek->ell, Hebrew->heb, ...)
+    Divergence from whatlang is possible for mixed-language Latin text, where
+    charabia never consults the result anyway.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from . import _tables as T
+
+# 1:1 script -> language fallbacks used by the heuristic detector.
+_SCRIPT_LANG = {
+    T.HANGUL: "kor",
+    T.THAI: "tha",
+    T.KHMER: "khm",
+    T.GREEK: "ell",
+    T.HEBREW: "heb",
+    T.GEORGIAN: "kat",
+    T.ARMENIAN: "hye",
+    T.DEVANAGARI: "hin",
+    T.BENGALI: "ben",
+    T.ETHIOPIC: "amh",
+    T.KANNADA: "kan",
+    T.TAMIL: "tam",
+    T.GUJARATI: "guj",
+    T.GURMUKHI: "pan",
+    T.TELUGU: "tel",
+    T.MALAYALAM: "mal",
+    T.ORIYA: "ori",
+    T.MYANMAR: "mya",
+    T.SINHALA: "sin",
+    T.CYRILLIC: "rus",
+}
+
+_PERSIAN_MARKERS = frozenset(
+    [0x67E, 0x686, 0x698, 0x6A9, 0x6AF, 0x6CC, 0x6C0] + list(range(0x6F0, 0x6FA))
+)
+
+
+def codepoints(text: str) -> np.ndarray:
+    """uint32 codepoint array of `text` (C-speed via UTF-32 encode)."""
+    return np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+
+
+def split_script_runs(text: str) -> Iterator[tuple[int, int, np.ndarray]]:
+    """Yield (char_start, char_end, per_char_script_ids) per script run.
+
+    Reference: charabia/src/segmenter/mod.rs:155-168 (`linear_group_by_key`
+    with Other-glue).
+    """
+    if not text:
+        return
+    cps = codepoints(text)
+    sids = T.script_ids_of_codepoints(cps)
+    # run boundaries: positions where script changes to a different non-Other
+    # script while the current (last seen non-Other) script is non-Other.
+    n = len(sids)
+    nz = sids != 0
+    if not nz.any():
+        yield 0, n, sids
+        return
+    # current script at each position = last non-Other script seen (ffill)
+    idx = np.where(nz, np.arange(n), -1)
+    np.maximum.accumulate(idx, out=idx)
+    cur = np.where(idx >= 0, sids[np.maximum(idx, 0)], 0)
+    # boundary before position i iff sids[i]!=0 and cur[i-1]!=0 and sids[i]!=cur[i-1]
+    b = np.zeros(n, dtype=bool)
+    b[1:] = nz[1:] & (cur[:-1] != 0) & (sids[1:] != cur[:-1])
+    starts = np.flatnonzero(b)
+    prev = 0
+    for s in starts:
+        yield prev, int(s), sids[prev:s]
+        prev = int(s)
+    yield prev, n, sids[prev:n]
+
+
+def detect_run_script(sids: np.ndarray) -> str:
+    """Most frequent non-Other script in the run; Other if none."""
+    nz = sids[sids != 0]
+    if nz.size == 0:
+        return T.OTHER
+    counts = np.bincount(nz)
+    return T.SCRIPTS[int(np.argmax(counts))]
+
+
+class RunDetection:
+    """Lazy memoized script/language for one run
+    (charabia/src/detection/mod.rs:9-55)."""
+
+    __slots__ = ("text", "sids", "allow_list", "_script", "language", "_lang_done")
+
+    def __init__(self, text: str, sids: np.ndarray, allow_list: Optional[Sequence[str]]):
+        self.text = text
+        self.sids = sids
+        self.allow_list = allow_list
+        self._script: Optional[str] = None
+        self.language: Optional[str] = None
+        self._lang_done = False
+
+    def script(self) -> str:
+        if self._script is None:
+            self._script = detect_run_script(self.sids)
+        return self._script
+
+    def detect_language(self) -> Optional[str]:
+        if self._lang_done:
+            return self.language
+        self._lang_done = True
+        al = self.allow_list
+        if al is not None and len(al) == 1:
+            self.language = al[0]
+        elif al is None and self.script() == T.LATIN:
+            self.language = None  # detection skipped for Latin (mod.rs:32)
+        else:
+            self.language = self._heuristic(al)
+        return self.language
+
+    def _heuristic(self, allow_list: Optional[Sequence[str]]) -> Optional[str]:
+        script = self.script()
+        lang: Optional[str]
+        if script == T.CJ:
+            kana = ((self.sids != 0)
+                    & np.isin(self.sids, [T.SCRIPT_ID[T.CJ]])).any() and any(
+                0x3040 <= ord(c) <= 0x30FF for c in self.text
+            )
+            lang = "jpn" if kana else "cmn"
+        elif script == T.ARABIC:
+            lang = (
+                "pes"
+                if any(ord(c) in _PERSIAN_MARKERS for c in self.text)
+                else "ara"
+            )
+        else:
+            lang = _SCRIPT_LANG.get(script)
+        if allow_list is not None and lang not in allow_list:
+            # restrict to the allow_list; pick a same-script entry if any
+            for cand in allow_list:
+                return cand
+            lang = None
+        return lang

@@ -1,0 +1,174 @@
+"""Vectorized tokenizer fast path for pure-ASCII text.
+
+Source code corpora are ~99% ASCII, so this path dominates index-build
+throughput. It reproduces the scalar pipeline (sparkft.tokenizer) exactly for
+ASCII inputs under the default separator set — property-tested against the
+scalar implementation in tests/test_fast_parity.py — while doing all char
+classification and boundary detection as NumPy operations over one
+concatenated byte buffer per Arrow batch (no per-char Python).
+
+ASCII facts used (derived from the reference data, charabia/src/separators.rs):
+- ASCII separator chars: \\0 \\t \\n \\r space _ - ( ) [ ] { } ! " # % & ' * ,
+  . / : ; ? @ \\ ` +   (note: $ < = > ^ | ~ are NOT separators).
+- multi-char ASCII separators: ". " and ", " (leftmost-longest beats the
+  single chars; both classify as Hard).
+- Hard ASCII separators: \\0 ! ; ? ". " ", "  (charabia CONTEXT_SEPARATORS).
+- ASCII camelCase boundary: [a-z][A-Z] or [A-Z][A-Z][a-z] (split before the
+  second upper) — no nonspacing marks in ASCII.
+- ASCII normalization: NFKD/quote/ae-oe/marks/viet/turkish are all no-ops;
+  lowercase is the only lossy effect; control chars other than \\t \\n \\r
+  (whitespace, kept) would be stripped — rows containing other control bytes
+  are routed to the scalar path by `is_fast_eligible`.
+- ASCII one-run rule: an all-ASCII text is a single script run (digits/punct
+  are Script::Other and glue; letters are Latin), handled by the Latin
+  segmenter with language=None.
+"""
+
+from __future__ import annotations
+
+import functools
+import re
+from typing import Sequence
+
+import numpy as np
+
+from . import _tables as T
+from .config import TokenizerConfig
+from .normalize import SEP_HARD, SEP_SOFT, STOP_WORD, WORD
+
+# rows containing these bytes take the scalar path (control-char stripping
+# interacts with classification in ways not worth vectorizing)
+_SLOW_BYTES_RX = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+
+
+def is_fast_eligible(text: str) -> bool:
+    return text.isascii() and _SLOW_BYTES_RX.search(text) is None
+
+
+@functools.lru_cache(maxsize=1)
+def _tables():
+    seps = [s for s in T.default_separators() if len(s) == 1 and s.isascii()]
+    ctx = T.context_separator_set()
+    is_sep = np.zeros(256, dtype=bool)
+    hard_set = set()
+    for s in seps:
+        is_sep[ord(s)] = True
+        if s in ctx:
+            hard_set.add(s)
+    hard_set.update({". ", ", "} & ctx)  # multi-char ASCII separators
+    is_upper = np.zeros(256, dtype=bool)
+    is_upper[ord("A"): ord("Z") + 1] = True
+    is_lower = np.zeros(256, dtype=bool)
+    is_lower[ord("a"): ord("z") + 1] = True
+    return is_sep, frozenset(hard_set), is_upper, is_lower
+
+
+def _scan(texts: Sequence[str], cfg: TokenizerConfig):
+    """Boundary scan over the concatenated batch. Returns
+    (rows, starts, ends, tok_is_sep, big, lower_big)."""
+    is_sep, _hard, is_upper, is_lower = _tables()
+
+    big = "".join(texts)
+    n = len(big)
+    if n == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z, np.empty(0, dtype=bool), big, big
+    b = np.frombuffer(big.encode("ascii"), dtype=np.uint8)
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+    cum = np.cumsum(lens)
+    doc_starts = np.concatenate(([0], cum[:-1]))
+    doc_start_mask = np.zeros(n + 1, dtype=bool)
+    doc_start_mask[doc_starts[doc_starts < n]] = True
+    doc_start_mask[n] = True
+
+    sep = is_sep[b]
+    # ". " / ", " pairs (leftmost-longest): pair starts where b is '.' or ','
+    # and the next byte exists in the same doc and is a space.
+    dotcomma = (b == ord(".")) | (b == ord(","))
+    nxt_space = np.zeros(n, dtype=bool)
+    nxt_space[:-1] = (b[1:] == ord(" ")) & ~doc_start_mask[1:n]
+    pair = dotcomma & nxt_space
+    consumed = np.zeros(n, dtype=bool)
+    consumed[1:] = pair[:-1]
+    sep_start = sep & ~consumed
+
+    boundaries = np.zeros(n + 1, dtype=bool)
+    boundaries[doc_starts[doc_starts < n]] = True
+    boundaries[n] = True
+    sep_idx = np.flatnonzero(sep_start)
+    boundaries[sep_idx] = True
+    boundaries[sep_idx + np.where(pair[sep_idx], 2, 1)] = True
+
+    if cfg.latin_camelcase:
+        # boundary before upper U at i when (lower at i-1) or
+        # (upper at i-1 and lower at i+1), within one doc
+        up = is_upper[b]
+        lo = is_lower[b]
+        lo_next = np.zeros(n, dtype=bool)
+        lo_next[:-1] = lo[1:] & ~doc_start_mask[1:n]
+        camel = np.zeros(n, dtype=bool)
+        camel[1:] = up[1:] & ~doc_start_mask[1:n] & (lo[:-1] | (up[:-1] & lo_next[1:]))
+        boundaries[np.flatnonzero(camel)] = True
+
+    starts = np.flatnonzero(boundaries[:n])
+    ends = np.append(starts[1:], n)
+    rows = np.searchsorted(cum, starts, side="right").astype(np.int64)
+    tok_is_sep = sep_start[starts]
+    return rows, starts, ends, tok_is_sep, big, big.lower()
+
+
+def tokenize_ascii_batch(
+    texts: Sequence[str],
+    cfg: TokenizerConfig,
+    words_only: bool = True,
+) -> tuple[np.ndarray, list[str]]:
+    """Tokenize pre-filtered ASCII rows (`is_fast_eligible`, default
+    separators/words_dict). Returns (row_index_per_token, lemmas).
+
+    With ``words_only`` separator tokens are dropped (stop words kept —
+    charabia marks but does not remove them)."""
+    rows, starts, ends, tok_is_sep, big, lower_big = _scan(texts, cfg)
+    if words_only:
+        keep = ~tok_is_sep
+        w_starts = starts[keep].tolist()
+        w_ends = ends[keep].tolist()
+        lemmas = [lower_big[s:e] for s, e in zip(w_starts, w_ends)]
+        return rows[keep], lemmas
+    lemmas = [
+        big[s:e] if issep else lower_big[s:e]
+        for s, e, issep in zip(starts.tolist(), ends.tolist(), tok_is_sep.tolist())
+    ]
+    return rows, lemmas
+
+
+def tokenize_ascii_full(
+    texts: Sequence[str], cfg: TokenizerConfig
+) -> tuple[np.ndarray, list[str], list[str], np.ndarray, np.ndarray]:
+    """Full token stream with kinds and in-doc char offsets:
+    (rows, lemmas, kinds, char_start, char_end)."""
+    rows, starts, ends, tok_is_sep, big, lower_big = _scan(texts, cfg)
+    _is_sep, hard, _u, _l = _tables()
+    sw = cfg.stop_words
+    lemmas: list[str] = []
+    kinds: list[str] = []
+    for s, e, issep in zip(starts.tolist(), ends.tolist(), tok_is_sep.tolist()):
+        orig = big[s:e]
+        if issep:
+            lemmas.append(orig)
+            kinds.append(SEP_HARD if orig in hard else SEP_SOFT)
+        else:
+            # classification happens pre-lowercase (charabia classify.rs:20-48)
+            if sw is not None and orig in sw:
+                kinds.append(STOP_WORD)
+            else:
+                kinds.append(WORD)
+            lemmas.append(lower_big[s:e])
+    # char offsets relative to each doc
+    if len(starts):
+        lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+        doc_off = np.concatenate(([0], np.cumsum(lens)[:-1]))[rows]
+        cs = starts - doc_off
+        ce = ends - doc_off
+    else:
+        cs = ce = np.empty(0, dtype=np.int64)
+    return rows, lemmas, kinds, cs, ce

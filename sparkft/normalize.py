@@ -1,0 +1,272 @@
+"""Normalizer chain + token classification.
+
+Pipeline order is fixed and significant (charabia/src/normalizer/mod.rs:52-88,
+265-281): lossless normalizers first — CompatibilityDecomposition,
+SwedishRecomposition, ControlChar, Classifier, Persian — then, when
+``lossy=True`` (the default), the lossy chain — Lowercase, Quote, AeOe,
+Chinese(kVariants), Japanese(kana fold), Greek(final sigma), Arabic,
+NonspacingMark, Vietnamese, Turkish. Each stage is gated by a cheap
+``should_normalize`` trigger so unaffected tokens are untouched
+(zero-allocation `Cow` behavior in the reference; str identity here).
+
+Per-stage parity citations are on each function.
+"""
+
+from __future__ import annotations
+
+import functools
+import unicodedata as ud
+from typing import Optional
+
+from . import _tables as T
+from .config import TokenizerConfig
+
+# kinds
+WORD = "word"
+STOP_WORD = "stopword"
+SEP_SOFT = "separator_soft"
+SEP_HARD = "separator_hard"
+
+_CASED_SCRIPTS = frozenset([T.LATIN, T.CYRILLIC, T.GREEK, T.GEORGIAN, T.ARMENIAN])
+_NSM_SCRIPTS = frozenset([T.HEBREW, T.THAI, T.ARABIC, T.LATIN, T.GREEK])
+
+
+# --- N1 compatibility decomposition (compatibility_decomposition.rs:17-39) ---
+
+
+@functools.lru_cache(maxsize=65536)
+def _nfkd_char(c: str) -> str:
+    return ud.normalize("NFKD", c)
+
+
+def nfkd_per_char(s: str) -> str:
+    """Per-char NFKD (no cross-char canonical reordering), matching the
+    reference's char-by-char `c.nfkd()` application."""
+    return "".join(_nfkd_char(c) for c in s)
+
+
+def compat_decompose(s: str) -> str:
+    if s.isascii() or ud.is_normalized("NFKD", s):
+        return s
+    return nfkd_per_char(s)
+
+
+# --- N2 swedish recomposition (swedish_recomposition.rs:10-98) ---
+
+_SWE_RECOMP = (
+    ("A\u030a", "\u00c5"), ("a\u030a", "\u00e5"),
+    ("A\u0308", "\u00c4"), ("a\u0308", "\u00e4"),
+    ("O\u0308", "\u00d6"), ("o\u0308", "\u00f6"),
+)
+
+
+def swedish_recompose(s: str) -> str:
+    for k, v in _SWE_RECOMP:
+        if k in s:
+            s = s.replace(k, v)
+    return s
+
+
+def _swedish_trigger(s: str) -> bool:
+    return any(k in s for k, _ in _SWE_RECOMP)
+
+
+# --- N3 control chars (control_char.rs:9-21) ---
+
+
+def _is_control(c: str) -> bool:
+    return ud.category(c) == "Cc" and not c.isspace()
+
+
+def strip_control(s: str) -> str:
+    if any(_is_control(c) for c in s):
+        return "".join(c for c in s if not _is_control(c))
+    return s
+
+
+# --- N4 classifier (classify.rs:20-69) ---
+
+
+def classify(
+    lemma: str,
+    stop_words: Optional[frozenset[str]],
+    separators: Optional[tuple[str, ...]],
+) -> str:
+    if stop_words is not None and lemma in stop_words:
+        return STOP_WORD
+    if separators is not None:
+        if lemma in separators:
+            return SEP_HARD if lemma in T.context_separator_set() else SEP_SOFT
+        return WORD
+    if lemma in T.default_separator_set():
+        return SEP_HARD if lemma in T.context_separator_set() else SEP_SOFT
+    return WORD
+
+
+# --- N5 persian (persian.rs:29-69) ---
+
+_PERSIAN_MAP = {
+    ord("ي"): "ی", ord("ی"): "ی", ord("ى"): "ی", ord("ۀ"): "ی",
+    ord("ك"): "ک", ord("ک"): "ک",
+    **{0x6F0 + i: str(i) for i in range(10)},
+    ord("،"): ",", ord("؟"): "?",
+    0xFDFC: "RIAL",
+    0x200C: None,
+}
+_PERSIAN_TRIGGER = frozenset(
+    [ord(c) for c in "يیىۀكک،؟"] + list(range(0x6F0, 0x6FA)) + [0xFDFC, 0x200C]
+)
+
+
+def persian_normalize(s: str) -> str:
+    return s.translate(_PERSIAN_MAP)
+
+
+# --- N6 lowercase (lowercase.rs:11-35) ---
+# Python str.lower() implements full Unicode lowercasing incl. the contextual
+# Final_Sigma rule; the reference lowercases char-by-char (no context), which
+# can leave a trailing 'σ' where Python yields 'ς' — both converge after the
+# GreekNormalizer suffix rule (N11), see test_normalize_greek_sigma.
+
+
+def lowercase(s: str) -> str:
+    return s.lower()
+
+
+# --- N7/N8/N13/N14/N15 composed Latin translate table ---
+
+
+@functools.lru_cache(maxsize=4)
+def _latin_lossy_table(vietnamese: bool = True, turkish: bool = True) -> dict[int, Optional[str]]:
+    table: dict[int, Optional[str]] = {}
+    # quote.rs:24-26
+    for c in "’‘‛":
+        table[ord(c)] = "'"
+    # ae_oe_normalizer.rs:13-18 (both cases map to lowercase digraphs)
+    table[ord("œ")] = "oe"
+    table[ord("Œ")] = "oe"
+    table[ord("æ")] = "ae"
+    table[ord("Æ")] = "ae"
+    # nonspacing_mark.rs:22-38 (delete)
+    for cp in T.nonspacing_marks():
+        table[cp] = None
+    if vietnamese:
+        # vietnamese.rs:6-13
+        for c in "ÐĐđð":
+            table[ord(c)] = "d"
+    if turkish:
+        # turkish.rs:17-24
+        table[ord("ı")] = "i"
+    return table
+
+
+@functools.lru_cache(maxsize=1)
+def _greek_table() -> dict[int, Optional[str]]:
+    # nonspacing-mark deletion applies to Greek script too
+    return {cp: None for cp in T.nonspacing_marks()}
+
+
+@functools.lru_cache(maxsize=1)
+def _arabic_table() -> dict[int, Optional[str]]:
+    # arabic.rs:28-35 + nonspacing marks
+    table: dict[int, Optional[str]] = {cp: None for cp in T.nonspacing_marks()}
+    table[ord("ـ")] = None
+    for c in "أإآٱ":
+        table[ord(c)] = "ا"
+    table[ord("ى")] = "ي"
+    table[ord("ة")] = "ه"
+    return table
+
+
+@functools.lru_cache(maxsize=1)
+def _hebrew_thai_table() -> dict[int, Optional[str]]:
+    return {cp: None for cp in T.nonspacing_marks()}
+
+
+# --- N9 chinese kvariants (normalizer/chinese.rs:16-44) ---
+
+
+@functools.lru_cache(maxsize=1)
+def _kvariants_table() -> dict[int, str]:
+    return dict(T.kvariants_map())
+
+
+# --- N10 japanese kana fold (normalizer/japanese.rs:21-40) ---
+# katakana -> hiragana: standard kana block shift (U+30A1-U+30F6 -> -0x60,
+# iteration marks U+30FD/U+30FE -> U+309D/U+309E); romaji and everything else
+# passes through (wana_kana to_hiragana with pass_romaji=true).
+
+
+@functools.lru_cache(maxsize=1)
+def _kana_table() -> dict[int, str]:
+    table = {cp: chr(cp - 0x60) for cp in range(0x30A1, 0x30F7)}
+    table[0x30FD] = "ゝ"
+    table[0x30FE] = "ゞ"
+    return table
+
+
+def _has_katakana(s: str) -> bool:
+    return any(0x30A1 <= ord(c) <= 0x30FE for c in s)
+
+
+# ---------------------------------------------------------------------------
+# Full chain
+# ---------------------------------------------------------------------------
+
+
+def normalize_lemma(
+    lemma: str,
+    script: str,
+    language: Optional[str],
+    cfg: TokenizerConfig,
+) -> tuple[str, str]:
+    """Run the normalizer chain on one lemma; returns (normalized, kind).
+
+    Chain order: charabia/src/normalizer/mod.rs:52-82 filtered by the enabled
+    feature flags in `cfg`.
+    """
+    # --- lossless ---
+    lemma = compat_decompose(lemma)
+    if cfg.swedish_recomposition and language == "swe" and _swedish_trigger(lemma):
+        lemma = swedish_recompose(lemma)
+    lemma = strip_control(lemma)
+    kind = classify(lemma, cfg.stop_words, cfg.separators)
+    if kind == STOP_WORD:
+        # the reference classifier returns early for stop words but later
+        # normalizers still run on the token; kind stays StopWord.
+        pass
+    if (
+        script == T.ARABIC
+        and language == "pes"
+        and any(ord(c) in _PERSIAN_TRIGGER for c in lemma)
+    ):
+        lemma = persian_normalize(lemma)
+
+    if not cfg.lossy:
+        return lemma, kind
+
+    # --- lossy ---
+    if script in _CASED_SCRIPTS and any(c.isupper() for c in lemma):
+        lemma = lowercase(lemma)
+    if script == T.LATIN:
+        if not lemma.isascii():
+            lemma = lemma.translate(_latin_lossy_table(cfg.vietnamese, cfg.turkish))
+    elif script == T.CJ:
+        if cfg.chinese_normalization and language in (None, "cmn", "zho"):
+            lemma = lemma.translate(_kvariants_table())
+        if (
+            cfg.japanese_transliteration
+            and language in (None, "jpn")
+            and _has_katakana(lemma)
+        ):
+            lemma = lemma.translate(_kana_table())
+    elif script == T.GREEK:
+        if cfg.greek:
+            if lemma.endswith("ς"):
+                lemma = lemma[:-1] + "σ"
+            lemma = lemma.translate(_greek_table())
+    elif script == T.ARABIC:
+        lemma = lemma.translate(_arabic_table())
+    elif script in (T.HEBREW, T.THAI):
+        lemma = lemma.translate(_hebrew_thai_table())
+    return lemma, kind

@@ -1,0 +1,439 @@
+"""Pre-segmentation + per-script segmenters + dispatch.
+
+Parity targets (reference file:line cited per item):
+- separator automaton & scan: charabia/src/segmenter/mod.rs:95-97,214-263
+  (Aho-Corasick LeftmostLongest over DEFAULT_SEPARATORS / custom separators /
+  words_dict). Reimplemented as a compiled regex alternation with multi-char
+  literals first (length-descending) followed by a single-char class — for a
+  finite literal set, a left-to-right regex scan with longest-first
+  alternatives is exactly leftmost-longest matching.
+- number protection: `maybe_number` charabia/src/segmenter/mod.rs:265-267.
+- Latin camelCase: charabia/src/segmenter/latin/camel_case.rs:10-29.
+- Arabic `al` prefix split: charabia/src/segmenter/arabic.rs:13-28.
+- FST longest-prefix segmenter + buffering: charabia/src/segmenter/utils.rs
+  (trie port; byte-level longest prefix over dictionary words == char-level
+  trie for valid UTF-8 word lists).
+- Chinese: jieba-style dict DAG + max-logprob route (no HMM) followed by
+  charabia's greedy bigram/trigram `cut_for_search` refine
+  (charabia/src/segmenter/chinese.rs:20-50). Pluggable dictionary: the real
+  jieba frequency dict is not vendored; without one the segmenter is
+  inactive (feature-off dispatch semantics).
+- dispatch: charabia/src/segmenter/mod.rs:57-93,280-301.
+"""
+
+from __future__ import annotations
+
+import functools
+import re
+import unicodedata as ud
+from typing import Iterable, Iterator, Optional
+
+from . import _tables as T
+from .config import TokenizerConfig
+from .detection import RunDetection
+
+_ASCII_PUNCT = frozenset("!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~")
+
+
+# ---------------------------------------------------------------------------
+# Separator automaton (P1/P2/P4)
+# ---------------------------------------------------------------------------
+
+
+class SeparatorScanner:
+    """Leftmost-longest scanner over a finite set of literal patterns."""
+
+    def __init__(self, patterns: Iterable[str]):
+        multis: list[str] = []
+        singles: list[str] = []
+        seen = set()
+        for p in patterns:
+            if not p or p in seen:
+                continue
+            seen.add(p)
+            (singles if len(p) == 1 else multis).append(p)
+        multis.sort(key=len, reverse=True)
+        parts = [re.escape(m) for m in multis]
+        if singles:
+            parts.append("[" + "".join(re.escape(c) for c in singles) + "]")
+        if parts:
+            self._rx: Optional[re.Pattern[str]] = re.compile("|".join(parts))
+        else:
+            self._rx = None
+
+    def finditer(self, text: str) -> Iterator[tuple[int, int]]:
+        if self._rx is None:
+            return iter(())
+        return ((m.start(), m.end()) for m in self._rx.finditer(text))
+
+
+@functools.lru_cache(maxsize=8)
+def _default_scanner() -> SeparatorScanner:
+    return SeparatorScanner(T.default_separators())
+
+
+@functools.lru_cache(maxsize=32)
+def build_scanner(
+    separators: Optional[tuple[str, ...]], words_dict: Optional[tuple[str, ...]]
+) -> SeparatorScanner:
+    """Merged words_dict + separators automaton
+    (charabia/src/tokenizer.rs:341-375); words_dict patterns first."""
+    if separators is None and words_dict is None:
+        return _default_scanner()
+    seps = separators if separators is not None else T.default_separators()
+    patterns = list(words_dict or ()) + list(seps)
+    return SeparatorScanner(tuple(patterns))
+
+
+def maybe_number(text: str) -> bool:
+    """charabia/src/segmenter/mod.rs:265-267."""
+    return all(c.isnumeric() or c in _ASCII_PUNCT for c in text)
+
+
+def presegment(text: str, scanner: SeparatorScanner) -> Iterator[tuple[str, bool]]:
+    """Yield (span, is_match) alternating separator matches and word chunks.
+
+    is_match=True spans bypass the per-script segmenter (separators,
+    words_dict phrases and number-protected chunks).
+    Reference: AhoSegmentedStrIter, charabia/src/segmenter/mod.rs:226-263.
+    """
+    prev = 0
+    for s, e in scanner.finditer(text):
+        if prev < s:
+            chunk = text[prev:s]
+            yield chunk, maybe_number(chunk)
+        yield text[s:e], True
+        prev = e
+    if prev < len(text):
+        chunk = text[prev:]
+        yield chunk, maybe_number(chunk)
+
+
+# ---------------------------------------------------------------------------
+# Latin camelCase (S1)
+# ---------------------------------------------------------------------------
+
+# ASCII fast path: boundary at lower->Upper, or Upper->Upper followed by lower.
+_ASCII_CAMEL_RX = re.compile(r"(?<=[a-z])(?=[A-Z])|(?<=[A-Z])(?=[A-Z][a-z])")
+_HAS_UPPER_RX = re.compile(r"[A-Z]")
+
+
+def split_camel_case(s: str) -> list[str]:
+    """charabia/src/segmenter/latin/camel_case.rs:10-29.
+
+    Boundary before an uppercase letter (Lu) when the previous non-mark char
+    was lowercase (Ll) or the next char is lowercase; nonspacing marks are
+    transparent and never update the "last was lowercase" state.
+    """
+    n = len(s)
+    if n < 2:
+        return [s]
+    if s.isascii():
+        if _HAS_UPPER_RX.search(s) is None:
+            return [s]
+        return _ASCII_CAMEL_RX.split(s)
+    parts: list[str] = []
+    start = 0
+    last_lower = s[0].islower()  # char::is_lowercase on the first char
+    for i in range(1, n):
+        c = s[i]
+        cat = ud.category(c)
+        if cat == "Mn":
+            continue  # marks are transparent
+        if cat == "Lu":
+            peek_lower = s[i + 1].islower() if i + 1 < n else False
+            if last_lower or peek_lower:
+                parts.append(s[start:i])
+                start = i
+        last_lower = cat == "Ll"
+    parts.append(s[start:])
+    return parts
+
+
+# ---------------------------------------------------------------------------
+# Arabic definite-article split (S9)
+# ---------------------------------------------------------------------------
+
+_AL_PREFIXES = ("ال", "أل", "إل", "آل", "ٱل")
+
+
+def segment_arabic(s: str) -> list[str]:
+    """charabia/src/segmenter/arabic.rs:13-28 (byte-length > 4 => split at
+    byte 4 == char 2 for these 2-byte-per-char prefixes)."""
+    if len(s.encode("utf-8")) > 4 and s.startswith(_AL_PREFIXES):
+        return [s[:2], s[2:]]
+    return [s]
+
+
+# ---------------------------------------------------------------------------
+# Dictionary (trie) longest-prefix segmenter (S5/S6/S7 via S8)
+# ---------------------------------------------------------------------------
+
+
+class Trie:
+    """Byte-trie with longest-prefix lookup (port of fst longest-prefix walk,
+    charabia/src/segmenter/utils.rs:80-97)."""
+
+    __slots__ = ("root",)
+
+    def __init__(self, words: Iterable[str]):
+        root: dict = {}
+        for w in words:
+            if not w:
+                continue
+            node = root
+            for b in w.encode("utf-8"):
+                node = node.setdefault(b, {})
+            node[True] = True  # final marker
+        self.root = root
+
+    def longest_prefix_len(self, data: bytes, start: int = 0) -> int:
+        """Length in bytes of the longest dict word that is a prefix of
+        data[start:]; 0 if none."""
+        node = self.root
+        best = 0
+        i = start
+        n = len(data)
+        while i < n:
+            node = node.get(data[i])
+            if node is None:
+                break
+            i += 1
+            if True in node:
+                best = i - start
+        return best
+
+
+class FstLikeSegmenter:
+    """Port of `FstSegmenter` + `SegmentationCursor`
+    (charabia/src/segmenter/utils.rs:19-57,123-199)."""
+
+    def __init__(self, trie: Trie, max_char_count: Optional[int]):
+        self.trie = trie
+        self.max_char_count = max_char_count
+
+    def segment(self, s: str) -> list[str]:
+        data = s.encode("utf-8")
+        # map byte offset -> char offset for slicing
+        out: list[str] = []
+        offset = 0  # byte offset
+        buf_head: Optional[int] = None
+        n = len(data)
+        # precompute byte->char index only if non-ascii
+        if len(data) != len(s):
+            byte_to_char: dict[int, int] = {}
+            b = 0
+            for ci, ch in enumerate(s):
+                byte_to_char[b] = ci
+                b += len(ch.encode("utf-8"))
+            byte_to_char[b] = len(s)
+
+            def sl(a: int, z: int) -> str:
+                return s[byte_to_char[a]: byte_to_char[z]]
+        else:
+            def sl(a: int, z: int) -> str:
+                return s[a:z]
+
+        def char_len_at(off: int) -> int:
+            b0 = data[off]
+            if b0 < 0x80:
+                return 1
+            if b0 < 0xE0:
+                return 2
+            if b0 < 0xF0:
+                return 3
+            return 4
+
+        while True:
+            if offset >= n:
+                if buf_head is not None and buf_head < offset:
+                    out.append(sl(buf_head, offset))
+                return out
+            mlen = self.trie.longest_prefix_len(data, offset)
+            if mlen:
+                if buf_head is not None:
+                    # flush buffer first; the match is re-found next loop
+                    if buf_head < offset:
+                        out.append(sl(buf_head, offset))
+                    buf_head = None
+                else:
+                    out.append(sl(offset, offset + mlen))
+                    offset += mlen
+            else:
+                if buf_head is None:
+                    buf_head = offset
+                offset += char_len_at(offset)
+                if self.max_char_count is not None:
+                    if len(sl(buf_head, offset)) >= self.max_char_count:
+                        out.append(sl(buf_head, offset))
+                        buf_head = None
+
+
+def _load_words(name: str) -> list[str]:
+    return [w for w in T.word_list(name) if w and not w.startswith("#")]
+
+
+@functools.lru_cache(maxsize=1)
+def thai_segmenter() -> FstLikeSegmenter:
+    return FstLikeSegmenter(Trie(_load_words("thai")), max_char_count=1)
+
+
+@functools.lru_cache(maxsize=1)
+def german_segmenter() -> FstLikeSegmenter:
+    return FstLikeSegmenter(Trie(_load_words("german")), max_char_count=None)
+
+
+# ---------------------------------------------------------------------------
+# Chinese segmenter (S2): jieba-style DAG + charabia cut_for_search refine
+# ---------------------------------------------------------------------------
+
+
+class ChineseSegmenter:
+    """Dictionary DAG segmentation with max-probability route (jieba `cut`
+    with HMM disabled) + charabia's greedy bigram/trigram recall refine
+    (charabia/src/segmenter/chinese.rs:20-50).
+
+    `freqs` maps word -> frequency. The reference embeds the jieba dict;
+    here the dictionary is injected (pluggable), keeping the algorithm
+    testable with a deterministic small dict.
+    """
+
+    _ALNUM_RX = re.compile(r"^[0-9A-Za-z]+$")
+
+    def __init__(self, freqs: dict[str, int]):
+        import math
+
+        self.freqs = freqs
+        self.total = sum(freqs.values()) or 1
+        self.logtotal = math.log(self.total)
+        self.max_len = max((len(w) for w in freqs), default=1)
+
+    def _cut_dag_no_hmm(self, sentence: str) -> list[str]:
+        import math
+
+        n = len(sentence)
+        if n == 0:
+            return []
+        dag: list[list[int]] = []
+        for k in range(n):
+            ends = []
+            for j in range(k + 1, min(n, k + self.max_len) + 1):
+                if sentence[k:j] in self.freqs:
+                    ends.append(j)
+            if not ends:
+                ends.append(k + 1)
+            dag.append(ends)
+        route: list[tuple[float, int]] = [(0.0, 0)] * (n + 1)
+        for k in range(n - 1, -1, -1):
+            route[k] = max(
+                (
+                    math.log(self.freqs.get(sentence[k:j]) or 1)
+                    - self.logtotal
+                    + route[j][0],
+                    j,
+                )
+                for j in dag[k]
+            )
+        out = []
+        k = 0
+        while k < n:
+            j = route[k][1]
+            out.append(sentence[k:j])
+            k = j
+        return out
+
+    def _refine(self, word: str) -> list[str]:
+        """charabia's cut_for_search port (chinese.rs:29-48): for words longer
+        than 2 chars, greedily emit dictionary bigrams, else trigrams, else
+        single chars."""
+        if len(word) <= 2:
+            return [word]
+        out = []
+        i = 0
+        n = len(word)
+        while i < n:
+            if i + 2 <= n and word[i: i + 2] in self.freqs:
+                out.append(word[i: i + 2])
+                i += 2
+            elif i + 3 <= n and word[i: i + 3] in self.freqs:
+                out.append(word[i: i + 3])
+                i += 3
+            else:
+                out.append(word[i])
+                i += 1
+        return out
+
+    def segment(self, s: str) -> list[str]:
+        out: list[str] = []
+        for word in self._cut_dag_no_hmm(s):
+            if self._ALNUM_RX.match(word):
+                out.append(word)  # ASCII-alnum passthrough (chinese.rs:24-26)
+            else:
+                out.extend(self._refine(word))
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Dispatch (charabia/src/segmenter/mod.rs:57-93,280-301)
+# ---------------------------------------------------------------------------
+
+_IDENTITY = ("identity",)
+
+
+@functools.lru_cache(maxsize=32)
+def segmenter_registry(cfg: TokenizerConfig) -> dict[tuple[str, Optional[str]], str]:
+    """(script, language|None) -> segmenter name, per enabled features."""
+    reg: dict[tuple[str, Optional[str]], str] = {(T.LATIN, None): "latin"}
+    if cfg.swedish_recomposition:
+        reg[(T.LATIN, "swe")] = "latin"
+    if cfg.chinese_segmentation:
+        reg[(T.CJ, "cmn")] = "chinese"
+        reg[(T.CJ, "zho")] = "chinese"
+    if cfg.japanese_segmentation:
+        reg[(T.CJ, "jpn")] = "japanese"
+    if cfg.korean_segmentation:
+        reg[(T.HANGUL, "kor")] = "korean"
+    if cfg.thai:
+        reg[(T.THAI, "tha")] = "thai"
+    if cfg.khmer:
+        reg[(T.KHMER, "khm")] = "khmer"
+    reg[(T.ARABIC, "ara")] = "arabic"
+    reg[(T.ARABIC, "pes")] = "arabic"
+    if cfg.german_segmentation:
+        reg[(T.LATIN, "deu")] = "german"
+    return reg
+
+
+def resolve_segmenter(cfg: TokenizerConfig, det: RunDetection) -> str:
+    """Segmenter-name resolution with charabia's language-detection-avoidance
+    (mod.rs:280-301): the language is detected only when >=2 segmenters are
+    registered for the run's script."""
+    reg = segmenter_registry(cfg)
+    script = det.script()
+    entries = [(k, v) for k, v in reg.items() if k[0] == script]
+    if not entries:
+        return "latin"  # DEFAULT_SEGMENTER
+    if len(entries) == 1:
+        return entries[0][1]
+    lang = det.detect_language()
+    return reg.get((script, lang)) or reg.get((script, None)) or "latin"
+
+
+def run_segmenter(
+    name: str, chunk: str, cfg: TokenizerConfig,
+    chinese: Optional[ChineseSegmenter] = None,
+) -> list[str]:
+    if name == "latin":
+        if cfg.latin_camelcase:
+            return split_camel_case(chunk)
+        return [chunk]
+    if name == "arabic":
+        return segment_arabic(chunk)
+    if name == "thai":
+        return thai_segmenter().segment(chunk)
+    if name == "german":
+        return german_segmenter().segment(chunk)
+    if name == "chinese" and chinese is not None:
+        return chinese.segment(chunk)
+    # japanese / korean / khmer: dictionaries not vendored; identity
+    return [chunk]

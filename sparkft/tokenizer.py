@@ -1,0 +1,160 @@
+"""Tokenizer assembly: text → ordered token stream.
+
+Scalar reference implementation (the semantic authority, used by the oracle
+and fixture tests) of the full charabia pipeline:
+
+    text --(script-run split)--> runs --(detect script/lang)-->
+    (separator/words-dict scan + number protection) --(per-script segmenter)-->
+    segments --(offsets)--> tokens --(normalizer chain + classifier)--> tokens
+
+Reference lifecycle: charabia/src/tokenizer.rs:87-91 + segmenter/mod.rs:
+106-128,149-212 + normalizer/mod.rs:96-102,265-281.
+
+`tokenize_batch` is the Arrow-batch entry point used by the Spark UDFs; it
+routes pure-ASCII rows through the vectorized fast path (sparkft.fastlatin)
+and everything else through this scalar path, so per-row semantics are
+identical (property-tested in tests/test_fast_parity.py).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, NamedTuple, Optional, Sequence
+
+from . import _tables as T
+from .config import DEFAULT_CONFIG, TokenizerConfig
+from .detection import RunDetection, split_script_runs
+from .normalize import SEP_HARD, SEP_SOFT, STOP_WORD, WORD, normalize_lemma
+from .segment import (
+    ChineseSegmenter,
+    build_scanner,
+    presegment,
+    resolve_segmenter,
+    run_segmenter,
+)
+
+
+class Token(NamedTuple):
+    lemma: str
+    kind: str  # word | stopword | separator_soft | separator_hard
+    char_start: int
+    char_end: int
+    byte_start: int
+    byte_end: int
+    script: str
+    language: Optional[str]
+
+
+def segment_str(
+    text: str,
+    cfg: TokenizerConfig = DEFAULT_CONFIG,
+    chinese: Optional[ChineseSegmenter] = None,
+) -> list[str]:
+    """Segmentation only (no normalization/classification) — parity with
+    `"text".segment_str()` (charabia/src/segmenter/mod.rs:383-394)."""
+    return [seg for seg, _, _, _ in _segments(text, cfg, chinese)]
+
+
+def _segments(
+    text: str,
+    cfg: TokenizerConfig,
+    chinese: Optional[ChineseSegmenter],
+) -> Iterator[tuple[str, str, Optional[str], bool]]:
+    """Yield (segment, script, language, was_match) in order."""
+    scanner = build_scanner(cfg.separators, cfg.words_dict)
+    for cstart, cend, sids in split_script_runs(text):
+        run = text[cstart:cend]
+        det = RunDetection(run, sids, cfg.allow_list)
+        seg_name = resolve_segmenter(cfg, det)
+        script = det.script()
+        language = det.language  # only set if dispatch detected it
+        for span, is_match in presegment(run, scanner):
+            if is_match:
+                yield span, script, language, True
+            else:
+                for piece in run_segmenter(seg_name, span, cfg, chinese):
+                    yield piece, script, language, False
+
+
+def tokenize_str(
+    text: str,
+    cfg: TokenizerConfig = DEFAULT_CONFIG,
+    chinese: Optional[ChineseSegmenter] = None,
+) -> list[Token]:
+    """Full pipeline — parity with `"text".tokenize()`
+    (charabia/src/tokenizer.rs:87-91)."""
+    out: list[Token] = []
+    char_idx = 0
+    byte_idx = 0
+    for seg, script, language, _ in _segments(text, cfg, chinese):
+        nchars = len(seg)
+        nbytes = nchars if seg.isascii() else len(seg.encode("utf-8"))
+        lemma, kind = normalize_lemma(seg, script, language, cfg)
+        out.append(
+            Token(
+                lemma,
+                kind,
+                char_idx,
+                char_idx + nchars,
+                byte_idx,
+                byte_idx + nbytes,
+                script,
+                language,
+            )
+        )
+        char_idx += nchars
+        byte_idx += nbytes
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Batch entry point (Arrow batches; ASCII fast path + scalar fallback)
+# ---------------------------------------------------------------------------
+
+
+def tokenize_batch(
+    texts: Sequence[Optional[str]],
+    cfg: TokenizerConfig = DEFAULT_CONFIG,
+    words_only: bool = True,
+):
+    """Tokenize a batch of strings.
+
+    Returns (row_idx: np.ndarray int64, lemmas: list[str]) where row_idx[i]
+    is the input row of lemmas[i]. With ``words_only`` separators are dropped
+    and stop words kept (charabia marks but does not remove them).
+    """
+    import numpy as np
+
+    from . import fastlatin
+
+    row_idx: list[int] = []
+    lemmas: list[str] = []
+    fast_rows: list[int] = []
+    fast_texts: list[str] = []
+    default_cfg = cfg.separators is None and cfg.words_dict is None
+    for i, t in enumerate(texts):
+        if t is None or not t:
+            continue
+        if default_cfg and fastlatin.is_fast_eligible(t):
+            fast_rows.append(i)
+            fast_texts.append(t)
+        else:
+            for tok in tokenize_str(t, cfg):
+                if not words_only or tok.kind in (WORD, STOP_WORD):
+                    row_idx.append(i)
+                    lemmas.append(tok.lemma)
+    if fast_texts:
+        f_rows, f_lemmas = fastlatin.tokenize_ascii_batch(
+            fast_texts, cfg, words_only=words_only
+        )
+        row_map = np.asarray(fast_rows, dtype=np.int64)
+        row_idx_arr = np.concatenate(
+            [np.asarray(row_idx, dtype=np.int64), row_map[f_rows]]
+        )
+        lemmas = lemmas + f_lemmas
+        order = np.argsort(row_idx_arr, kind="stable")
+        # keep per-row token order: scalar rows and fast rows are disjoint,
+        # and within each group order is already by (row, position)
+        row_idx_arr = row_idx_arr[order]
+        lemmas = [lemmas[j] for j in order]
+        return row_idx_arr, lemmas
+    return np.asarray(row_idx, dtype=np.int64), lemmas

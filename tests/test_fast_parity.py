@@ -1,0 +1,77 @@
+"""Property tests: the vectorized ASCII fast path must agree with the scalar
+reference pipeline token-for-token, and the scalar pipeline must satisfy the
+reference's quickcheck invariants (charabia/src/segmenter/mod.rs:476-479,
+tokenizer.rs:433-438)."""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sparkft import TokenizerConfig, tokenize_str
+from sparkft.config import DEFAULT_CONFIG
+from sparkft.fastlatin import is_fast_eligible, tokenize_ascii_batch, tokenize_ascii_full
+from sparkft.normalize import SEP_HARD, SEP_SOFT
+from sparkft.tokenizer import segment_str
+
+ascii_text = st.text(
+    alphabet=st.characters(min_codepoint=0x09, max_codepoint=0x7E), max_size=120
+)
+any_text = st.text(max_size=80)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(ascii_text, max_size=8))
+def test_fast_matches_scalar_words(texts):
+    texts = [t for t in texts if is_fast_eligible(t)]
+    rows, lemmas = tokenize_ascii_batch(texts, DEFAULT_CONFIG, words_only=True)
+    expected = []
+    for i, t in enumerate(texts):
+        for tok in tokenize_str(t, DEFAULT_CONFIG):
+            if tok.kind not in (SEP_HARD, SEP_SOFT):
+                expected.append((i, tok.lemma))
+    assert list(zip(rows.tolist(), lemmas)) == expected
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(ascii_text, max_size=6))
+def test_fast_matches_scalar_full(texts):
+    texts = [t for t in texts if is_fast_eligible(t)]
+    rows, lemmas, kinds, cs, ce = tokenize_ascii_full(texts, DEFAULT_CONFIG)
+    expected = []
+    for i, t in enumerate(texts):
+        for tok in tokenize_str(t, DEFAULT_CONFIG):
+            expected.append((i, tok.lemma, tok.kind, tok.char_start, tok.char_end))
+    got = list(zip(rows.tolist(), lemmas, kinds, cs.tolist(), ce.tolist()))
+    assert got == expected
+
+
+@settings(max_examples=200, deadline=None)
+@given(any_text)
+def test_segmenter_never_panics_and_concat_invariant(text):
+    segs = segment_str(text, DEFAULT_CONFIG)
+    assert "".join(segs) == text
+
+
+@settings(max_examples=200, deadline=None)
+@given(any_text)
+def test_token_count_le_byte_len(text):
+    toks = tokenize_str(text, DEFAULT_CONFIG)
+    assert len(toks) <= max(len(text.encode("utf-8")), 1) or text == ""
+
+
+@settings(max_examples=100, deadline=None)
+@given(any_text, st.booleans(), st.booleans())
+def test_tokenize_no_crash_random_options(text, lossy, camel):
+    cfg = DEFAULT_CONFIG.with_(lossy=lossy, latin_camelcase=camel)
+    toks = tokenize_str(text, cfg)
+    # offsets are monotone and cover the text
+    for a, b in zip(toks, toks[1:]):
+        assert a.char_end == b.char_start
+
+
+def test_fast_eligible_stopwords():
+    cfg = DEFAULT_CONFIG.with_(stop_words=["the"])
+    rows, lemmas, kinds, _, _ = tokenize_ascii_full(["The the cat"], cfg)
+    assert list(zip(lemmas, kinds))[0] == ("the", "word")  # "The" pre-lowercase
+    assert ("the", "stopword") in list(zip(lemmas, kinds))
