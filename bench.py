@@ -1,0 +1,112 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Headliners: the full index build (tokenize -> salted merge -> compressed
+segments) + BM25 search over the documents corpus, plus the training-data
+pipeline operators (dedup/minhash/simhash/ANN) and relational demos.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .appName("sparkft-bench")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+    from sparkft.index_build import build_index
+    from sparkft.search import IndexReader, wand_topk
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # warm the JVM/Python workers once (session + worker startup noise)
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    qs = entry.queries()
+    headline = [
+        "tokenize_doc_lengths", "term_frequencies", "bm25_topk",
+        "dedup_exact", "minhash_signatures", "lsh_band_buckets",
+        "ngram_jaccard_pairs", "simhash", "embedding_cosine_topk",
+        "quality_scores", "doc_fingerprint",
+        "pricing_summary", "top_customers", "orders_window_rank",
+        "events_hourly",
+    ]
+    for name in headline:
+        timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
+
+    # full index build + WAND search over the documents corpus
+    idx_dir = tempfile.mkdtemp(prefix="sparkft_bench_idx_")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        t0 = time.time()
+        res = build_index(
+            spark,
+            docs,
+            idx_dir,
+            text_col="text",
+            doc_id_col="doc_id",
+            num_shards=2,
+            num_buckets=16,
+            verify_sha=True,
+        )
+        timings["index_build"] = round(time.time() - t0, 3)
+
+        reader = IndexReader(spark, idx_dir)
+        t0 = time.time()
+        for q in ["merge sort table", "spark stream", "window filter row",
+                  "customer order", "hash join"]:
+            wand_topk(reader, q, 10)
+        timings["search_wand_x5"] = round(time.time() - t0, 3)
+        docs_per_sec = res.docs_per_sec
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_headline_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "index_docs_per_sec": docs_per_sec,
+                "cpus": cpus,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

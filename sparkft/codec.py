@@ -1,0 +1,121 @@
+"""Posting-list compression: delta + varint, vectorized with NumPy.
+
+Posting lists store sorted doc_ids as gap-encoded LEB128 varints plus
+parallel varint arrays for term frequencies and doc lengths, and per-block
+metadata (block size 128) for block-max WAND:
+
+    block_max_tf_norm[i]  — max tf/(tf + k1*(1-b+b*dl/avgdl)) in block i
+    block_last_doc[i]     — last doc_id in block i (skip pointer)
+
+This is engine-original design (the reference is a tokenizer and has no
+storage layer); layout follows standard IR practice (cf. block-max WAND,
+Ding & Suel 2011).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK = 128
+
+
+def encode_varints(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array, fully vectorized."""
+    v = np.asarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return b""
+    # bytes needed per value: ceil(bitlen/7), min 1
+    bits = np.zeros(n, dtype=np.int64)
+    tmp = v.copy()
+    nonzero = tmp > 0
+    while nonzero.any():
+        bits[nonzero] += 1
+        tmp >>= np.uint64(1)
+        nonzero = tmp > 0
+    nbytes = np.maximum((bits + 6) // 7, 1)
+    total = int(nbytes.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+    ends = starts + nbytes
+    # fill byte position j for all values with nbytes > j
+    rem = v.copy()
+    alive = np.arange(n)
+    j = 0
+    while len(alive):
+        pos = starts[alive] + j
+        byte = (rem[alive] & np.uint64(0x7F)).astype(np.uint8)
+        more = (j + 1) < nbytes[alive]
+        out[pos] = byte | (more.astype(np.uint8) << 7)
+        rem[alive] >>= np.uint64(7)
+        alive = alive[more]
+        j += 1
+    return out.tobytes()
+
+
+def decode_varints(data: bytes) -> np.ndarray:
+    """Decode LEB128 bytes back to a uint64 array, vectorized."""
+    if not data:
+        return np.empty(0, dtype=np.uint64)
+    b = np.frombuffer(data, dtype=np.uint8)
+    term = (b & 0x80) == 0  # terminator bytes
+    ends = np.flatnonzero(term)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    payload = (b & 0x7F).astype(np.uint64)
+    n = len(ends)
+    values = np.zeros(n, dtype=np.uint64)
+    width = ends - starts + 1
+    maxw = int(width.max())
+    for j in range(maxw):
+        sel = width > j
+        values[sel] |= payload[starts[sel] + j] << np.uint64(7 * j)
+    return values
+
+
+def delta_encode(sorted_vals: np.ndarray) -> np.ndarray:
+    v = np.asarray(sorted_vals, dtype=np.uint64)
+    if len(v) == 0:
+        return v
+    out = np.empty_like(v)
+    out[0] = v[0]
+    out[1:] = v[1:] - v[:-1]
+    return out
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    return np.cumsum(np.asarray(gaps, dtype=np.uint64), dtype=np.uint64)
+
+
+def encode_posting_list(
+    doc_ids: np.ndarray, tfs: np.ndarray, doc_lens: np.ndarray
+) -> tuple[bytes, bytes, bytes]:
+    """doc_ids must be sorted unsigned (callers map int64 ids via
+    two's-complement to uint64 so ordering is on the unsigned view)."""
+    return (
+        encode_varints(delta_encode(doc_ids)),
+        encode_varints(tfs),
+        encode_varints(doc_lens),
+    )
+
+
+def decode_posting_list(
+    gaps: bytes, tfs: bytes, lens_: bytes
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    return (
+        delta_decode(decode_varints(gaps)),
+        decode_varints(tfs),
+        decode_varints(lens_),
+    )
+
+
+def block_maxes(tf_norm: np.ndarray, doc_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-128-posting-block (max tf-component, last doc id)."""
+    n = len(tf_norm)
+    if n == 0:
+        return np.empty(0, dtype=np.float64), np.empty(0, dtype=np.uint64)
+    nblocks = (n + BLOCK - 1) // BLOCK
+    pad = nblocks * BLOCK - n
+    tfp = np.pad(tf_norm.astype(np.float64), (0, pad), constant_values=-np.inf)
+    bmax = tfp.reshape(nblocks, BLOCK).max(axis=1)
+    last_idx = np.minimum(np.arange(1, nblocks + 1) * BLOCK, n) - 1
+    return bmax, doc_ids[last_idx]

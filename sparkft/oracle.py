@@ -1,0 +1,57 @@
+"""Single-node reference scorer (pandas/NumPy) for rank-identity checks.
+
+Uses the same tokenizer functions and the same `scoring` module as the
+distributed engine; per-doc sums accumulate in sorted-term order — so
+engine-vs-oracle top-k equality is structural, down to float64 bits
+(BASELINE.md "BM25 top-10 rank-identity rate = 1.0")."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import scoring
+from .config import DEFAULT_CONFIG, TokenizerConfig
+from .tokenizer import tokenize_batch
+
+
+class BruteForceIndex:
+    def __init__(self, doc_ids, texts, cfg: TokenizerConfig = DEFAULT_CONFIG):
+        self.cfg = cfg
+        self.doc_ids = np.asarray(doc_ids, dtype=np.int64)
+        rows, lemmas = tokenize_batch(list(texts), cfg, words_only=True)
+        keep = [i for i, l in enumerate(lemmas) if l]
+        rows = rows[keep]
+        lemmas = [lemmas[i] for i in keep]
+        import pandas as pd
+
+        pf = pd.DataFrame({"row": rows, "token": lemmas})
+        tf = pf.groupby(["row", "token"], sort=True).size().rename("tf").reset_index()
+        self.postings = {
+            tok: (grp["row"].to_numpy(), grp["tf"].to_numpy())
+            for tok, grp in tf.groupby("token", sort=True)
+        }
+        doc_len = np.zeros(len(self.doc_ids), dtype=np.int64)
+        np.add.at(doc_len, rows, 1)
+        self.doc_len = doc_len
+        self.N = len(self.doc_ids)
+        self.avgdl = float(doc_len.sum()) / max(self.N, 1)
+
+    def topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        _, qlem = tokenize_batch([query], self.cfg, words_only=True)
+        terms = sorted({t for t in qlem if t})
+        acc: dict[int, float] = {}
+        for term in terms:
+            if term not in self.postings:
+                continue
+            rows, tfs = self.postings[term]
+            df = len(rows)
+            sc = scoring.bm25(tfs, self.doc_len[rows], df, self.N, self.avgdl)
+            for r, s in zip(rows.tolist(), sc.tolist()):
+                d = int(self.doc_ids[r])
+                acc[d] = acc.get(d, 0.0) + s
+        if not acc:
+            return []
+        dids = np.fromiter(acc.keys(), dtype=np.int64, count=len(acc))
+        scores = np.fromiter(acc.values(), dtype=np.float64, count=len(acc))
+        top = scoring.topk_indices(scores, dids, k)
+        return [(int(dids[i]), float(scores[i])) for i in top]

@@ -1,0 +1,125 @@
+"""End-to-end: build index on the synthetic source-code corpus, query with
+TAAT + WAND, assert rank-identity vs. the single-node oracle (SURVEY.md §7.1
+M1), plus resume-equivalence."""
+
+import shutil
+import tempfile
+
+import pytest
+
+from sparkft.corpus import generate_corpus
+from sparkft.index_build import build_index
+from sparkft.oracle import BruteForceIndex
+from sparkft.search import IndexReader, taat_topk, wand_topk
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .appName("sparkft-tests")
+        .getOrCreate()
+    )
+    yield s
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_corpus(400, seed=42)
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx"))
+    df = spark.createDataFrame(corpus).repartition(4)
+    res = build_index(spark, df, out, num_shards=2, num_buckets=8)
+    return out, res
+
+
+QUERIES = [
+    "import",                # hot keyword
+    "fn",                    # hot keyword
+    "parse config",          # two-term
+    "parseConfig",           # camelCase form -> tokens [parse, config]
+    "parse_config",          # snake_case form -> same tokens
+    "tokenIndex merge",      #
+    "zebra missing token",   # mostly-missing terms
+    "self self self",        # duplicate terms
+]
+
+
+def test_build_stats(index, corpus):
+    out, res = index
+    assert res.n_docs == len(corpus)
+    assert res.n_postings > 0
+    assert res.avgdl > 1
+
+
+def test_rank_identity_vs_oracle(spark, corpus, index):
+    out, res = index
+    reader = IndexReader(spark, out)
+    # oracle over (doc_id, content) with engine's doc_id derivation
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(corpus).withColumn(
+        "doc_id", F.xxhash64("repo", "path", "commit")
+    )
+    rows = df.select("doc_id", "content").collect()
+    oracle = BruteForceIndex([r["doc_id"] for r in rows], [r["content"] for r in rows])
+    assert oracle.N == reader.N
+    assert oracle.avgdl == pytest.approx(reader.avgdl, abs=0)
+
+    for q in QUERIES:
+        expected = oracle.topk(q, 10)
+        got = taat_topk(reader, q, 10)
+        assert got == expected, f"TAAT mismatch for {q!r}"
+        got_w = wand_topk(reader, q, 10)
+        assert got_w == expected, f"WAND mismatch for {q!r}"
+
+
+def test_wand_equals_taat_large_k(spark, index):
+    out, _ = index
+    reader = IndexReader(spark, out)
+    for q in ["import fn def", "self return"]:
+        assert wand_topk(reader, q, 50) == taat_topk(reader, q, 50)
+
+
+def test_resume_produces_identical_segments(spark, corpus, tmp_path):
+    import os
+
+    out = str(tmp_path / "idx2")
+    df = spark.createDataFrame(corpus).repartition(4)
+    res1 = build_index(spark, df, out, num_shards=2, num_buckets=8)
+    # simulate a crash after shard 0: delete shard-1 manifest + output
+    os.remove(f"{out}/manifests/shard-1.json")
+    shutil.rmtree(f"{out}/postings_raw/shard=1")
+    shutil.rmtree(f"{out}/segments")
+    res2 = build_index(spark, df, out, num_shards=2, num_buckets=8, resume=True)
+    assert res2.n_docs == res1.n_docs
+    assert res2.n_postings == res1.n_postings
+    # identical query results after resume
+    reader = IndexReader(spark, out)
+    from sparkft.oracle import BruteForceIndex
+    from pyspark.sql import functions as F
+
+    rows = (
+        spark.createDataFrame(corpus)
+        .withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
+        .select("doc_id", "content")
+        .collect()
+    )
+    oracle = BruteForceIndex([r["doc_id"] for r in rows], [r["content"] for r in rows])
+    assert taat_topk(reader, "import config", 10) == oracle.topk("import config", 10)
+
+
+def test_sha_invariant_enforced(spark, corpus, index):
+    # the build ran with verify_sha=True and did not raise -> invariant held
+    out, res = index
+    import json
+
+    stats = json.load(open(f"{out}/stats.json"))
+    assert stats["n_docs"] == len(corpus)
