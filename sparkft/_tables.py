@@ -18,11 +18,15 @@ from __future__ import annotations
 import bisect
 import functools
 import json
-from pathlib import Path
+from importlib import resources
 
 import numpy as np
 
-_DATA = Path(__file__).parent / "data"
+
+def _read_data(name: str) -> str:
+    """Read a packaged data file; works from the filesystem AND from a
+    zipimported package (spark-submit --py-files sparkft.zip)."""
+    return (resources.files(__package__) / "data" / name).read_text()
 
 # ---------------------------------------------------------------------------
 # Script classification (charabia/src/detection/script_language.rs:185-238,
@@ -157,7 +161,7 @@ def script_ids_of_codepoints(cps: np.ndarray) -> np.ndarray:
 
 @functools.lru_cache(maxsize=1)
 def default_separators() -> tuple[str, ...]:
-    return tuple(json.loads((_DATA / "separators.json").read_text()))
+    return tuple(json.loads(_read_data("separators.json")))
 
 
 @functools.lru_cache(maxsize=1)
@@ -167,7 +171,7 @@ def default_separator_set() -> frozenset[str]:
 
 @functools.lru_cache(maxsize=1)
 def context_separator_set() -> frozenset[str]:
-    return frozenset(json.loads((_DATA / "context_separators.json").read_text()))
+    return frozenset(json.loads(_read_data("context_separators.json")))
 
 
 # ---------------------------------------------------------------------------
@@ -177,7 +181,7 @@ def context_separator_set() -> frozenset[str]:
 
 @functools.lru_cache(maxsize=1)
 def nonspacing_marks() -> frozenset[int]:
-    text = (_DATA / "nonspacing_marks.txt").read_text()
+    text = _read_data("nonspacing_marks.txt")
     return frozenset(int(line, 16) for line in text.split())
 
 
@@ -194,7 +198,7 @@ def nonspacing_marks_str() -> frozenset[str]:
 @functools.lru_cache(maxsize=1)
 def kvariants_map() -> dict[int, str]:
     out: dict[int, str] = {}
-    for line in (_DATA / "kvariants.tsv").read_text().splitlines():
+    for line in _read_data("kvariants.tsv").splitlines():
         a, b = line.split("\t")
         out[int(a, 16)] = chr(int(b, 16))
     return out
@@ -207,4 +211,4 @@ def kvariants_map() -> dict[int, str]:
 
 @functools.lru_cache(maxsize=2)
 def word_list(name: str) -> list[str]:
-    return (_DATA / f"{name}_words.txt").read_text().split("\n")
+    return _read_data(f"{name}_words.txt").split("\n")

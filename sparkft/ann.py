@@ -1,0 +1,94 @@
+"""Approximate nearest neighbor over embedding columns (array<float>).
+
+Engine-original (training-data pipeline surface):
+
+- `brute_force_topk` — exact cosine top-k; pure DataFrame expressions
+  (zip_with/aggregate run in whole-stage codegen, no Python in the loop).
+  The correctness baseline and the right choice when the query set is small.
+- `ivf_build` / `ivf_topk` — IVF (inverted-file) index: deterministic
+  centroid selection (seeded k-means lite on a sample), assignment =
+  argmax cosine; search probes the P nearest centroids only, scanning
+  ~P/K of the data — the 100 TB path (cluster assignment is a narrow
+  shuffle once; queries prune partitions by centroid id).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _cosine_cols(F, emb_col, qvec: list[float]):
+    lit_q = F.array(*[F.lit(float(x)) for x in qvec])
+    e = emb_col.cast("array<double>")
+    dot = F.aggregate(F.zip_with(e, lit_q, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
+    nrm_e = F.sqrt(F.aggregate(F.transform(e, lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x))
+    nrm_q = float(np.sqrt(np.sum(np.asarray(qvec, dtype=np.float64) ** 2)))
+    return dot / (nrm_e * nrm_q)
+
+
+def brute_force_topk(df, qvec: list[float], k: int = 10,
+                     id_col: str = "vec_id", emb_col: str = "embedding"):
+    from pyspark.sql import functions as F
+
+    cos = _cosine_cols(F, F.col(emb_col), qvec)
+    return (
+        df.select(F.col(id_col), F.round(cos, 6).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivf_build(spark, df, n_centroids: int = 16, iters: int = 5, seed: int = 42,
+              id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Returns (assigned_df with `centroid` column, centroids ndarray).
+
+    Centroids: k-means on a driver-side sample (deterministic seed), then one
+    distributed assignment pass (mapInPandas, vectorized matmul). At scale the
+    sample is a tiny fraction; assignment is a single narrow scan.
+    """
+    sample = np.asarray(
+        [r[0] for r in df.select(emb_col).limit(4096).collect()], dtype=np.float64
+    )
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True) + 1e-12
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)
+    cents = sample[idx].copy()
+    for _ in range(iters):
+        sims = sample @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cents[c] = v / (np.linalg.norm(v) + 1e-12)
+
+    cents_b = cents.copy()
+
+    def assign_fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            m = np.asarray(pdf[emb_col].tolist(), dtype=np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True) + 1e-12
+            pdf = pdf.copy()
+            pdf["centroid"] = (m @ cents_b.T).argmax(axis=1).astype("int32")
+            yield pdf
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    # copy the fields: StructType.add would mutate the df's cached schema
+    schema = StructType(list(df.schema.fields) + [StructField("centroid", IntegerType())])
+    assigned = df.mapInPandas(assign_fn, schema)
+    return assigned, cents
+
+
+def ivf_topk(assigned_df, cents: np.ndarray, qvec: list[float], k: int = 10,
+             probes: int = 4, id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Probe the `probes` nearest centroids, exact cosine within them."""
+    from pyspark.sql import functions as F
+
+    q = np.asarray(qvec, dtype=np.float64)
+    q = q / (np.linalg.norm(q) + 1e-12)
+    order = (cents @ q).argsort()[::-1][:probes]
+    cand = assigned_df.filter(F.col("centroid").isin([int(c) for c in order]))
+    return brute_force_topk(cand, qvec, k, id_col, emb_col)

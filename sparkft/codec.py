@@ -53,6 +53,30 @@ def encode_varints(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def varint_byte_lengths(values: np.ndarray) -> np.ndarray:
+    """Bytes each value occupies in LEB128 (vectorized)."""
+    v = np.asarray(values, dtype=np.uint64)
+    bits = np.zeros(len(v), dtype=np.int64)
+    tmp = v.copy()
+    nz = tmp > 0
+    while nz.any():
+        bits[nz] += 1
+        tmp >>= np.uint64(1)
+        nz = tmp > 0
+    return np.maximum((bits + 6) // 7, 1)
+
+
+def encode_varints_segmented(values: np.ndarray, group_starts: np.ndarray):
+    """Encode the whole array once; return (blob bytes, byte_offsets int64 of
+    each group boundary incl. the final end) so callers can slice per-group
+    ranges zero-copy (e.g. via Arrow BinaryArray offsets)."""
+    lens = varint_byte_lengths(values)
+    cum = np.concatenate(([0], np.cumsum(lens)))
+    blob = encode_varints(values)
+    bounds = np.append(group_starts, len(values))
+    return blob, cum[bounds]
+
+
 def decode_varints(data: bytes) -> np.ndarray:
     """Decode LEB128 bytes back to a uint64 array, vectorized."""
     if not data:

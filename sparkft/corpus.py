@@ -58,12 +58,13 @@ def _identifiers(rng: np.random.Generator, n: int) -> list[str]:
     return out
 
 
-def generate_corpus(n_rows: int, seed: int = 42):
-    """Returns a pandas DataFrame with the corpus schema."""
+def generate_corpus(n_rows: int, seed: int = 42, offset: int = 0):
+    """Returns a pandas DataFrame with the corpus schema. `offset` shifts the
+    row indices so chunked generation yields globally unique (repo, path)."""
     import pandas as pd
 
     rng = np.random.default_rng(seed)
-    i = np.arange(n_rows)
+    i = np.arange(offset, offset + n_rows)
     repos = [f"org{x % 7}/repo{x % 41}" for x in i]
     exts = rng.integers(0, len(_EXT_LANG), size=n_rows)
     paths = [
@@ -81,6 +82,9 @@ def generate_corpus(n_rows: int, seed: int = 42):
     for x in range(n_rows):
         n_lines = int(rng.integers(3, 25))
         idents = _identifiers(rng, max(n_lines, 4))
+        # doc-scoped rare identifiers widen the vocabulary (realistic code has
+        # a long Zipf tail, which exercises bucket pruning + varint gaps)
+        rare = f"sym{int(rng.integers(0, 99991))}"
         lines = []
         for ln in range(n_lines):
             kws = rng.choice(_KEYWORDS, size=rng.integers(1, 4), p=kw_probs)
@@ -89,7 +93,7 @@ def generate_corpus(n_rows: int, seed: int = 42):
             if tmpl == 0:
                 lines.append(f"{' '.join(kws)} {a}({b}: int) -> str:")
             elif tmpl == 1:
-                lines.append(f"    {kws[0]} {a} = {b}.{kws[-1]}(42)")
+                lines.append(f"    {kws[0]} {a} = {b}.{kws[-1]}({rare})")
             elif tmpl == 2:
                 lines.append(f"{kws[0]} {a} {{ {b}: \"literal_{ln}\" }}")
             else:

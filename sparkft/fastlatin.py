@@ -117,6 +117,34 @@ def _scan(texts: Sequence[str], cfg: TokenizerConfig):
     return rows, starts, ends, tok_is_sep, big, big.lower()
 
 
+def tokenize_ascii_arrow(texts: Sequence[str], cfg: TokenizerConfig):
+    """Zero-copy word tokenization: returns (rows int64 ndarray,
+    words pyarrow.StringArray).
+
+    All token spans are adjacent slices of one lowercased buffer, so the
+    Arrow string array is built directly from (offsets, data) with no
+    per-token Python objects; separator tokens are dropped with an Arrow
+    compute filter. This is the 100TB-scale hot path.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    rows, starts, ends, tok_is_sep, big, lower_big = _scan(texts, cfg)
+    n_tok = len(starts)
+    if n_tok == 0:
+        return np.empty(0, dtype=np.int64), pa.array([], type=pa.string())
+    data = lower_big.encode("ascii")
+    offsets = np.empty(n_tok + 1, dtype=np.int32)
+    offsets[:-1] = starts
+    offsets[-1] = len(data)
+    arr = pa.StringArray.from_buffers(
+        n_tok, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)
+    )
+    keep = ~tok_is_sep
+    words = pc.filter(arr, pa.array(keep))
+    return rows[keep], words
+
+
 def tokenize_ascii_batch(
     texts: Sequence[str],
     cfg: TokenizerConfig,

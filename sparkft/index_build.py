@@ -9,11 +9,15 @@ Dataflow (two shuffles, both on pre-reduced data):
          → parquet checkpoint + manifest (resume unit, lineage + metrics)
   global stats agg (N, avgdl)  [one pass over postings_raw columns]
   hot-token detection (approximate, sampled groupBy count)
-  stage 2a: groupBy(token, salt).applyInPandas  → encoded sub-lists
-            salt = xxhash64(doc_id) % S for hot tokens else 0 — bounds the
-            per-group row count for Zipfian tokens ('fn', 'import', ...)
-  stage 2b: groupBy(token).applyInPandas        → merged segment rows
-            (shuffles compressed bytes, ~1-2 B/posting, not raw rows)
+  stage 2a: repartition(token, salt) + sortWithinPartitions + mapInArrow
+            → encoded sub-lists; salt = xxhash64(doc_id) % S for hot tokens
+            else 0, bounding per-group rows for Zipfian tokens ('fn',
+            'import', ...). Encoding is one vectorized pass per partition
+            (segmented delta+varint, reduceat block maxima) — no per-group
+            pandas overhead, so millions of tiny tokens cost ~0.
+  stage 2b: repartition(token) + mapInArrow     → merged segment rows;
+            non-hot tokens (1 sub-list) pass through untouched; the shuffle
+            moves compressed bytes (~1-2 B/posting), not raw rows
   segments parquet partitioned by bucket=xxhash64(token)%B, sorted by token
   (partition pruning + row-group min/max pushdown at query time)
 
@@ -56,51 +60,63 @@ def u64_to_i64(a: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+_WORKER_PINNED = False
+
+
+def _pin_worker_threads() -> None:
+    """Pin per-worker native thread pools to 1 (executor cores are already
+    the parallelism unit; un-pinned, PyArrow's acero pool fans every worker
+    out to all machine cores, which silently oversubscribes local[N] and any
+    multi-executor-per-host deployment)."""
+    global _WORKER_PINNED
+    if _WORKER_PINNED:
+        return
+    _WORKER_PINNED = True
+    try:
+        import pyarrow as pa
+
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+    except Exception:
+        pass
+
+
 def _postings_from_batch(doc_ids: np.ndarray, texts: list, cfg: TokenizerConfig,
                          emit_sha: bool):
-    """Vectorized per-batch TF aggregation. Returns columns for the postings
-    schema; one extra row per doc carrying the content sha256 when
-    emit_sha (Arrow-transport invariant, BASELINE.json input_hint)."""
+    """Vectorized per-batch TF aggregation: tokenize (zero-copy Arrow word
+    array) -> pyarrow C++ hash group-by on (row, token). No per-token Python
+    objects anywhere. Returns pyarrow arrays (token, doc_id, tf, doc_len);
+    one extra row per doc carries the content sha256 when emit_sha
+    (Arrow-transport invariant, BASELINE.json input_hint)."""
     import hashlib
 
-    from .tokenizer import tokenize_batch
+    import pyarrow as pa
 
-    rows, lemmas = tokenize_batch(texts, cfg, words_only=True)
-    out_tok: list = []
-    if len(lemmas) == 0:
-        tok_arr = np.empty(0, dtype=object)
+    from .tokenizer import tokenize_words_arrow
+
+    rows, words = tokenize_words_arrow(texts, cfg)
+    if len(rows):
+        tbl = pa.table({"row": pa.array(rows, type=pa.int64()), "token": words})
+        agg = tbl.group_by(["row", "token"]).aggregate([("row", "count")])
+        urow = agg.column("row").to_numpy(zero_copy_only=False)
+        tok_arr = agg.column("token").combine_chunks()
+        tf_arr = agg.column("row_count").to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_len_by_row = np.bincount(rows, minlength=len(texts))
+        doc_arr = doc_ids[urow]
+        dl_arr = doc_len_by_row[urow]
+    else:
+        tok_arr = pa.array([], type=pa.string())
         doc_arr = np.empty(0, dtype=np.int64)
         tf_arr = np.empty(0, dtype=np.int64)
         dl_arr = np.empty(0, dtype=np.int64)
-    else:
-        import pandas as pd
-
-        codes, uniques = pd.factorize(pd.array(lemmas), use_na_sentinel=False)
-        # drop empty lemmas (e.g. stripped control-char tokens)
-        key = (rows.astype(np.int64) << np.int64(32)) | codes.astype(np.int64)
-        ukey, counts = np.unique(key, return_counts=True)
-        urow = (ukey >> np.int64(32)).astype(np.int64)
-        ucode = (ukey & np.int64(0xFFFFFFFF)).astype(np.int64)
-        tok_arr = np.asarray(uniques, dtype=object)[ucode]
-        nonempty = np.fromiter((len(t) > 0 for t in tok_arr), dtype=bool, count=len(tok_arr))
-        # doc_len counts all word tokens incl. empties? exclude empties for
-        # stable semantics: doc_len = sum of kept tfs
-        doc_len_by_row = np.zeros(len(texts), dtype=np.int64)
-        np.add.at(doc_len_by_row, urow[nonempty], counts[nonempty])
-        tok_arr = tok_arr[nonempty]
-        urow = urow[nonempty]
-        counts = counts[nonempty]
-        doc_arr = doc_ids[urow]
-        tf_arr = counts.astype(np.int64)
-        dl_arr = doc_len_by_row[urow]
     if emit_sha:
-        sha_tok = np.asarray(
+        sha_tok = pa.array(
             [SHA_PREFIX + hashlib.sha256((t or "").encode("utf-8")).hexdigest()
              for t in texts],
-            dtype=object,
+            type=pa.string(),
         )
-        tok_arr = np.concatenate([tok_arr, sha_tok])
-        doc_arr = np.concatenate([doc_arr, doc_ids])
+        tok_arr = pa.concat_arrays([tok_arr.combine_chunks() if isinstance(tok_arr, pa.ChunkedArray) else tok_arr, sha_tok])
+        doc_arr = np.concatenate([doc_arr, np.asarray(doc_ids, dtype=np.int64)])
         tf_arr = np.concatenate([tf_arr, np.zeros(len(texts), dtype=np.int64)])
         dl_arr = np.concatenate([dl_arr, np.zeros(len(texts), dtype=np.int64)])
     return tok_arr, doc_arr, tf_arr, dl_arr
@@ -112,13 +128,16 @@ def make_tokenize_arrow_fn(cfg: TokenizerConfig, text_col: str, emit_sha: bool):
     def fn(batches: Iterator) -> Iterator:
         import pyarrow as pa
 
+        _pin_worker_threads()
         for batch in batches:
             doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
             texts = batch.column(text_col).to_pylist()
             tok, doc, tf, dl = _postings_from_batch(doc_ids, texts, cfg, emit_sha)
+            if isinstance(tok, pa.ChunkedArray):
+                tok = tok.combine_chunks()
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(tok, type=pa.string()),
+                    tok,
                     pa.array(doc, type=pa.int64()),
                     pa.array(tf, type=pa.int64()),
                     pa.array(dl, type=pa.int64()),
@@ -138,89 +157,242 @@ SEGMENT_SCHEMA = (
 )
 
 SUBLIST_SCHEMA = (
-    "token string, salt int, df long, doc_gaps binary, tfs binary, lens binary"
+    "token string, salt int, df long, first_doc long, "
+    "doc_gaps binary, tfs binary, lens binary, "
+    "block_max array<double>, block_last array<long>"
 )
 
 
-def _encode_sublist(pdf):
-    """groupBy(token, salt) -> one encoded, doc-sorted sub-list row."""
-    import pandas as pd
+def _binary_from_offsets(blob: bytes, byte_offsets: np.ndarray):
+    """Zero-copy Arrow BinaryArray over per-group slices of one blob."""
+    import pyarrow as pa
 
-    from . import codec
-
-    ids = i64_to_u64(pdf["doc_id"].to_numpy())
-    order = np.argsort(ids, kind="stable")
-    ids = ids[order]
-    tfs = pdf["tf"].to_numpy().astype(np.uint64)[order]
-    lens_ = pdf["doc_len"].to_numpy().astype(np.uint64)[order]
-    g, t, l = codec.encode_posting_list(ids, tfs, lens_)
-    return pd.DataFrame(
-        {
-            "token": [pdf["token"].iloc[0]],
-            "salt": [int(pdf["salt"].iloc[0])],
-            "df": [len(ids)],
-            "doc_gaps": [g],
-            "tfs": [t],
-            "lens": [l],
-        }
+    return pa.BinaryArray.from_buffers(
+        pa.binary(),
+        len(byte_offsets) - 1,
+        [None, pa.py_buffer(byte_offsets.astype(np.int32).tobytes()), pa.py_buffer(blob)],
     )
 
 
-def make_merge_fn(avgdl: float, num_buckets: int):
-    def _merge(pdf):
-        import pandas as pd
+def _list_from_offsets(values: np.ndarray, offsets: np.ndarray, typ):
+    import pyarrow as pa
+
+    return pa.ListArray.from_arrays(
+        pa.array(offsets.astype(np.int32)), pa.array(values, type=typ)
+    )
+
+
+def _group_block_meta(tf_norm, doc, bounds, ends):
+    """Vectorized per-group block metadata (BLOCK-sized blocks inside each
+    group): returns (bmax_flat, blast_flat, block_offsets)."""
+    from . import codec
+
+    sizes = ends - bounds
+    nblocks = (sizes + codec.BLOCK - 1) // codec.BLOCK
+    block_offsets = np.concatenate(([0], np.cumsum(nblocks)))
+    total = int(block_offsets[-1])
+    grp = np.repeat(np.arange(len(bounds)), nblocks)
+    pos_in_grp = np.arange(total) - block_offsets[grp]
+    bstarts = bounds[grp] + pos_in_grp * codec.BLOCK
+    bmax = np.maximum.reduceat(tf_norm, bstarts) if total else np.empty(0)
+    blast_idx = np.minimum(bstarts + codec.BLOCK - 1, ends[grp] - 1)
+    blast = doc[blast_idx] if total else np.empty(0, dtype=np.int64)
+    return bmax, blast, block_offsets
+
+
+def make_encode_partition_fn(avgdl: float):
+    """Phase 1 (mapInArrow over partitions sorted by token, salt, doc_id):
+    encode every (token, salt) group in the partition with ONE vectorized
+    pass — segmented delta+varint, zero-copy binary slices, block metadata
+    via np.maximum.reduceat. No per-group Python objects."""
+
+    def fn(batches: Iterator) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
         from . import codec, scoring
 
-        token = pdf["token"].iloc[0]
-        if len(pdf) == 1:
-            ids, tfs, lens_ = codec.decode_posting_list(
-                pdf["doc_gaps"].iloc[0], pdf["tfs"].iloc[0], pdf["lens"].iloc[0]
+        _pin_worker_threads()
+        batches = list(batches)
+        if not batches:
+            return
+        tbl = pa.Table.from_batches(batches).combine_chunks()
+        n = tbl.num_rows
+        if n == 0:
+            return
+        token = tbl.column("token").combine_chunks()
+        salt = tbl.column("salt").to_numpy(zero_copy_only=False)
+        doc = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        tf = tbl.column("tf").to_numpy(zero_copy_only=False)
+        dl = tbl.column("doc_len").to_numpy(zero_copy_only=False)
+
+        change = np.ones(n, dtype=bool)
+        if n > 1:
+            eq = pc.equal(token.slice(1), token.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
             )
-        else:
+            change[1:] = (~eq) | (salt[1:] != salt[:-1])
+        bounds = np.flatnonzero(change)
+        ends = np.append(bounds[1:], n)
+
+        u = i64_to_u64(doc)
+        gaps = np.empty_like(u)
+        gaps[0] = u[0]
+        gaps[1:] = u[1:] - u[:-1]
+        gaps[bounds] = u[bounds]
+
+        blob_g, off_g = codec.encode_varints_segmented(gaps, bounds)
+        blob_t, off_t = codec.encode_varints_segmented(tf.astype(np.uint64), bounds)
+        blob_l, off_l = codec.encode_varints_segmented(dl.astype(np.uint64), bounds)
+
+        tf_norm = scoring.tf_component(tf, dl, avgdl)
+        bmax, blast, block_offsets = _group_block_meta(tf_norm, doc, bounds, ends)
+
+        yield pa.RecordBatch.from_arrays(
+            [
+                token.take(pa.array(bounds)),
+                pa.array(salt[bounds].astype(np.int32), type=pa.int32()),
+                pa.array(ends - bounds, type=pa.int64()),
+                pa.array(doc[bounds], type=pa.int64()),
+                _binary_from_offsets(blob_g, off_g),
+                _binary_from_offsets(blob_t, off_t),
+                _binary_from_offsets(blob_l, off_l),
+                _list_from_offsets(bmax, block_offsets, "float64"),
+                _list_from_offsets(blast, block_offsets, "int64"),
+            ],
+            names=[
+                "token", "salt", "df", "first_doc",
+                "doc_gaps", "tfs", "lens", "block_max", "block_last",
+            ],
+        )
+
+    return fn
+
+
+def make_merge_partition_fn(avgdl: float, num_buckets: int):
+    """Phase 2 (mapInArrow over partitions sorted by token, salt): non-hot
+    tokens (one sub-list) pass through untouched — only hot tokens' salted
+    sub-lists are decoded, merged, re-encoded and part-split. The shuffle
+    moved compressed bytes, not raw postings."""
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from . import codec, scoring
+
+        _pin_worker_threads()
+        batches = list(batches)
+        if not batches:
+            return
+        tbl = pa.Table.from_batches(batches).combine_chunks()
+        n = tbl.num_rows
+        if n == 0:
+            return
+        token = tbl.column("token").combine_chunks()
+        change = np.ones(n, dtype=bool)
+        if n > 1:
+            eq = pc.equal(token.slice(1), token.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            change[1:] = ~eq
+        bounds = np.flatnonzero(change)
+        ends = np.append(bounds[1:], n)
+        single = (ends - bounds) == 1
+
+        buckets = np.fromiter(
+            (_token_bucket(t, num_buckets) for t in token.take(pa.array(bounds)).to_pylist()),
+            dtype=np.int32,
+            count=len(bounds),
+        )
+
+        # passthrough for single-sublist tokens (the common case)
+        keep_rows = bounds[single]
+        if len(keep_rows):
+            sub = tbl.take(pa.array(keep_rows))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(buckets[single], type=pa.int32()),
+                    sub.column("token").combine_chunks(),
+                    pa.array(np.zeros(len(keep_rows), dtype=np.int32), type=pa.int32()),
+                    sub.column("df").combine_chunks(),
+                    sub.column("first_doc").combine_chunks(),
+                    sub.column("doc_gaps").combine_chunks(),
+                    sub.column("tfs").combine_chunks(),
+                    sub.column("lens").combine_chunks(),
+                    sub.column("block_max").combine_chunks(),
+                    sub.column("block_last").combine_chunks(),
+                ],
+                names=[
+                    "bucket", "token", "part", "df", "first_doc",
+                    "doc_gaps", "tfs", "lens", "block_max", "block_last",
+                ],
+            )
+
+        # merge the (few) hot tokens per group in plain Python
+        multi_idx = np.flatnonzero(~single)
+        if len(multi_idx) == 0:
+            return
+        gaps_col = tbl.column("doc_gaps").combine_chunks()
+        tfs_col = tbl.column("tfs").combine_chunks()
+        lens_col = tbl.column("lens").combine_chunks()
+        rows = []
+        for gi in multi_idx:
+            s, e = int(bounds[gi]), int(ends[gi])
             parts = [
-                codec.decode_posting_list(g, t, l)
-                for g, t, l in zip(pdf["doc_gaps"], pdf["tfs"], pdf["lens"])
+                codec.decode_posting_list(
+                    gaps_col[j].as_py(), tfs_col[j].as_py(), lens_col[j].as_py()
+                )
+                for j in range(s, e)
             ]
             ids = np.concatenate([p[0] for p in parts])
-            tfs = np.concatenate([p[1] for p in parts])
+            tfs_ = np.concatenate([p[1] for p in parts])
             lens_ = np.concatenate([p[2] for p in parts])
             order = np.argsort(ids, kind="stable")
-            ids, tfs, lens_ = ids[order], tfs[order], lens_[order]
-        bucket = _token_bucket(token, num_buckets)
-        rows = []
-        for part, s in enumerate(range(0, len(ids), SEG_MAX)):
-            e = min(s + SEG_MAX, len(ids))
-            pid, ptf, plen = ids[s:e], tfs[s:e], lens_[s:e]
-            tf_norm = scoring.tf_component(ptf, plen, avgdl)
-            bmax, blast = codec.block_maxes(tf_norm, pid)
-            g, t, l = codec.encode_posting_list(pid, ptf, plen)
-            rows.append(
-                {
-                    "bucket": bucket,
-                    "token": token,
-                    "part": part,
-                    "df": len(ids),  # global df on every part row
-                    "first_doc": int(u64_to_i64(pid[:1])[0]),
-                    "doc_gaps": g,
-                    "tfs": t,
-                    "lens": l,
-                    "block_max": bmax.tolist(),
-                    "block_last": u64_to_i64(blast).tolist(),
-                }
+            ids, tfs_, lens_ = ids[order], tfs_[order], lens_[order]
+            tok = token[s].as_py()
+            bucket = int(buckets[gi])
+            for part, ps in enumerate(range(0, len(ids), SEG_MAX)):
+                pe = min(ps + SEG_MAX, len(ids))
+                pid, ptf, plen = ids[ps:pe], tfs_[ps:pe], lens_[ps:pe]
+                tf_norm = scoring.tf_component(ptf, plen, avgdl)
+                bm, bl = codec.block_maxes(tf_norm, pid)
+                g, t, l = codec.encode_posting_list(pid, ptf, plen)
+                rows.append(
+                    {
+                        "bucket": bucket, "token": tok, "part": part,
+                        "df": len(ids), "first_doc": int(u64_to_i64(pid[:1])[0]),
+                        "doc_gaps": g, "tfs": t, "lens": l,
+                        "block_max": bm.tolist(),
+                        "block_last": u64_to_i64(bl).tolist(),
+                    }
+                )
+        if rows:
+            yield pa.RecordBatch.from_pandas(
+                pd.DataFrame(rows),
+                schema=pa.schema(
+                    [
+                        ("bucket", pa.int32()), ("token", pa.string()),
+                        ("part", pa.int32()), ("df", pa.int64()),
+                        ("first_doc", pa.int64()), ("doc_gaps", pa.binary()),
+                        ("tfs", pa.binary()), ("lens", pa.binary()),
+                        ("block_max", pa.list_(pa.float64())),
+                        ("block_last", pa.list_(pa.int64())),
+                    ]
+                ),
+                preserve_index=False,
             )
-        return pd.DataFrame(rows)
 
-    return _merge
+    return fn
 
 
 def _token_bucket(token: str, num_buckets: int) -> int:
-    """Deterministic token -> bucket (matches query-side pruning). Uses
-    a stable 64-bit FNV-1a so Python and any future JVM impl agree."""
-    h = np.uint64(0xCBF29CE484222325)
-    for b in token.encode("utf-8"):
-        h = (h ^ np.uint64(b)) * np.uint64(0x100000001B3)
-    return int(h % np.uint64(num_buckets))
+    """Deterministic token -> bucket (matches query-side pruning).
+    zlib.crc32 is C-speed and stable across platforms."""
+    import zlib
+
+    return zlib.crc32(token.encode("utf-8")) % num_buckets
 
 
 # ---------------------------------------------------------------------------
@@ -266,6 +438,9 @@ def build_index(
     """
     from pyspark.sql import functions as F
 
+    from .spark_util import ensure_shipped
+
+    ensure_shipped(spark)
     t0 = time.time()
     if doc_id_col is None:
         docs = corpus_df.withColumn("doc_id", F.xxhash64(*[F.col(c) for c in id_cols]))
@@ -277,43 +452,76 @@ def build_index(
     os.makedirs(f"{out_dir}/manifests", exist_ok=True)
     fn = make_tokenize_arrow_fn(cfg, text_col, emit_sha=verify_sha)
 
-    # ---- stage 1 per shard (checkpoint + resume) ----
-    for shard in range(num_shards):
-        mpath = f"{out_dir}/manifests/shard-{shard}.json"
-        if resume and os.path.exists(mpath):
-            continue
-        s0 = time.time()
-        shard_df = docs.filter(F.col("_shard") == shard).select("doc_id", text_col)
-        postings = shard_df.mapInArrow(fn, POSTINGS_SCHEMA)
-        postings.write.mode("overwrite").parquet(f"{out_dir}/postings_raw/shard={shard}")
-        # lineage + metrics from the written data (1 fast scan of 2 columns)
-        pr = spark.read.parquet(f"{out_dir}/postings_raw/shard={shard}")
-        agg = pr.agg(
-            F.count("*").alias("rows"),
-            F.sum("tf").alias("tokens"),
-            F.sum(F.when(F.col("tf") > 0, 1).otherwise(0)).alias("postings"),
-        ).collect()[0]
-        part_counts = [
-            r["c"] for r in pr.groupBy(F.spark_partition_id().alias("p"))
-            .agg(F.count("*").alias("c")).collect()
-        ]
-        wall = time.time() - s0
-        manifest = {
-            "shard": shard,
-            "input_filter": f"pmod(xxhash64(doc_id), {num_shards}) == {shard}",
-            "rows": int(agg["rows"]),
-            "tokens": int(agg["tokens"] or 0),
-            "postings": int(agg["postings"] or 0),
-            "wall_s": round(wall, 3),
-            "tokens_per_sec": round((agg["tokens"] or 0) / max(wall, 1e-9), 1),
-            "skew_ratio": round(max(part_counts) / (sum(part_counts) / len(part_counts)), 3)
-            if part_counts else 1.0,
-        }
-        tmp = mpath + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, mpath)  # atomic commit: manifest presence == shard done
+    # ---- stage 1 (checkpoint + resume; shard = pmod(xxhash64(doc_id), K)) ----
+    missing = [
+        k for k in range(num_shards)
+        if not (resume and os.path.exists(f"{out_dir}/manifests/shard-{k}.json"))
+    ]
 
+    def _write_manifests(shards_to_commit, wall):
+        """Manifests from ONE scan of the written postings, partial-agg'd per
+        (shard, scan partition) — partition counts give the skew ratio."""
+        pr = spark.read.parquet(f"{out_dir}/postings_raw")
+        per_part = (
+            pr.filter(F.col("shard").isin(shards_to_commit))
+            .groupBy("shard", F.spark_partition_id().alias("p"))
+            .agg(
+                F.count("*").alias("rows"),
+                F.sum("tf").alias("tokens"),
+                F.sum(F.when(F.col("tf") > 0, 1).otherwise(0)).alias("postings"),
+            )
+            .collect()
+        )
+        by_shard: dict = {k: [] for k in shards_to_commit}
+        for r in per_part:
+            by_shard[int(r["shard"])].append(r)
+        for k, rows in by_shard.items():
+            counts = [r["rows"] for r in rows]
+            tokens = sum(r["tokens"] or 0 for r in rows)
+            manifest = {
+                "shard": k,
+                "input_filter": f"pmod(xxhash64(doc_id), {num_shards}) == {k}",
+                "rows": int(sum(counts)),
+                "tokens": int(tokens),
+                "postings": int(sum(r["postings"] or 0 for r in rows)),
+                "wall_s": round(wall, 3),
+                "tokens_per_sec": round(tokens / max(wall, 1e-9), 1),
+                "skew_ratio": round(max(counts) / (sum(counts) / len(counts)), 3)
+                if counts else 1.0,
+            }
+            mpath = f"{out_dir}/manifests/shard-{k}.json"
+            with open(mpath + ".tmp", "w") as f:
+                json.dump(manifest, f)
+            os.replace(mpath + ".tmp", mpath)  # atomic: manifest == shard done
+
+    if len(missing) == num_shards:
+        # fresh build: ONE job writes every shard (partitionBy), one corpus scan
+        s0 = time.time()
+        postings = docs.select("doc_id", text_col).mapInArrow(fn, POSTINGS_SCHEMA)
+        (
+            postings.withColumn(
+                "shard", F.pmod(F.xxhash64("doc_id"), F.lit(num_shards)).cast("int")
+            )
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(f"{out_dir}/postings_raw")
+        )
+        _write_manifests(list(range(num_shards)), time.time() - s0)
+    else:
+        # resume: re-run only the missing shards, one job each
+        for shard in missing:
+            s0 = time.time()
+            shard_df = docs.filter(F.col("_shard") == shard).select("doc_id", text_col)
+            (
+                shard_df.mapInArrow(fn, POSTINGS_SCHEMA)
+                .write.mode("overwrite")
+                .parquet(f"{out_dir}/postings_raw/shard={shard}")
+            )
+            _write_manifests([shard], time.time() - s0)
+
+    timings: dict = {}
+    timings["stage1_s"] = round(time.time() - t0, 3)
+    s0 = time.time()
     all_postings = spark.read.parquet(f"{out_dir}/postings_raw")
 
     # ---- sha256 invariant (Arrow transport fidelity) ----
@@ -327,15 +535,19 @@ def build_index(
             raise RuntimeError(f"content sha256 invariant violated for {mismatches} docs")
 
     postings = all_postings.filter(~F.col("token").startswith(SHA_PREFIX))
+    timings["sha_verify_s"] = round(time.time() - s0, 3)
+    s0 = time.time()
 
-    # ---- global stats ----
-    stats = postings.agg(
-        F.sum("tf").alias("total_tokens"),
-        F.countDistinct("doc_id").alias("n_docs"),
-        F.count("*").alias("n_postings"),
-    ).collect()[0]
-    n_docs = int(stats["n_docs"]) or 1
-    avgdl = float(stats["total_tokens"] or 0) / n_docs
+    # ---- global stats: n_docs counted on the narrow id columns (cheap);
+    # token totals come from the shard manifests (no extra postings scan) ----
+    manifests = [
+        json.load(open(f"{out_dir}/manifests/shard-{i}.json"))
+        for i in range(num_shards)
+    ]
+    n_docs = int(docs.count()) or 1
+    total_tokens = sum(m["tokens"] for m in manifests)
+    n_postings = sum(m["postings"] for m in manifests)
+    avgdl = float(total_tokens) / n_docs
 
     # ---- hot tokens (top-k by partial counts on a sample) ----
     hot = [
@@ -343,19 +555,27 @@ def build_index(
         for r in postings.groupBy("token").count()
         .orderBy(F.desc("count")).limit(hot_token_count).collect()
     ]
+    timings["stats_hot_s"] = round(time.time() - s0, 3)
+    s0 = time.time()
 
-    # ---- stage 2: salted sub-lists, then merge ----
+    # ---- stage 2: salted sub-lists (vectorized segmented encode), then a
+    # merge pass that shuffles only compressed bytes and passes non-hot
+    # tokens through untouched ----
     salted = postings.withColumn(
         "salt",
         F.when(
             F.col("token").isin(hot), F.pmod(F.xxhash64("doc_id"), F.lit(salt_mod))
         ).otherwise(F.lit(0)).cast("int"),
     )
-    sublists = salted.groupBy("token", "salt").applyInPandas(
-        _encode_sublist, SUBLIST_SCHEMA
+    sublists = (
+        salted.repartition("token", "salt")
+        .sortWithinPartitions("token", "salt", "doc_id")
+        .mapInArrow(make_encode_partition_fn(avgdl), SUBLIST_SCHEMA)
     )
-    segments = sublists.groupBy("token").applyInPandas(
-        make_merge_fn(avgdl, num_buckets), SEGMENT_SCHEMA
+    segments = (
+        sublists.repartition("token")
+        .sortWithinPartitions("token", "salt")
+        .mapInArrow(make_merge_partition_fn(avgdl, num_buckets), SEGMENT_SCHEMA)
     )
     (
         segments.repartition("bucket")
@@ -364,26 +584,25 @@ def build_index(
         .partitionBy("bucket")
         .parquet(f"{out_dir}/segments")
     )
+    timings["posting_build_s"] = round(time.time() - s0, 3)
+    s0 = time.time()
 
     seg_stats = spark.read.parquet(f"{out_dir}/segments").agg(
         F.countDistinct("token").alias("n_tokens")
     ).collect()[0]
     wall = time.time() - t0
-    manifests = [
-        json.load(open(f"{out_dir}/manifests/shard-{i}.json"))
-        for i in range(num_shards)
-    ]
     result = BuildResult(
         out_dir=out_dir,
         n_docs=n_docs,
         avgdl=avgdl,
         n_tokens=int(seg_stats["n_tokens"]),
-        n_postings=int(stats["n_postings"]),
+        n_postings=int(n_postings),
         wall_s=round(wall, 3),
         docs_per_sec=round(n_docs / max(wall, 1e-9), 1),
         shards=num_shards,
         skew_ratio=max(m["skew_ratio"] for m in manifests),
     )
+    timings["finalize_s"] = round(time.time() - s0, 3)
     with open(f"{out_dir}/stats.json", "w") as f:
         json.dump(
             {
@@ -396,6 +615,7 @@ def build_index(
                 "docs_per_sec": result.docs_per_sec,
                 "wall_s": result.wall_s,
                 "skew_ratio": result.skew_ratio,
+                "stage_timings": timings,
             },
             f,
         )

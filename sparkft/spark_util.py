@@ -1,0 +1,34 @@
+"""Session utilities: ship the sparkft package to executors.
+
+In production the package travels via `spark-submit --py-files sparkft.zip`.
+For interactive/driver-local sessions, `ensure_shipped(spark)` zips the
+package once and registers it with addPyFile so executor Python workers can
+unpickle closures referencing sparkft — a no-op when the package is already
+importable from the workers' cwd."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+_shipped: set[str] = set()
+
+
+def ensure_shipped(spark) -> None:
+    sid = spark.sparkContext.applicationId
+    if sid in _shipped:
+        return
+    _shipped.add(sid)
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(tempfile.gettempdir(), f"sparkft_pkg_{os.getpid()}.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith((".pyc",)):
+                        continue
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+    spark.sparkContext.addPyFile(zpath)

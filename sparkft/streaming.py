@@ -1,0 +1,127 @@
+"""Structured Streaming surface: incremental tokenize + index maintenance.
+
+The reference is a batch tokenizer library; streaming is engine-original
+(SURVEY.md §2.6). Design:
+
+- `stream_postings(stream_df)` — the same vectorized mapInArrow tokenize
+  stage applied to a streaming DataFrame (stateless, so it composes with any
+  source: file, Kafka, rate).
+- `windowed_token_counts(...)` — event-time windowed aggregation with a
+  watermark for late data (token trend analytics).
+- `incremental_index(...)` — foreachBatch sink that appends each micro-batch
+  as a new postings_raw shard with a manifest, reusing the batch engine's
+  merge job for compaction (streaming ingest = many small shards; the
+  segment build is re-runnable and idempotent by design).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+from .config import DEFAULT_CONFIG, TokenizerConfig
+from .index_build import POSTINGS_SCHEMA, SHA_PREFIX, make_tokenize_arrow_fn
+
+
+def stream_postings(
+    stream_df,
+    cfg: TokenizerConfig = DEFAULT_CONFIG,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming (doc_id, token, tf, doc_len) from a streaming DataFrame with
+    (id_col, text_col[, event-time cols — carried through is not supported by
+    mapInArrow, so select first])."""
+    from pyspark.sql import functions as F
+
+    from .spark_util import ensure_shipped
+
+    try:
+        ensure_shipped(stream_df.sparkSession)
+    except Exception:
+        pass
+    fn = make_tokenize_arrow_fn(cfg, text_col, emit_sha=False)
+    return (
+        stream_df.select(F.col(id_col).alias("doc_id"), text_col)
+        .mapInArrow(fn, POSTINGS_SCHEMA)
+        .filter(~F.col("token").startswith(SHA_PREFIX))
+    )
+
+
+def windowed_token_counts(
+    stream_df,
+    cfg: TokenizerConfig = DEFAULT_CONFIG,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+):
+    """Event-time windowed token counts with late-data watermark.
+
+    Tokenization must run before the window agg; to keep the event-time
+    column through mapInArrow, the tokenize stage here is a pandas UDF
+    returning an array column which is then exploded (slightly slower than
+    mapInArrow but preserves arbitrary carry-through columns)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, StringType
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def words_udf(texts):
+        import pandas as pd
+
+        from .tokenizer import tokenize_words_arrow
+
+        rows, words = tokenize_words_arrow(texts.tolist(), cfg)
+        out: list[list[str]] = [[] for _ in range(len(texts))]
+        wl = words.to_pylist()
+        for r, w in zip(rows.tolist(), wl):
+            out[r].append(w)
+        return pd.Series(out)
+
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .select(ts_col, F.explode(words_udf(F.col(text_col))).alias("token"))
+        .groupBy(F.window(ts_col, window).alias("w"), "token")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "token", "cnt")
+    )
+
+
+def incremental_index(
+    stream_df,
+    out_dir: str,
+    cfg: TokenizerConfig = DEFAULT_CONFIG,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_dir: Optional[str] = None,
+):
+    """foreachBatch sink: each micro-batch becomes a postings_raw shard with
+    an atomic manifest (same layout as the batch build, so `build_index`'s
+    stage-2 merge + `IndexReader` work unchanged after compaction)."""
+    postings = stream_postings(stream_df, cfg, text_col, id_col)
+
+    os.makedirs(f"{out_dir}/manifests", exist_ok=True)
+
+    def sink(batch_df, batch_id: int):
+        t0 = time.time()
+        path = f"{out_dir}/postings_raw/shard=stream-{batch_id}"
+        batch_df.write.mode("overwrite").parquet(path)
+        rows = batch_df.count()
+        manifest = {
+            "shard": f"stream-{batch_id}",
+            "rows": rows,
+            "wall_s": round(time.time() - t0, 3),
+            "source": "structured-streaming",
+        }
+        mpath = f"{out_dir}/manifests/shard-stream-{batch_id}.json"
+        with open(mpath + ".tmp", "w") as f:
+            json.dump(manifest, f)
+        os.replace(mpath + ".tmp", mpath)
+
+    writer = postings.writeStream.foreachBatch(sink).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from typing import Iterator, NamedTuple, Optional, Sequence
 
+import numpy as np
+
 from . import _tables as T
 from .config import DEFAULT_CONFIG, TokenizerConfig
 from .detection import RunDetection, split_script_runs
@@ -111,6 +113,69 @@ def tokenize_str(
 # ---------------------------------------------------------------------------
 
 
+def tokenize_words_arrow(
+    texts: Sequence[Optional[str]],
+    cfg: TokenizerConfig = DEFAULT_CONFIG,
+):
+    """Word tokens for a batch as (rows int64 ndarray, pyarrow.StringArray).
+
+    Routing is per *script run*, not per document: pure-ASCII runs (the vast
+    majority in source code, even in documents with CJK comment lines) go
+    through the zero-copy vectorized path; only genuinely non-ASCII runs pay
+    the scalar pipeline. Token order within a row is NOT guaranteed — the
+    output is a bag for TF counting (use `tokenize_str` for ordered tokens).
+    """
+    import pyarrow as pa
+
+    from . import fastlatin
+
+    default_cfg = cfg.separators is None and cfg.words_dict is None
+    fast_rows: list[int] = []
+    fast_texts: list[str] = []
+    slow_rows: list[int] = []
+    slow_lemmas: list[str] = []
+    for i, t in enumerate(texts):
+        if t is None or not t:
+            continue
+        if default_cfg and fastlatin.is_fast_eligible(t):
+            fast_rows.append(i)
+            fast_texts.append(t)
+            continue
+        if default_cfg:
+            # split into script runs; ASCII runs stay on the fast path
+            for cs, ce, _sids in split_script_runs(t):
+                run = t[cs:ce]
+                if fastlatin.is_fast_eligible(run):
+                    fast_rows.append(i)
+                    fast_texts.append(run)
+                else:
+                    for tok in tokenize_str(run, cfg):
+                        if tok.kind in (WORD, STOP_WORD) and tok.lemma:
+                            slow_rows.append(i)
+                            slow_lemmas.append(tok.lemma)
+            continue
+        for tok in tokenize_str(t, cfg):
+            if tok.kind in (WORD, STOP_WORD) and tok.lemma:
+                slow_rows.append(i)
+                slow_lemmas.append(tok.lemma)
+
+    parts_rows = []
+    parts_words = []
+    if fast_texts:
+        f_rows, f_words = fastlatin.tokenize_ascii_arrow(fast_texts, cfg)
+        row_map = np.asarray(fast_rows, dtype=np.int64)
+        parts_rows.append(row_map[f_rows])
+        parts_words.append(f_words)
+    if slow_lemmas:
+        parts_rows.append(np.asarray(slow_rows, dtype=np.int64))
+        parts_words.append(pa.array(slow_lemmas, type=pa.string()))
+    if not parts_rows:
+        return np.empty(0, dtype=np.int64), pa.array([], type=pa.string())
+    rows = np.concatenate(parts_rows)
+    words = pa.concat_arrays(parts_words) if len(parts_words) > 1 else parts_words[0]
+    return rows, words
+
+
 def tokenize_batch(
     texts: Sequence[Optional[str]],
     cfg: TokenizerConfig = DEFAULT_CONFIG,
@@ -122,8 +187,6 @@ def tokenize_batch(
     is the input row of lemmas[i]. With ``words_only`` separators are dropped
     and stop words kept (charabia marks but does not remove them).
     """
-    import numpy as np
-
     from . import fastlatin
 
     row_idx: list[int] = []

@@ -1,0 +1,74 @@
+"""Multimodal plumbing + ANN recall tests."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .appName("sparkft-pipeline-tests")
+        .getOrCreate()
+    )
+    yield s
+
+
+def test_multimodal_feature_extraction(spark):
+    from sparkft.multimodal import FakeCodec, extract_features, synthetic_media_df
+
+    df = synthetic_media_df(spark, 48)
+    out = extract_features(df, FakeCodec(), out_w=8, out_h=8).collect()
+    assert len(out) == 48
+    for r in out:
+        assert len(r["feat"]) == 64
+        assert r["out_width"] == 8 and r["out_height"] == 8
+        assert len(r["sha256"]) == 64
+    # deterministic: same input -> same features
+    out2 = extract_features(synthetic_media_df(spark, 48), FakeCodec()).collect()
+    assert sorted(r["sha256"] for r in out) == sorted(r["sha256"] for r in out2)
+
+
+def test_multimodal_metadata_pruning_never_touches_bytes(spark, tmp_path):
+    from sparkft.multimodal import synthetic_media_df
+
+    path = str(tmp_path / "media")
+    synthetic_media_df(spark, 48).write.parquet(path)
+    q = spark.read.parquet(path).filter("width > 32").select("media_id", "mime", "width")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # parquet scan reads only the three narrow columns; the heavy binary
+    # column never leaves storage (ReadSchema pruning)
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "data" not in read_schema
+    assert "binary" not in read_schema
+    assert "PushedFilters" in plan and "GreaterThan(width,32)" in plan
+
+
+def test_real_codec_unavailable_is_explicit(spark):
+    from sparkft.multimodal import RealCodecUnavailable, extract_features, synthetic_media_df
+
+    df = synthetic_media_df(spark, 4)
+    with pytest.raises(Exception) as ei:
+        extract_features(df, RealCodecUnavailable()).collect()
+    assert "NotImplementedError" in str(ei.value) or "real media decode" in str(ei.value)
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    from sparkft.ann import brute_force_topk, ivf_build, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = emb.filter("vec_id = 0").collect()[0]["embedding"]
+    exact = [r["vec_id"] for r in brute_force_topk(emb.filter("vec_id <> 0"), qvec, 10).collect()]
+
+    assigned, cents = ivf_build(spark, emb.filter("vec_id <> 0"), n_centroids=8)
+    approx = [r["vec_id"] for r in ivf_topk(assigned, cents, qvec, 10, probes=4).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # full probe == exact
+    full = [r["vec_id"] for r in ivf_topk(assigned, cents, qvec, 10, probes=8).collect()]
+    assert full == exact

@@ -1,0 +1,97 @@
+"""Structured Streaming: incremental tokenize postings + windowed counts."""
+
+import json
+import os
+import time
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .appName("sparkft-streaming-tests")
+        .getOrCreate()
+    )
+    yield s
+
+
+def test_stream_postings_and_incremental_index(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sparkft.corpus import generate_corpus
+    from sparkft.streaming import incremental_index
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    pdf = generate_corpus(100, seed=7)
+    df = spark.createDataFrame(pdf).withColumn(
+        "doc_id", F.xxhash64("repo", "path", "commit")
+    )
+    df.select("doc_id", F.col("content").alias("text")).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string").parquet(src)
+    )
+    q = incremental_index(stream, out, checkpoint_dir=ckpt).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+
+    manifests = os.listdir(f"{out}/manifests")
+    assert manifests, "no streaming shard manifests written"
+    m = json.load(open(f"{out}/manifests/{manifests[0]}"))
+    assert m["source"] == "structured-streaming"
+
+    got = spark.read.parquet(f"{out}/postings_raw")
+    # postings from the stream equal postings from the batch path
+    from sparkft.index_build import POSTINGS_SCHEMA, make_tokenize_arrow_fn
+    from sparkft.config import DEFAULT_CONFIG
+
+    fn = make_tokenize_arrow_fn(DEFAULT_CONFIG, "text", emit_sha=False)
+    expected = (
+        df.select("doc_id", F.col("content").alias("text"))
+        .mapInArrow(fn, POSTINGS_SCHEMA)
+    )
+    assert got.count() == expected.count()
+    cols = ["token", "doc_id", "tf", "doc_len"]
+    g = sorted(map(tuple, got.select(*cols).collect()))
+    e = sorted(map(tuple, expected.select(*cols).collect()))
+    assert g == e
+
+
+def test_windowed_token_counts(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sparkft.streaming import windowed_token_counts
+
+    src = str(tmp_path / "events_src")
+    rows = [
+        (1, "2026-01-01 00:00:10", "alpha beta"),
+        (2, "2026-01-01 00:00:40", "beta gamma"),
+        (3, "2026-01-01 00:01:20", "beta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, ts_s string, text string") \
+        .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    df.write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string, ts timestamp").parquet(src)
+    out = windowed_token_counts(stream, window="1 minute", watermark="2 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("wtc")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    res = {
+        (str(r["window_start"]), r["token"]): r["cnt"]
+        for r in spark.sql("select * from wtc").collect()
+    }
+    assert res[("2026-01-01 00:00:00", "beta")] == 2
+    assert res[("2026-01-01 00:01:00", "beta")] == 1
+    assert res[("2026-01-01 00:00:00", "alpha")] == 1
