@@ -30,6 +30,14 @@ from .index_build import _token_bucket, u64_to_i64
 
 
 class IndexReader:
+    """Query-side reader over the segment store.
+
+    Reads go through pyarrow.dataset directly — query serving never launches
+    a Spark job. The hive `bucket=` partitioning prunes directories and the
+    token predicate prunes row groups (segments are written token-sorted),
+    so a query reads O(terms) bytes. `spark` is accepted for API symmetry
+    but unused."""
+
     def __init__(self, spark, index_dir: str):
         self.spark = spark
         self.dir = index_dir
@@ -38,6 +46,11 @@ class IndexReader:
         self.N = self.stats["n_docs"]
         self.avgdl = self.stats["avgdl"]
         self.num_buckets = self.stats["num_buckets"]
+        import pyarrow.dataset as ds
+
+        self._dataset = ds.dataset(
+            f"{index_dir}/segments", format="parquet", partitioning="hive"
+        )
 
     def query_terms(self, query: str, cfg: TokenizerConfig = DEFAULT_CONFIG) -> list[str]:
         from .tokenizer import tokenize_batch
@@ -51,19 +64,17 @@ class IndexReader:
         Returns {term: (doc_ids u64, tfs, lens, df, block_max, block_last)}."""
         if not terms:
             return {}
-        from pyspark.sql import functions as F
+        import pyarrow.dataset as ds
 
         buckets = sorted({_token_bucket(t, self.num_buckets) for t in terms})
-        df = (
-            self.spark.read.parquet(f"{self.dir}/segments")
-            .filter(F.col("bucket").isin(buckets))
-            .filter(F.col("token").isin(list(terms)))
-            .select("token", "part", "df", "doc_gaps", "tfs", "lens",
-                    "block_max", "block_last")
+        expr = ds.field("bucket").isin(buckets) & ds.field("token").isin(list(terms))
+        tbl = self._dataset.to_table(
+            columns=["token", "part", "df", "doc_gaps", "tfs", "lens",
+                     "block_max", "block_last"],
+            filter=expr,
         )
-        rows = df.collect()
         by_tok: dict = {}
-        for r in rows:
+        for r in tbl.to_pylist():
             by_tok.setdefault(r["token"], []).append(r)
         out = {}
         for tok, parts in by_tok.items():

@@ -299,6 +299,9 @@ class ChineseSegmenter:
     """
 
     _ALNUM_RX = re.compile(r"^[0-9A-Za-z]+$")
+    # jieba-style block pre-split: ASCII-alnum runs are emitted whole, the
+    # rest goes through the DAG (jieba's re_han/re_skip behavior)
+    _BLOCK_RX = re.compile(r"([0-9A-Za-z]+)")
 
     def __init__(self, freqs: dict[str, int]):
         import math
@@ -365,10 +368,13 @@ class ChineseSegmenter:
 
     def segment(self, s: str) -> list[str]:
         out: list[str] = []
-        for word in self._cut_dag_no_hmm(s):
-            if self._ALNUM_RX.match(word):
-                out.append(word)  # ASCII-alnum passthrough (chinese.rs:24-26)
-            else:
+        for block in self._BLOCK_RX.split(s):
+            if not block:
+                continue
+            if self._ALNUM_RX.match(block):
+                out.append(block)  # ASCII-alnum passthrough (chinese.rs:24-26)
+                continue
+            for word in self._cut_dag_no_hmm(block):
                 out.extend(self._refine(word))
         return out
 

@@ -1,0 +1,103 @@
+"""Physical-plan assertions: the optimizations we claim must be visible in
+`.explain` — predicate pushdown, column pruning, broadcast joins, partition
+pruning. A plan that silently regresses to full scans or shuffle joins fails
+here even if results stay correct."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .appName("sparkft-plan-tests")
+        .getOrCreate()
+    )
+    yield s
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_bm25_broadcasts_term_df(spark):
+    import __spark_entry__ as entry
+
+    df = entry.queries()["bm25_topk"](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan[:500]
+    assert "SortMergeJoin" not in plan
+
+
+def test_top_customers_broadcast_join(spark):
+    import __spark_entry__ as entry
+
+    df = entry.queries()["top_customers"](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_relational_pushdown_and_pruning(spark):
+    # a filtered projection over orders must push the predicate to parquet
+    # and read only the projected columns
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    q = o.filter("o_totalprice > 1000").select("o_orderkey", "o_totalprice")
+    plan = plan_of(q)
+    assert "PushedFilters" in plan and "GreaterThan(o_totalprice,1000" in plan
+    rs = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "o_custkey" not in rs and "o_orderdate" not in rs
+
+
+def test_whole_stage_codegen_covers_scoring(spark):
+    import __spark_entry__ as entry
+
+    df = entry.queries()["bm25_topk"](spark, SF)
+    df.collect()  # materialize so AQE finalizes the plan
+    plan = plan_of(df)
+    # whole-stage codegen spans render as "*(n)" in the tree string; the
+    # scoring expression (LOG1P(...)) must sit inside one
+    assert "*(" in plan
+    assert "LOG1P" in plan
+    # partial aggregation before the shuffle (map-side combine)
+    assert "partial_sum" in plan
+
+
+def test_segment_store_partition_pruning(spark, tmp_path):
+    from sparkft.corpus import generate_corpus
+    from sparkft.index_build import build_index, _token_bucket
+
+    out = str(tmp_path / "idx")
+    df = spark.createDataFrame(generate_corpus(200, 42))
+    build_index(spark, df, out, num_shards=1, num_buckets=8, verify_sha=False)
+
+    from pyspark.sql import functions as F
+
+    seg = spark.read.parquet(f"{out}/segments")
+    b = _token_bucket("import", 8)
+    q = seg.filter(F.col("bucket") == b).filter(F.col("token") == "import")
+    plan = plan_of(q)
+    # hive partition pruning on bucket= and row-group pushdown on token
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters:", 1)[1].splitlines()[0]
+    assert "bucket" in pf
+    assert "EqualTo(token,import)" in plan
+
+
+def test_tokenize_stage_reads_only_needed_columns(spark):
+    import __spark_entry__ as entry
+
+    # _postings projects (doc_id, text) before the UDF: lang/source/n_chars
+    # must not be read from parquet
+    p = entry._postings(spark, SF)
+    plan = plan_of(p)
+    rs = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "text" in rs and "doc_id" in rs
+    assert "n_chars" not in rs and "source" not in rs
