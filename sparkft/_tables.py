@@ -209,6 +209,6 @@ def kvariants_map() -> dict[int, str]:
 # ---------------------------------------------------------------------------
 
 
-@functools.lru_cache(maxsize=2)
+@functools.lru_cache(maxsize=4)
 def word_list(name: str) -> list[str]:
     return _read_data(f"{name}_words.txt").split("\n")

@@ -32,7 +32,7 @@ class TokenizerConfig:
     japanese_transliteration: bool = True  # katakana -> hiragana
     korean_segmentation: bool = False  # deviation: needs KoDic
     thai: bool = True
-    khmer: bool = False  # word list only ships as FST in the reference
+    khmer: bool = True  # word list recovered from the reference FST
     german_segmentation: bool = True
     greek: bool = True
     vietnamese: bool = True

@@ -283,6 +283,13 @@ def german_segmenter() -> FstLikeSegmenter:
     return FstLikeSegmenter(Trie(_load_words("german")), max_char_count=None)
 
 
+@functools.lru_cache(maxsize=1)
+def khmer_segmenter() -> FstLikeSegmenter:
+    # word list extracted from the reference's ICU khmerdict FST
+    # (scripts/extract_fst_keys.py; charabia/src/segmenter/khmer.rs:18-30)
+    return FstLikeSegmenter(Trie(_load_words("khmer")), max_char_count=1)
+
+
 # ---------------------------------------------------------------------------
 # Chinese segmenter (S2): jieba-style DAG + charabia cut_for_search refine
 # ---------------------------------------------------------------------------
@@ -439,7 +446,9 @@ def run_segmenter(
         return thai_segmenter().segment(chunk)
     if name == "german":
         return german_segmenter().segment(chunk)
+    if name == "khmer":
+        return khmer_segmenter().segment(chunk)
     if name == "chinese" and chinese is not None:
         return chinese.segment(chunk)
-    # japanese / korean / khmer: dictionaries not vendored; identity
+    # japanese / korean: morphology dictionaries not vendored; identity
     return [chunk]

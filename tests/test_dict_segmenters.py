@@ -130,6 +130,23 @@ def test_arabic_tokenize():
     assert [t.lemma for t in tokenize_str(ARABIC_TEXT, cfg)] == ARABIC_TOKENIZED
 
 
+# --- Khmer (khmer.rs:55-70; word list recovered from the reference's ICU
+# khmerdict FST via scripts/extract_fst_keys.py, validated byte-exact on the
+# Thai FST whose plaintext list is known) ---
+
+KHMER_TEXT = "សួស្តីពិភពលោក 123 456"
+KHMER_EXPECT = ["សួស្តី", "ពិភពលោក", " ", "123", " ", "456"]
+
+
+def test_khmer_segment():
+    assert segment_str(KHMER_TEXT, DEFAULT_CONFIG) == KHMER_EXPECT
+
+
+def test_khmer_tokenize():
+    cfg = DEFAULT_CONFIG.with_(allow_list=["khm"])
+    assert [t.lemma for t in tokenize_str(KHMER_TEXT, cfg)] == KHMER_EXPECT
+
+
 # --- Chinese algorithm with an injected deterministic dict ---
 
 
