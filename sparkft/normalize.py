@@ -270,3 +270,73 @@ def normalize_lemma(
     elif script in (T.HEBREW, T.THAI):
         lemma = lemma.translate(_hebrew_thai_table())
     return lemma, kind
+
+
+# ---------------------------------------------------------------------------
+# char_map mode (create_char_map=True; charabia/src/normalizer/mod.rs:177-223)
+# ---------------------------------------------------------------------------
+
+
+def normalize_lemma_charmap(
+    lemma: str,
+    script: str,
+    language: Optional[str],
+    cfg: TokenizerConfig,
+) -> tuple[str, str, tuple[tuple[int, int], ...]]:
+    """Like `normalize_lemma` but additionally maintains the per-original-char
+    (original_bytes, normalized_bytes) map used by `original_lengths`
+    (highlight support, charabia/src/token.rs:139-173).
+
+    Faithful to the reference's CharNormalizer bookkeeping: every stage is
+    applied per original-char group; token-suffix rules (Greek final sigma)
+    rewrite in place without changing byte lengths; Swedish recomposition
+    operates within each group (matching the reference's char_map branch,
+    swedish_recomposition.rs:24-52)."""
+    src_chars = list(lemma)
+    groups: list[str] = []
+    for c in src_chars:
+        s = c if c.isascii() else _nfkd_char(c)
+        if cfg.swedish_recomposition and language == "swe" and _swedish_trigger(s):
+            s = swedish_recompose(s)
+        s = strip_control(s)
+        groups.append(s)
+    mid = "".join(groups)
+    kind = classify(mid, cfg.stop_words, cfg.separators)
+    if (
+        script == T.ARABIC
+        and language == "pes"
+        and any(ord(ch) in _PERSIAN_TRIGGER for ch in mid)
+    ):
+        groups = [persian_normalize(g) for g in groups]
+
+    if cfg.lossy:
+        if script in _CASED_SCRIPTS and any(ch.isupper() for ch in mid):
+            # per-char lowercase (no Final_Sigma context — matches the
+            # reference's char-wise char::to_lowercase)
+            groups = ["".join(ch.lower() for ch in g) for g in groups]
+        if script == T.LATIN:
+            table = _latin_lossy_table(cfg.vietnamese, cfg.turkish)
+            groups = [g.translate(table) for g in groups]
+        elif script == T.CJ:
+            if cfg.chinese_normalization and language in (None, "cmn", "zho"):
+                groups = [g.translate(_kvariants_table()) for g in groups]
+            if cfg.japanese_transliteration and language in (None, "jpn"):
+                groups = [g.translate(_kana_table()) for g in groups]
+        elif script == T.GREEK:
+            if cfg.greek:
+                for i in range(len(groups) - 1, -1, -1):
+                    if groups[i]:
+                        if groups[i].endswith("\u03c2"):
+                            groups[i] = groups[i][:-1] + "\u03c3"
+                        break
+                groups = [g.translate(_greek_table()) for g in groups]
+        elif script == T.ARABIC:
+            groups = [g.translate(_arabic_table()) for g in groups]
+        elif script in (T.HEBREW, T.THAI):
+            groups = [g.translate(_hebrew_thai_table()) for g in groups]
+
+    char_map = tuple(
+        (len(c.encode("utf-8")), len(g.encode("utf-8")))
+        for c, g in zip(src_chars, groups)
+    )
+    return "".join(groups), kind, char_map

@@ -25,7 +25,14 @@ import numpy as np
 from . import _tables as T
 from .config import DEFAULT_CONFIG, TokenizerConfig
 from .detection import RunDetection, split_script_runs
-from .normalize import SEP_HARD, SEP_SOFT, STOP_WORD, WORD, normalize_lemma
+from .normalize import (
+    SEP_HARD,
+    SEP_SOFT,
+    STOP_WORD,
+    WORD,
+    normalize_lemma,
+    normalize_lemma_charmap,
+)
 from .segment import (
     ChineseSegmenter,
     build_scanner,
@@ -44,6 +51,31 @@ class Token(NamedTuple):
     byte_end: int
     script: str
     language: Optional[str]
+    char_map: Optional[tuple[tuple[int, int], ...]] = None
+
+    def original_lengths(self, num_bytes: int) -> tuple[int, int]:
+        """Convert a byte length in the normalized lemma back to
+        (char_count, byte_len) in the original text — highlight support
+        (charabia/src/token.rs:139-173)."""
+        if self.char_map is None:
+            char_count = byte_len = 0
+            byte_index = 0
+            for i, c in enumerate(self.lemma):
+                if byte_index >= num_bytes:
+                    break
+                clen = len(c.encode("utf-8"))
+                char_count = i + 1
+                byte_len = byte_index + clen
+                byte_index += clen
+            return (char_count, byte_len)
+        normalized = original = count = 0
+        for orig_b, norm_b in self.char_map:
+            if normalized >= num_bytes:
+                break
+            original += orig_b
+            normalized += norm_b
+            count += 1
+        return (count, original)
 
 
 def segment_str(
@@ -90,7 +122,11 @@ def tokenize_str(
     for seg, script, language, _ in _segments(text, cfg, chinese):
         nchars = len(seg)
         nbytes = nchars if seg.isascii() else len(seg.encode("utf-8"))
-        lemma, kind = normalize_lemma(seg, script, language, cfg)
+        if cfg.create_char_map:
+            lemma, kind, char_map = normalize_lemma_charmap(seg, script, language, cfg)
+        else:
+            lemma, kind = normalize_lemma(seg, script, language, cfg)
+            char_map = None
         out.append(
             Token(
                 lemma,
@@ -101,11 +137,24 @@ def tokenize_str(
                 byte_idx + nbytes,
                 script,
                 language,
+                char_map,
             )
         )
         char_idx += nchars
         byte_idx += nbytes
     return out
+
+
+def reconstruct(
+    text: str,
+    cfg: TokenizerConfig = DEFAULT_CONFIG,
+    chinese: Optional[ChineseSegmenter] = None,
+) -> list[tuple[str, Token]]:
+    """Tokens zipped with their original slices — parity with
+    `"text".reconstruct()` (charabia/src/tokenizer.rs:12-26,92-95)."""
+    return [
+        (text[t.char_start: t.char_end], t) for t in tokenize_str(text, cfg, chinese)
+    ]
 
 
 # ---------------------------------------------------------------------------

@@ -75,3 +75,38 @@ def test_fast_eligible_stopwords():
     rows, lemmas, kinds, _, _ = tokenize_ascii_full(["The the cat"], cfg)
     assert list(zip(lemmas, kinds))[0] == ("the", "word")  # "The" pre-lowercase
     assert ("the", "stopword") in list(zip(lemmas, kinds))
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.one_of(
+                st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+                st.characters(min_codepoint=0x370, max_codepoint=0x3FF),   # greek
+                st.characters(min_codepoint=0x4E00, max_codepoint=0x4E2F), # cj
+                st.characters(min_codepoint=0x600, max_codepoint=0x62F),   # arabic
+                st.characters(min_codepoint=0xC0, max_codepoint=0xFF),     # latin-1
+            ),
+            max_size=60,
+        ),
+        max_size=6,
+    )
+)
+def test_words_arrow_matches_scalar_bag_mixed_scripts(texts):
+    """tokenize_words_arrow routes per script run; the resulting word BAG per
+    row must equal the scalar pipeline's (order not guaranteed)."""
+    from collections import Counter
+
+    from sparkft.tokenizer import tokenize_words_arrow
+
+    rows, words = tokenize_words_arrow(texts, DEFAULT_CONFIG)
+    got = Counter(zip(rows.tolist(), words.to_pylist()))
+    expected = Counter()
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        for tok in tokenize_str(t, DEFAULT_CONFIG):
+            if tok.kind not in (SEP_HARD, SEP_SOFT) and tok.lemma:
+                expected[(i, tok.lemma)] += 1
+    assert got == expected
