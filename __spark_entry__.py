@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from sparkft.config import DEFAULT_CONFIG
 from sparkft.index_build import POSTINGS_SCHEMA, make_tokenize_arrow_fn
+from sparkft import dedup as D
 
 # ---------------------------------------------------------------------------
 # shared helpers (Spark side)
@@ -184,22 +185,39 @@ ORDER BY round(sc, 4) DESC, doc_id LIMIT 10
 """
 
 
-def _dedup_exact(spark, sf_dir):
-    return (
-        _docs(spark, sf_dir)
-        .groupBy(F.md5("text").alias("h"))
-        .agg(F.count("*").alias("cnt"), F.min("doc_id").alias("keeper"))
+def _bm25_engine_topk(spark, sf_dir):
+    """The FULL engine path for the same query: build the compressed segment
+    index (salted merge, delta+varint, block metadata) and serve via
+    block-max WAND. Compared against the same ANSI-SQL oracle as the
+    DataFrame path — end-to-end proof that the index round-trips scores."""
+    import hashlib
+    import os
+    import tempfile
+
+    from sparkft.index_build import build_index
+    from sparkft.search import IndexReader, wand_topk
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    idx_dir = os.path.join(tempfile.gettempdir(), f"sparkft_entry_idx_{key}")
+    if not os.path.exists(f"{idx_dir}/stats.json"):
+        docs = _docs(spark, sf_dir)
+        build_index(
+            spark, docs, idx_dir, text_col="text", doc_id_col="doc_id",
+            num_shards=2, num_buckets=8, verify_sha=False, resume=True,
+        )
+    reader = IndexReader(spark, idx_dir)
+    hits = wand_topk(reader, " ".join(BM25_QUERY_TERMS), 10)
+    return spark.createDataFrame(
+        [(int(d), round(s, 4)) for d, s in hits], "doc_id long, score double"
     )
 
 
+def _dedup_exact(spark, sf_dir):
+    return D.exact_duplicates(_docs(spark, sf_dir))
+
+
 def _minhash_signatures(spark, sf_dir):
-    sh = _shingles(spark, sf_dir)
-    h = _H32_SPARK(F.col("shingle"))
-    aggs = [
-        F.min((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
-        for i, (a, b) in enumerate(MINHASH_AB)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return D.minhash_signatures(_shingles(spark, sf_dir))
 
 
 def _minhash_sql(sf: str) -> str:
@@ -212,18 +230,7 @@ def _minhash_sql(sf: str) -> str:
 
 
 def _lsh_band_buckets(spark, sf_dir):
-    """LSH banding over the minhash signature: band id + banded hash ->
-    candidate-bucket sizes (the scale path for near-dup detection)."""
-    mh = _minhash_signatures(spark, sf_dir)
-    b0 = (F.col("mh0") * 31 + F.col("mh1")) % 1000003
-    b1 = (F.col("mh2") * 31 + F.col("mh3")) % 1000003
-    bands = mh.select(
-        F.col("doc_id"), b0.alias("b0"), b1.alias("b1")
-    ).select("doc_id", F.explode(F.array(
-        F.concat_ws(":", F.lit("0"), F.col("b0")),
-        F.concat_ws(":", F.lit("1"), F.col("b1")),
-    )).alias("bucket"))
-    return bands.groupBy("bucket").agg(F.count("*").alias("cnt")).filter(F.col("cnt") > 1)
+    return D.lsh_buckets(D.minhash_signatures(_shingles(spark, sf_dir)))
 
 
 def _lsh_sql(sf: str) -> str:
@@ -239,23 +246,7 @@ SELECT bucket, count(*) AS cnt FROM bands GROUP BY bucket HAVING count(*) > 1
 
 
 def _ngram_jaccard_pairs(spark, sf_dir):
-    sh = _shingles(spark, sf_dir).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
-    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
-    return (
-        inter.join(F.broadcast(sa), "d1").join(F.broadcast(sb), "d2")
-        .withColumn("jac", F.round(F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")), 4))
-        .filter(F.col("jac") >= 0.1)
-        .select("d1", "d2", "jac")
-    )
+    return D.jaccard_pairs(_shingles(spark, sf_dir).cache(), threshold=0.1)
 
 
 def _jaccard_sql(sf: str) -> str:
@@ -273,21 +264,7 @@ WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.1
 
 
 def _simhash(spark, sf_dir):
-    p = _postings(spark, sf_dir)
-    h = _H32_SPARK(F.col("token"))
-    # bit test via modulo (portable): bit_j(h) = (h % 2^{j+1}) >= 2^j
-    bit_sums = [
-        F.sum(
-            F.when((h % F.lit(1 << (j + 1))) >= F.lit(1 << j), F.col("tf")).otherwise(-F.col("tf"))
-        ).alias(f"s{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    agg = p.groupBy("doc_id").agg(*bit_sums)
-    sim = None
-    for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
-    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+    return D.simhash(_postings(spark, sf_dir))
 
 
 def _simhash_sql(sf: str) -> str:
@@ -364,18 +341,7 @@ _STOPWORDS = ["the", "a", "of", "and", "to"]
 
 
 def _quality_scores(spark, sf_dir):
-    p = _postings(spark, sf_dir)
-    return p.groupBy("doc_id").agg(
-        F.sum("tf").alias("n_tokens"),
-        F.count("*").alias("n_distinct"),
-        F.round(F.count("*") / F.sum("tf"), 4).alias("distinct_ratio"),
-        F.round(
-            F.sum(F.when(F.col("token").isin(_STOPWORDS), F.col("tf")).otherwise(0))
-            / F.sum("tf"),
-            4,
-        ).alias("stopword_ratio"),
-        F.round(F.sum(F.length("token") * F.col("tf")) / F.sum("tf"), 4).alias("mean_token_len"),
-    )
+    return D.quality_scores(_postings(spark, sf_dir), _STOPWORDS)
 
 
 def _quality_sql(sf: str) -> str:
@@ -392,10 +358,7 @@ FROM ({_SQL_POSTINGS}) GROUP BY doc_id
 
 
 def _doc_fingerprint(spark, sf_dir):
-    p = _postings(spark, sf_dir)
-    return p.groupBy("doc_id").agg(
-        F.md5(F.concat_ws(" ", F.array_sort(F.collect_set("token")))).alias("fp")
-    )
+    return D.doc_fingerprints(_postings(spark, sf_dir))
 
 
 _FP_SQL = f"""
@@ -513,6 +476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_frequencies": _term_frequencies,
         "doc_term_tf": _doc_term_tf,
         "bm25_topk": _bm25_topk,
+        "bm25_engine_topk": _bm25_engine_topk,
         "dedup_exact": _dedup_exact,
         "minhash_signatures": _minhash_signatures,
         "lsh_band_buckets": _lsh_band_buckets,
@@ -536,6 +500,7 @@ def oracle_sql() -> dict[str, str]:
         "term_frequencies": f"SELECT token, sum(tf)::BIGINT AS cnt, count(*) AS df FROM ({_SQL_POSTINGS}) GROUP BY token",
         "doc_term_tf": _SQL_POSTINGS,
         "bm25_topk": _bm25_topk_sql(""),
+        "bm25_engine_topk": _bm25_topk_sql(""),
         "dedup_exact": "SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keeper FROM documents GROUP BY md5(text)",
         "minhash_signatures": _minhash_sql(""),
         "lsh_band_buckets": _lsh_sql(""),
