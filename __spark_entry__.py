@@ -212,6 +212,42 @@ def _bm25_engine_topk(spark, sf_dir):
     )
 
 
+PHRASE = ("merge", "sort")
+
+
+def _phrase_match(spark, sf_dir):
+    """Exact-phrase occurrence counts via positional self-join (the
+    DataFrame mirror of the engine's positional-index phrase search)."""
+    docs = _docs(spark, sf_dir)
+    w = docs.select(
+        "doc_id",
+        F.posexplode(F.filter(F.split("text", " "), lambda x: x != "")).alias(
+            "pos", "token"
+        ),
+    )
+    a = w.filter(F.col("token") == PHRASE[0]).select("doc_id", "pos")
+    b = w.filter(F.col("token") == PHRASE[1]).select(
+        F.col("doc_id").alias("d2"), (F.col("pos") - 1).alias("p2")
+    )
+    return (
+        a.join(b, (a.doc_id == b.d2) & (a.pos == b.p2))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_matches"))
+    )
+
+
+_PHRASE_SQL = """
+WITH w AS (
+  SELECT doc_id, i AS pos, arr[i] AS token
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS arr
+        FROM documents), unnest(range(1, len(arr) + 1)) AS t(i))
+SELECT a.doc_id, count(*) AS n_matches
+FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.token = 'merge' AND b.token = 'sort'
+GROUP BY a.doc_id
+"""
+
+
 def _dedup_exact(spark, sf_dir):
     return D.exact_duplicates(_docs(spark, sf_dir))
 
@@ -477,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_term_tf": _doc_term_tf,
         "bm25_topk": _bm25_topk,
         "bm25_engine_topk": _bm25_engine_topk,
+        "phrase_match": _phrase_match,
         "dedup_exact": _dedup_exact,
         "minhash_signatures": _minhash_signatures,
         "lsh_band_buckets": _lsh_band_buckets,
@@ -501,6 +538,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_term_tf": _SQL_POSTINGS,
         "bm25_topk": _bm25_topk_sql(""),
         "bm25_engine_topk": _bm25_topk_sql(""),
+        "phrase_match": _PHRASE_SQL,
         "dedup_exact": "SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keeper FROM documents GROUP BY md5(text)",
         "minhash_signatures": _minhash_sql(""),
         "lsh_band_buckets": _lsh_sql(""),

@@ -150,6 +150,76 @@ def make_tokenize_arrow_fn(cfg: TokenizerConfig, text_col: str, emit_sha: bool):
 
 POSTINGS_SCHEMA = "token string, doc_id long, tf long, doc_len long"
 
+POSTINGS_POS_SCHEMA = (
+    "token string, doc_id long, tf long, doc_len long, positions array<int>"
+)
+
+
+def make_positional_tokenize_fn(cfg: TokenizerConfig, text_col: str):
+    """mapInArrow fn emitting per-(doc, token) word-position lists (0-based
+    index in the doc's word stream). Uses the order-preserving row-level
+    batch path (each row entirely fast or entirely scalar), so positions are
+    faithful even for mixed-script rows."""
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+        import pyarrow as pa
+
+        from .tokenizer import tokenize_batch
+
+        _pin_worker_threads()
+        for batch in batches:
+            doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            texts = batch.column(text_col).to_pylist()
+            rows, lemmas = tokenize_batch(texts, cfg, words_only=True)
+            keep = [i for i, l in enumerate(lemmas) if l]
+            if len(keep) != len(lemmas):
+                rows = rows[keep]
+                lemmas = [lemmas[i] for i in keep]
+            n = len(lemmas)
+            if n == 0:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([], type=pa.string()), pa.array([], type=pa.int64()),
+                     pa.array([], type=pa.int64()), pa.array([], type=pa.int64()),
+                     pa.array([], type=pa.list_(pa.int32()))],
+                    names=["token", "doc_id", "tf", "doc_len", "positions"],
+                )
+                continue
+            # word position within each row = running index per row (rows
+            # are emitted in order by tokenize_batch)
+            row_change = np.ones(n, dtype=bool)
+            row_change[1:] = rows[1:] != rows[:-1]
+            row_starts = np.flatnonzero(row_change)
+            pos = np.arange(n, dtype=np.int64)
+            pos -= np.repeat(pos[row_starts], np.diff(np.append(row_starts, n)))
+            doc_len_by_row = np.bincount(rows, minlength=len(texts))
+            codes, uniques = pd.factorize(pd.array(lemmas), use_na_sentinel=False)
+            order = np.lexsort((pos, codes, rows))
+            srows, scodes, spos = rows[order], codes[order], pos[order]
+            gchange = np.ones(n, dtype=bool)
+            gchange[1:] = (srows[1:] != srows[:-1]) | (scodes[1:] != scodes[:-1])
+            gstarts = np.flatnonzero(gchange)
+            gends = np.append(gstarts[1:], n)
+            offsets = np.append(gstarts, n).astype(np.int32)
+            positions_col = pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(spos.astype(np.int32))
+            )
+            tok_col = pa.array(
+                np.asarray(uniques, dtype=object)[scodes[gstarts]], type=pa.string()
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    tok_col,
+                    pa.array(doc_ids[srows[gstarts]], type=pa.int64()),
+                    pa.array((gends - gstarts).astype(np.int64)),
+                    pa.array(doc_len_by_row[srows[gstarts]].astype(np.int64)),
+                    positions_col,
+                ],
+                names=["token", "doc_id", "tf", "doc_len", "positions"],
+            )
+
+    return fn
+
 SEGMENT_SCHEMA = (
     "bucket int, token string, part int, df long, first_doc long, "
     "doc_gaps binary, tfs binary, lens binary, "
@@ -395,6 +465,33 @@ def _token_bucket(token: str, num_buckets: int) -> int:
     return zlib.crc32(token.encode("utf-8")) % num_buckets
 
 
+def _verify_sha_direct(spark, docs, text_col: str) -> None:
+    """Arrow-transport sha invariant for the positional path: hash content in
+    a Python worker and compare against the JVM's sha2 per doc."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    def fn(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column("doc_id")
+            texts = batch.column(text_col).to_pylist()
+            shas = [hashlib.sha256((t or "").encode("utf-8")).hexdigest() for t in texts]
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(shas, type=pa.string())], names=["doc_id", "sha_py"]
+            )
+
+    py_sha = docs.select("doc_id", text_col).mapInArrow(fn, "doc_id long, sha_py string")
+    jvm_sha = docs.select("doc_id", F.sha2(F.col(text_col), 256).alias("sha_jvm"))
+    mismatches = py_sha.join(jvm_sha, "doc_id").filter(
+        F.col("sha_py") != F.col("sha_jvm")
+    ).count()
+    if mismatches:
+        raise RuntimeError(f"content sha256 invariant violated for {mismatches} docs")
+
+
 # ---------------------------------------------------------------------------
 # Build driver
 # ---------------------------------------------------------------------------
@@ -427,6 +524,7 @@ def build_index(
     hot_token_count: int = 64,
     verify_sha: bool = True,
     resume: bool = True,
+    index_positions: bool = False,
 ) -> BuildResult:
     """Build an inverted index under out_dir.
 
@@ -434,6 +532,7 @@ def build_index(
       out_dir/postings_raw/shard=K/   checkpointed stage-1 output
       out_dir/manifests/shard-K.json  per-shard lineage + metrics
       out_dir/segments/bucket=B/      final posting lists
+      out_dir/positions/bucket=B/     word-position lists (index_positions)
       out_dir/stats.json              N, avgdl, config fingerprint
     """
     from pyspark.sql import functions as F
@@ -450,7 +549,12 @@ def build_index(
                .withColumn("_shard", F.pmod(F.xxhash64("doc_id"), F.lit(num_shards)))
 
     os.makedirs(f"{out_dir}/manifests", exist_ok=True)
-    fn = make_tokenize_arrow_fn(cfg, text_col, emit_sha=verify_sha)
+    if index_positions:
+        fn = make_positional_tokenize_fn(cfg, text_col)
+        postings_schema = POSTINGS_POS_SCHEMA
+    else:
+        fn = make_tokenize_arrow_fn(cfg, text_col, emit_sha=verify_sha)
+        postings_schema = POSTINGS_SCHEMA
 
     # ---- stage 1 (checkpoint + resume; shard = pmod(xxhash64(doc_id), K)) ----
     missing = [
@@ -497,7 +601,7 @@ def build_index(
     if len(missing) == num_shards:
         # fresh build: ONE job writes every shard (partitionBy), one corpus scan
         s0 = time.time()
-        postings = docs.select("doc_id", text_col).mapInArrow(fn, POSTINGS_SCHEMA)
+        postings = docs.select("doc_id", text_col).mapInArrow(fn, postings_schema)
         (
             postings.withColumn(
                 "shard", F.pmod(F.xxhash64("doc_id"), F.lit(num_shards)).cast("int")
@@ -513,7 +617,7 @@ def build_index(
             s0 = time.time()
             shard_df = docs.filter(F.col("_shard") == shard).select("doc_id", text_col)
             (
-                shard_df.mapInArrow(fn, POSTINGS_SCHEMA)
+                shard_df.mapInArrow(fn, postings_schema)
                 .write.mode("overwrite")
                 .parquet(f"{out_dir}/postings_raw/shard={shard}")
             )
@@ -525,7 +629,9 @@ def build_index(
     all_postings = spark.read.parquet(f"{out_dir}/postings_raw")
 
     # ---- sha256 invariant (Arrow transport fidelity) ----
-    if verify_sha:
+    if verify_sha and index_positions:
+        _verify_sha_direct(spark, docs, text_col)
+    elif verify_sha:
         sha_rows = all_postings.filter(F.col("token").startswith(SHA_PREFIX)) \
             .select("doc_id", F.expr(f"substring(token, {len(SHA_PREFIX) + 1})").alias("sha_py"))
         jvm_sha = docs.select("doc_id", F.sha2(F.col(text_col), 256).alias("sha_jvm"))
@@ -534,7 +640,8 @@ def build_index(
         if mismatches:
             raise RuntimeError(f"content sha256 invariant violated for {mismatches} docs")
 
-    postings = all_postings.filter(~F.col("token").startswith(SHA_PREFIX))
+    postings = all_postings.filter(~F.col("token").startswith(SHA_PREFIX)) \
+        .select("token", "doc_id", "tf", "doc_len")
     timings["sha_verify_s"] = round(time.time() - s0, 3)
     s0 = time.time()
 
@@ -587,6 +694,21 @@ def build_index(
     timings["posting_build_s"] = round(time.time() - s0, 3)
     s0 = time.time()
 
+    if index_positions:
+        # JVM crc32 == zlib.crc32 used by the query side (_token_bucket)
+        (
+            all_postings.filter(~F.col("token").startswith(SHA_PREFIX))
+            .select("token", "doc_id", "positions")
+            .withColumn("bucket", F.pmod(F.crc32(F.encode("token", "utf-8")), F.lit(num_buckets)).cast("int"))
+            .repartition("bucket")
+            .sortWithinPartitions("token", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{out_dir}/positions")
+        )
+        timings["positions_s"] = round(time.time() - s0, 3)
+        s0 = time.time()
+
     seg_stats = spark.read.parquet(f"{out_dir}/segments").agg(
         F.countDistinct("token").alias("n_tokens")
     ).collect()[0]
@@ -611,6 +733,7 @@ def build_index(
                 "n_tokens": result.n_tokens,
                 "n_postings": result.n_postings,
                 "num_buckets": num_buckets,
+                "has_positions": index_positions,
                 "hot_tokens": hot,
                 "docs_per_sec": result.docs_per_sec,
                 "wall_s": result.wall_s,

@@ -55,3 +55,48 @@ class BruteForceIndex:
         scores = np.fromiter(acc.values(), dtype=np.float64, count=len(acc))
         top = scoring.topk_indices(scores, dids, k)
         return [(int(dids[i]), float(scores[i])) for i in top]
+
+
+class BruteForcePhraseIndex(BruteForceIndex):
+    """Adds exact-phrase search over the raw token streams (positions are
+    word indices in the ordered word-token stream, matching the engine)."""
+
+    def __init__(self, doc_ids, texts, cfg: TokenizerConfig = DEFAULT_CONFIG):
+        super().__init__(doc_ids, texts, cfg)
+        rows, lemmas = tokenize_batch(list(texts), cfg, words_only=True)
+        keep = [i for i, l in enumerate(lemmas) if l]
+        self._streams: dict[int, list[str]] = {}
+        for i in keep:
+            self._streams.setdefault(int(rows[i]), []).append(lemmas[i])
+
+    def phrase_topk(self, phrase: str, k: int = 10) -> list[tuple[int, float]]:
+        _, qlem = tokenize_batch([phrase], self.cfg, words_only=True)
+        seq = [t for t in qlem if t]
+        if not seq:
+            return []
+        n = len(seq)
+        matches = []
+        for row, stream in self._streams.items():
+            for i in range(len(stream) - n + 1):
+                if stream[i : i + n] == seq:
+                    matches.append(int(self.doc_ids[row]))
+                    break
+        if not matches:
+            return []
+        terms = sorted(set(seq))
+        mset = set(matches)
+        acc = {m: 0.0 for m in matches}
+        for term in terms:
+            if term not in self.postings:
+                continue
+            rows_, tfs = self.postings[term]
+            df = len(rows_)
+            sc = scoring.bm25(tfs, self.doc_len[rows_], df, self.N, self.avgdl)
+            for r, s in zip(rows_.tolist(), sc.tolist()):
+                d = int(self.doc_ids[r])
+                if d in mset:
+                    acc[d] += s
+        dids = np.fromiter(acc.keys(), dtype=np.int64, count=len(acc))
+        scores = np.fromiter(acc.values(), dtype=np.float64, count=len(acc))
+        top = scoring.topk_indices(scores, dids, k)
+        return [(int(dids[i]), float(scores[i])) for i in top]

@@ -200,3 +200,87 @@ def wand_topk(reader: IndexReader, query: str, k: int = 10,
 
     out = sorted(heap, key=lambda it: (-it[0], -it[1]))
     return [(-d, s) for s, d in out]
+
+
+# ---------------------------------------------------------------------------
+# Phrase queries (positional index; engine-original — the reference's
+# Hard/Soft separator kinds exist precisely to support proximity semantics)
+# ---------------------------------------------------------------------------
+
+
+def _load_positions(reader: IndexReader, terms: list[str]):
+    """{term: (doc_ids int64 ndarray, list-of-position-arrays)} from the
+    bucket-pruned positions store."""
+    import pyarrow.dataset as ds
+
+    dset = ds.dataset(f"{reader.dir}/positions", format="parquet", partitioning="hive")
+    buckets = sorted({_token_bucket(t, reader.num_buckets) for t in terms})
+    tbl = dset.to_table(
+        columns=["token", "doc_id", "positions"],
+        filter=ds.field("bucket").isin(buckets) & ds.field("token").isin(list(terms)),
+    )
+    out: dict = {}
+    toks = tbl.column("token").to_pylist()
+    docs = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+    poss = tbl.column("positions").to_pylist()
+    for t, d, p in zip(toks, docs, poss):
+        out.setdefault(t, ([], []))
+        out[t][0].append(int(d))
+        out[t][1].append(np.asarray(p, dtype=np.int64))
+    return {
+        t: (np.asarray(ds_, dtype=np.int64), ps) for t, (ds_, ps) in out.items()
+    }
+
+
+def phrase_topk(reader: IndexReader, phrase: str, k: int = 10,
+                cfg: TokenizerConfig = DEFAULT_CONFIG) -> list[tuple[int, float]]:
+    """Exact-phrase top-k: documents containing the query's word tokens
+    adjacently and in order, ranked by BM25 over the phrase's terms (same
+    deterministic scoring as `taat_topk`). Requires an index built with
+    index_positions=True."""
+    from .tokenizer import tokenize_batch
+
+    _, lemmas = tokenize_batch([phrase], cfg, words_only=True)
+    seq = [t for t in lemmas if t]
+    if not seq:
+        return []
+    uniq = sorted(set(seq))
+    pos = _load_positions(reader, uniq)
+    if any(t not in pos for t in uniq):
+        return []
+    # doc-level intersection across the phrase's unique terms
+    cand = None
+    for t in uniq:
+        d = pos[t][0]
+        cand = d if cand is None else np.intersect1d(cand, d, assume_unique=False)
+    if cand is None or len(cand) == 0:
+        return []
+    # positional adjacency per candidate doc
+    idx = {t: {int(d): p for d, p in zip(pos[t][0], pos[t][1])} for t in uniq}
+    matches = []
+    for d in cand.tolist():
+        starts = idx[seq[0]][d]
+        for i, t in enumerate(seq[1:], start=1):
+            if len(starts) == 0:
+                break
+            nxt = idx[t][d]
+            starts = starts[np.isin(starts + i, nxt)]
+        if len(starts):
+            matches.append(d)
+    if not matches:
+        return []
+    # BM25 over the phrase terms for matching docs (sorted-term accumulation)
+    postings = reader.load_postings(uniq)
+    acc: dict[int, float] = {m: 0.0 for m in matches}
+    mset = set(matches)
+    for term in sorted(postings):
+        ids, tfs, lens_, df, _, _ = postings[term]
+        ids_i = u64_to_i64(ids)
+        sc = scoring.bm25(tfs, lens_, df, reader.N, reader.avgdl)
+        for d, s in zip(ids_i.tolist(), sc.tolist()):
+            if d in mset:
+                acc[d] += s
+    doc_ids = np.fromiter(acc.keys(), dtype=np.int64, count=len(acc))
+    scores = np.fromiter(acc.values(), dtype=np.float64, count=len(acc))
+    top = scoring.topk_indices(scores, doc_ids, k)
+    return [(int(doc_ids[i]), float(scores[i])) for i in top]

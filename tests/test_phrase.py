@@ -1,0 +1,77 @@
+"""Positional index + exact-phrase search vs. the brute-force oracle."""
+
+import pytest
+
+from sparkft.corpus import generate_corpus
+from sparkft.index_build import build_index
+from sparkft.oracle import BruteForcePhraseIndex
+from sparkft.search import IndexReader, phrase_topk, taat_topk
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .appName("sparkft-phrase")
+        .getOrCreate()
+    )
+    yield s
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    corpus = generate_corpus(300, seed=11)
+    out = str(tmp_path_factory.mktemp("pidx"))
+    df = spark.createDataFrame(corpus).repartition(4)
+    build_index(spark, df, out, num_shards=2, num_buckets=8, index_positions=True)
+
+    from pyspark.sql import functions as F
+
+    rows = (
+        spark.createDataFrame(corpus)
+        .withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
+        .select("doc_id", "content")
+        .collect()
+    )
+    oracle = BruteForcePhraseIndex(
+        [r["doc_id"] for r in rows], [r["content"] for r in rows]
+    )
+    return IndexReader(spark, out), oracle
+
+
+PHRASES = [
+    "parse config",
+    "import parse",
+    "comment about",
+    "about parse",
+    "return let",
+    "zzz yyy",          # no hits
+    "parse",            # single-term phrase == term match
+    "comment about parse",  # 3-term
+]
+
+
+def test_phrase_rank_identity(built):
+    reader, oracle = built
+    for p in PHRASES:
+        got = phrase_topk(reader, p, 10)
+        expected = oracle.phrase_topk(p, 10)
+        assert got == expected, f"phrase mismatch for {p!r}: {got} vs {expected}"
+
+
+def test_phrase_is_subset_of_term_match(built):
+    reader, _ = built
+    phrase_docs = {d for d, _ in phrase_topk(reader, "comment about", 100)}
+    term_docs = {d for d, _ in taat_topk(reader, "comment about", 10_000)}
+    assert phrase_docs <= term_docs
+    assert phrase_docs  # the corpus template guarantees hits
+
+
+def test_bm25_still_identical_with_positional_build(built):
+    reader, oracle = built
+    for q in ["import", "parse config", "self return"]:
+        assert taat_topk(reader, q, 10) == oracle.topk(q, 10)
