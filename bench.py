@@ -55,7 +55,7 @@ def main() -> int:
     qs = entry.queries()
     headline = [
         "tokenize_doc_lengths", "term_frequencies", "bm25_topk",
-        "bm25_engine_topk",
+        "bm25_engine_topk", "phrase_match",
         "dedup_exact", "minhash_signatures", "lsh_band_buckets",
         "ngram_jaccard_pairs", "simhash", "embedding_cosine_topk",
         "quality_scores", "doc_fingerprint",
