@@ -465,6 +465,86 @@ def _token_bucket(token: str, num_buckets: int) -> int:
     return zlib.crc32(token.encode("utf-8")) % num_buckets
 
 
+def build_segments(spark, postings, out_dir: str, avgdl: float,
+                   num_buckets: int, salt_mod: int, hot: list[str]) -> None:
+    """Stage 2: salted sub-lists (vectorized segmented encode), then a merge
+    pass that shuffles only compressed bytes and passes non-hot tokens
+    through untouched. Reused by the batch build and by streaming
+    compaction."""
+    from pyspark.sql import functions as F
+
+    salted = postings.withColumn(
+        "salt",
+        F.when(
+            F.col("token").isin(hot), F.pmod(F.xxhash64("doc_id"), F.lit(salt_mod))
+        ).otherwise(F.lit(0)).cast("int"),
+    )
+    sublists = (
+        salted.repartition("token", "salt")
+        .sortWithinPartitions("token", "salt", "doc_id")
+        .mapInArrow(make_encode_partition_fn(avgdl), SUBLIST_SCHEMA)
+    )
+    segments = (
+        sublists.repartition("token")
+        .sortWithinPartitions("token", "salt")
+        .mapInArrow(make_merge_partition_fn(avgdl, num_buckets), SEGMENT_SCHEMA)
+    )
+    (
+        segments.repartition("bucket")
+        .sortWithinPartitions("token", "part")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{out_dir}/segments")
+    )
+
+
+def compact_index(spark, out_dir: str, num_buckets: int = 32,
+                  salt_mod: int = 16, hot_token_count: int = 64) -> dict:
+    """(Re)build segments + stats from ALL postings_raw shards — batch shards
+    and streaming micro-batch shards alike. Streaming ingest therefore
+    composes with the batch engine: `incremental_index` appends shards,
+    `compact_index` folds them into the queryable segment store. Idempotent
+    and re-runnable (deterministic inputs -> identical segments)."""
+    from pyspark.sql import functions as F
+
+    from .spark_util import ensure_shipped
+
+    ensure_shipped(spark)
+    postings = (
+        spark.read.parquet(f"{out_dir}/postings_raw")
+        .filter(~F.col("token").startswith(SHA_PREFIX))
+        .select("token", "doc_id", "tf", "doc_len")
+    )
+    stats = postings.agg(
+        F.sum("tf").alias("tt"),
+        F.countDistinct("doc_id").alias("n"),
+        F.count("*").alias("p"),
+    ).collect()[0]
+    n_docs = int(stats["n"]) or 1
+    avgdl = float(stats["tt"] or 0) / n_docs
+    hot = [
+        r["token"]
+        for r in postings.groupBy("token").count()
+        .orderBy(F.desc("count")).limit(hot_token_count).collect()
+    ]
+    build_segments(spark, postings, out_dir, avgdl, num_buckets, salt_mod, hot)
+    seg_stats = spark.read.parquet(f"{out_dir}/segments").agg(
+        F.countDistinct("token").alias("n_tokens")
+    ).collect()[0]
+    out = {
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "n_tokens": int(seg_stats["n_tokens"]),
+        "n_postings": int(stats["p"]),
+        "num_buckets": num_buckets,
+        "hot_tokens": hot,
+        "compacted": True,
+    }
+    with open(f"{out_dir}/stats.json", "w") as f:
+        json.dump(out, f)
+    return out
+
+
 def _verify_sha_direct(spark, docs, text_col: str) -> None:
     """Arrow-transport sha invariant for the positional path: hash content in
     a Python worker and compare against the JVM's sha2 per doc."""
@@ -665,32 +745,7 @@ def build_index(
     timings["stats_hot_s"] = round(time.time() - s0, 3)
     s0 = time.time()
 
-    # ---- stage 2: salted sub-lists (vectorized segmented encode), then a
-    # merge pass that shuffles only compressed bytes and passes non-hot
-    # tokens through untouched ----
-    salted = postings.withColumn(
-        "salt",
-        F.when(
-            F.col("token").isin(hot), F.pmod(F.xxhash64("doc_id"), F.lit(salt_mod))
-        ).otherwise(F.lit(0)).cast("int"),
-    )
-    sublists = (
-        salted.repartition("token", "salt")
-        .sortWithinPartitions("token", "salt", "doc_id")
-        .mapInArrow(make_encode_partition_fn(avgdl), SUBLIST_SCHEMA)
-    )
-    segments = (
-        sublists.repartition("token")
-        .sortWithinPartitions("token", "salt")
-        .mapInArrow(make_merge_partition_fn(avgdl, num_buckets), SEGMENT_SCHEMA)
-    )
-    (
-        segments.repartition("bucket")
-        .sortWithinPartitions("token", "part")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(f"{out_dir}/segments")
-    )
+    build_segments(spark, postings, out_dir, avgdl, num_buckets, salt_mod, hot)
     timings["posting_build_s"] = round(time.time() - s0, 3)
     s0 = time.time()
 

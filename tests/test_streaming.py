@@ -95,3 +95,41 @@ def test_windowed_token_counts(spark, tmp_path):
     assert res[("2026-01-01 00:00:00", "beta")] == 2
     assert res[("2026-01-01 00:01:00", "beta")] == 1
     assert res[("2026-01-01 00:00:00", "alpha")] == 1
+
+
+def test_streaming_compaction_equals_batch(spark, tmp_path):
+    """stream ingest -> compact_index -> queries identical to a batch build
+    over the same docs."""
+    from pyspark.sql import functions as F
+
+    from sparkft.corpus import generate_corpus
+    from sparkft.index_build import build_index, compact_index
+    from sparkft.search import IndexReader, taat_topk, wand_topk
+    from sparkft.streaming import incremental_index
+
+    pdf = generate_corpus(120, seed=9)
+    df = spark.createDataFrame(pdf).withColumn(
+        "doc_id", F.xxhash64("repo", "path", "commit")
+    ).select("doc_id", F.col("content").alias("text"))
+
+    # streaming path
+    src = str(tmp_path / "src")
+    df.repartition(3).write.parquet(src)
+    s_out = str(tmp_path / "sidx")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = incremental_index(stream, s_out, checkpoint_dir=str(tmp_path / "ck")) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    compact_index(spark, s_out, num_buckets=8)
+
+    # batch path over the same docs
+    b_out = str(tmp_path / "bidx")
+    build_index(spark, spark.createDataFrame(pdf), b_out,
+                num_shards=1, num_buckets=8, verify_sha=False)
+
+    rs = IndexReader(spark, s_out)
+    rb = IndexReader(spark, b_out)
+    assert rs.N == rb.N and rs.avgdl == rb.avgdl
+    for query in ["import config", "fn parse", "self return"]:
+        assert taat_topk(rs, query, 10) == taat_topk(rb, query, 10)
+        assert wand_topk(rs, query, 10) == wand_topk(rb, query, 10)
