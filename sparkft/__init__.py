@@ -9,15 +9,19 @@ Spark clusters (salted repartition-by-token merge, delta+varint posting
 compression, block-max WAND).
 """
 
+from .builder import Tokenizer, TokenizerBuilder
 from .config import TokenizerConfig
-from .tokenizer import Token, tokenize_str, segment_str, tokenize_batch
+from .tokenizer import Token, reconstruct, segment_str, tokenize_batch, tokenize_str
 
 __all__ = [
+    "Tokenizer",
+    "TokenizerBuilder",
     "TokenizerConfig",
     "Token",
     "tokenize_str",
     "segment_str",
     "tokenize_batch",
+    "reconstruct",
 ]
 
 __version__ = "0.1.0"

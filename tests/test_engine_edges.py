@@ -83,3 +83,34 @@ def test_lossless_only_mode():
     # NFKD still applies (lossless) but no lowercase / mark removal:
     # the expected lemma is the DECOMPOSED form (e + combining acute)
     assert [t.lemma for t in toks if t.kind == "word"] == ["Thé", "Brown", "FOX"]
+
+
+def test_tokenizer_builder_facade():
+    """The reference's doc examples through the builder API
+    (charabia/src/tokenizer.rs:36-55,232-257,275-300)."""
+    from sparkft import TokenizerBuilder
+
+    tok = TokenizerBuilder().stop_words({"the"}).into_tokenizer()
+    toks = tok.tokenize("the quick brown fox")
+    assert toks[0].lemma == "the" and toks[0].kind == "stopword"
+    # classification is pre-lowercase: "The" is NOT the stop word "the"
+    # (charabia tokenizer.rs:178-188)
+    assert tok.tokenize("The quick")[0].kind == "word"
+
+    tok2 = (
+        TokenizerBuilder()
+        .separators([" ", ", ", ". ", "?", "!"])
+        .build()
+    )
+    segs = tok2.segment_str('The quick ("brown") fox')
+    assert '("brown")' in segs
+
+    tok3 = TokenizerBuilder().words_dict(["J. R. R."]).build()
+    assert "J. R. R." in tok3.segment_str("J. R. R. Tolkien")
+
+    tok4 = TokenizerBuilder().create_char_map(True).build()
+    t = tok4.tokenize("café")[0]
+    assert t.char_map == ((1, 1), (1, 1), (1, 1), (2, 1))
+
+    tok5 = TokenizerBuilder().chinese_dictionary({"今天": 5, "天气": 4}).build()
+    assert [t.lemma for t in tok5.tokenize("今天天气")] == ["今天", "天气"]
