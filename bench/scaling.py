@@ -31,6 +31,9 @@ spark = (SparkSession.builder.master(f"local[{{cpus}}]")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.ui.enabled", "false")
     .config("spark.driver.memory", "48g")
+    # emulate an N-core executor faithfully: cap the JVM's visible cores so
+    # GC / shuffle / netty thread pools scale with N instead of the host's 32
+    .config("spark.driver.extraJavaOptions", f"-XX:ActiveProcessorCount={{cpus}}")
     .appName("sparkft-scaling").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 
@@ -85,31 +88,32 @@ def main() -> int:
     corpus_path = os.path.join(ROOT, "data", f"corpus_{n_docs}")
     if not os.path.exists(corpus_path):
         print(f"generating corpus ({n_docs} docs)...", file=sys.stderr)
-        from pyspark.sql import SparkSession
-
-        sys.path.insert(0, ROOT)
-        from sparkft.corpus import generate_corpus
-
-        spark = (
-            SparkSession.builder.master("local[32]")
-            .config("spark.ui.enabled", "false")
-            .config("spark.driver.memory", "32g")
-            .getOrCreate()
-        )
-        import pandas as pd
-
-        # generate in chunks to bound driver memory
-        chunk = 20_000
-        dfs = []
-        for i, start in enumerate(range(0, n_docs, chunk)):
-            n = min(chunk, n_docs - start)
-            pdf = generate_corpus(n, seed=42 + i, offset=start)
-            dfs.append(spark.createDataFrame(pdf))
-        df = dfs[0]
-        for d in dfs[1:]:
-            df = df.union(d)
-        df.repartition(64).write.mode("overwrite").parquet(corpus_path)
-        spark.stop()
+        gen_code = f"""
+import sys
+sys.path.insert(0, {ROOT!r})
+from pyspark.sql import SparkSession
+from sparkft.corpus import generate_corpus
+spark = (SparkSession.builder.master("local[32]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.driver.memory", "32g").getOrCreate())
+chunk = 20_000
+dfs = []
+for i, start in enumerate(range(0, {n_docs}, chunk)):
+    n = min(chunk, {n_docs} - start)
+    dfs.append(spark.createDataFrame(generate_corpus(n, seed=42 + i, offset=start)))
+df = dfs[0]
+for d in dfs[1:]:
+    df = df.union(d)
+df.repartition(64).write.mode("overwrite").parquet({corpus_path!r})
+spark.stop()
+"""
+        # run generation in a subprocess so no JVM lingers in this parent
+        # while the measured runs execute (a resident JVM measurably
+        # distorts them — see bench/probes.md)
+        r = subprocess.run([sys.executable, "-c", gen_code], capture_output=True, text=True)
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-3000:])
+            raise SystemExit("corpus generation failed")
 
     results = {}
     for cpus in (2, 8, 32):
