@@ -213,6 +213,12 @@ def _load_positions(reader: IndexReader, terms: list[str]):
     bucket-pruned positions store."""
     import pyarrow.dataset as ds
 
+    if not reader.stats.get("has_positions"):
+        raise ValueError(
+            "this index has no positions store; rebuild with "
+            "build_index(..., index_positions=True) to enable phrase search"
+        )
+
     dset = ds.dataset(f"{reader.dir}/positions", format="parquet", partitioning="hive")
     buckets = sorted({_token_bucket(t, reader.num_buckets) for t in terms})
     tbl = dset.to_table(

@@ -75,3 +75,15 @@ def test_bm25_still_identical_with_positional_build(built):
     reader, oracle = built
     for q in ["import", "parse config", "self return"]:
         assert taat_topk(reader, q, 10) == oracle.topk(q, 10)
+
+
+def test_phrase_requires_positional_index(spark, tmp_path):
+    from sparkft.corpus import generate_corpus
+    from sparkft.index_build import build_index
+    from sparkft.search import IndexReader, phrase_topk
+
+    out = str(tmp_path / "nopos")
+    build_index(spark, spark.createDataFrame(generate_corpus(50, 5)), out,
+                num_shards=1, num_buckets=4, verify_sha=False)
+    with pytest.raises(ValueError, match="index_positions=True"):
+        phrase_topk(IndexReader(spark, out), "parse config")
