@@ -114,3 +114,30 @@ def test_tokenizer_builder_facade():
 
     tok5 = TokenizerBuilder().chinese_dictionary({"今天": 5, "天气": 4}).build()
     assert [t.lemma for t in tok5.tokenize("今天天气")] == ["今天", "天气"]
+
+
+def test_build_determinism_row_identical(spark, tmp_path):
+    """Two independent builds over the same corpus produce row-identical
+    segment stores (deterministic doc ids, sort orders, encoding)."""
+    from sparkft.corpus import generate_corpus
+    from sparkft.index_build import build_index
+
+    pdf = generate_corpus(150, seed=21)
+    outs = []
+    for name in ("a", "b"):
+        out = str(tmp_path / name)
+        df = spark.createDataFrame(pdf).repartition(3 if name == "a" else 5)
+        build_index(spark, df, out, num_shards=2, num_buckets=4, verify_sha=False)
+        outs.append(out)
+
+    rows = []
+    for out in outs:
+        seg = spark.read.parquet(f"{out}/segments")
+        rows.append(
+            sorted(
+                (r["token"], r["part"], r["df"], bytes(r["doc_gaps"]),
+                 bytes(r["tfs"]), bytes(r["lens"]), tuple(r["block_last"]))
+                for r in seg.collect()
+            )
+        )
+    assert rows[0] == rows[1]
