@@ -133,9 +133,15 @@ def _bm25_topk(spark, sf_dir):
     """Distributed DataFrame BM25: postings -> filter terms -> join stats ->
     score -> top-k. Broadcast-joins the tiny per-term df table; the postings
     scan prunes to the query terms."""
-    p = _postings(spark, sf_dir).cache()
-    # exact avgdl = total_tokens / n computed from integers
-    totals = p.agg(F.sum("tf").alias("tt"), F.countDistinct("doc_id").alias("n")).collect()[0]
+    p = _postings(spark, sf_dir)
+    # N/avgdl from a pre-aggregated doc-stats relation (one groupBy on the
+    # narrow (doc_id, doc_len) projection) — NOT by caching the full exploded
+    # postings, which at scale would materialize the corpus to answer one
+    # query. The engine path (bm25_engine_topk) reads these from stats.json.
+    doc_stats = p.groupBy("doc_id").agg(F.max("doc_len").alias("dl"))
+    totals = doc_stats.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("tt")
+    ).collect()[0]
     n_docs, avgdl = int(totals["n"]), float(totals["tt"]) / int(totals["n"])
     q = p.filter(F.col("token").isin(BM25_QUERY_TERMS))
     term_df = q.groupBy("token").agg(F.count("*").alias("df"))

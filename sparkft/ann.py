@@ -46,8 +46,22 @@ def ivf_build(spark, df, n_centroids: int = 16, iters: int = 5, seed: int = 42,
     distributed assignment pass (mapInPandas, vectorized matmul). At scale the
     sample is a tiny fraction; assignment is a single narrow scan.
     """
+    from pyspark.sql import functions as F
+
+    # Content-hash sample: deterministic regardless of partitioning/order
+    # (limit() would take the first partitions — biased on clustered data,
+    # and unstable under repartitioning). One narrow count scan sizes the
+    # modulus; xxhash64(id) % m == 0 picks ~4096 rows uniformly by content.
+    n_rows = df.count()
+    m = max(1, n_rows // 4096)
+    sample_df = (
+        df.filter(F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(m)) == 0)
+        .select(id_col, emb_col)
+        .orderBy(id_col)
+        .limit(4096)
+    )
     sample = np.asarray(
-        [r[0] for r in df.select(emb_col).limit(4096).collect()], dtype=np.float64
+        [r[1] for r in sample_df.collect()], dtype=np.float64
     )
     sample /= np.linalg.norm(sample, axis=1, keepdims=True) + 1e-12
     rng = np.random.default_rng(seed)

@@ -60,6 +60,33 @@ _PERSIAN_MARKERS = frozenset(
     [0x67E, 0x686, 0x698, 0x6A9, 0x6AF, 0x6CC, 0x6C0] + list(range(0x6F0, 0x6FA))
 )
 
+# language -> script, used to restrict allow_list candidates to the detected
+# script (whatlang's allowlist filter is script-scoped: a Thai run can never
+# resolve to "deu"). Covers every code the heuristic or charabia's dispatch
+# tables can emit plus the common Latin-script ISO-639-3 codes.
+_LANG_SCRIPT = {lang: script for script, lang in _SCRIPT_LANG.items()}
+_LANG_SCRIPT.update(
+    {
+        "cmn": T.CJ,
+        "jpn": T.CJ,
+        "kor": T.HANGUL,
+        "ara": T.ARABIC,
+        "pes": T.ARABIC,
+        "urd": T.ARABIC,
+        "ukr": T.CYRILLIC,
+        "bul": T.CYRILLIC,
+        "srp": T.CYRILLIC,
+        "bel": T.CYRILLIC,
+        "mkd": T.CYRILLIC,
+    }
+)
+for _latin_lang in (
+    "eng deu fra spa ita por nld swe dan nor fin pol ces slk hun ron hrv slv "
+    "est lav lit tur vie ind msa tgl cat epo isl afr sqi aze bos eus gle glg "
+    "mlt nob nno ltz"
+).split():
+    _LANG_SCRIPT[_latin_lang] = T.LATIN
+
 
 def codepoints(text: str) -> np.ndarray:
     """uint32 codepoint array of `text` (C-speed via UTF-32 encode)."""
@@ -157,8 +184,10 @@ class RunDetection:
         else:
             lang = _SCRIPT_LANG.get(script)
         if allow_list is not None and lang not in allow_list:
-            # restrict to the allow_list; pick a same-script entry if any
-            for cand in allow_list:
-                return cand
-            lang = None
+            # whatlang's allowlist filter is script-scoped
+            # (charabia/src/detection/mod.rs:48-55): restrict to candidates
+            # whose script matches the run; none -> undetermined.
+            lang = next(
+                (c for c in allow_list if _LANG_SCRIPT.get(c) == script), None
+            )
         return lang

@@ -234,9 +234,21 @@ SUBLIST_SCHEMA = (
 
 
 def _binary_from_offsets(blob: bytes, byte_offsets: np.ndarray):
-    """Zero-copy Arrow BinaryArray over per-group slices of one blob."""
+    """Zero-copy Arrow BinaryArray over per-group slices of one blob.
+
+    Arrow `binary` carries int32 offsets; a partition whose encoded blob
+    exceeds 2 GiB would silently wrap and corrupt segments, so fail loudly —
+    at that size the fix is more shuffle partitions (or smaller seg_max),
+    not a wider offset type on every row."""
     import pyarrow as pa
 
+    if int(byte_offsets[-1]) >= 2**31:
+        raise ValueError(
+            f"encoded partition blob is {int(byte_offsets[-1])} bytes, "
+            "over the int32 Arrow offset limit; raise "
+            "spark.sql.shuffle.partitions (or lower seg_max) so per-partition "
+            "posting blobs stay under 2 GiB"
+        )
     return pa.BinaryArray.from_buffers(
         pa.binary(),
         len(byte_offsets) - 1,
@@ -247,6 +259,11 @@ def _binary_from_offsets(blob: bytes, byte_offsets: np.ndarray):
 def _list_from_offsets(values: np.ndarray, offsets: np.ndarray, typ):
     import pyarrow as pa
 
+    if int(offsets[-1]) >= 2**31:
+        raise ValueError(
+            f"{int(offsets[-1])} list elements in one partition, over the "
+            "int32 Arrow offset limit; raise spark.sql.shuffle.partitions"
+        )
     return pa.ListArray.from_arrays(
         pa.array(offsets.astype(np.int32)), pa.array(values, type=typ)
     )
@@ -339,11 +356,13 @@ def make_encode_partition_fn(avgdl: float):
     return fn
 
 
-def make_merge_partition_fn(avgdl: float, num_buckets: int):
+def make_merge_partition_fn(avgdl: float, num_buckets: int, seg_max: int = SEG_MAX):
     """Phase 2 (mapInArrow over partitions sorted by token, salt): non-hot
     tokens (one sub-list) pass through untouched — only hot tokens' salted
     sub-lists are decoded, merged, re-encoded and part-split. The shuffle
-    moved compressed bytes, not raw postings."""
+    moved compressed bytes, not raw postings. A single-sub-list token whose
+    df exceeds seg_max (giant but missed by the hot list) is routed through
+    the merge path so every segment row stays bounded."""
 
     def fn(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -369,7 +388,8 @@ def make_merge_partition_fn(avgdl: float, num_buckets: int):
             change[1:] = ~eq
         bounds = np.flatnonzero(change)
         ends = np.append(bounds[1:], n)
-        single = (ends - bounds) == 1
+        df_np = tbl.column("df").to_numpy(zero_copy_only=False)
+        single = ((ends - bounds) == 1) & (df_np[bounds] <= seg_max)
 
         buckets = np.fromiter(
             (_token_bucket(t, num_buckets) for t in token.take(pa.array(bounds)).to_pylist()),
@@ -423,8 +443,8 @@ def make_merge_partition_fn(avgdl: float, num_buckets: int):
             ids, tfs_, lens_ = ids[order], tfs_[order], lens_[order]
             tok = token[s].as_py()
             bucket = int(buckets[gi])
-            for part, ps in enumerate(range(0, len(ids), SEG_MAX)):
-                pe = min(ps + SEG_MAX, len(ids))
+            for part, ps in enumerate(range(0, len(ids), seg_max)):
+                pe = min(ps + seg_max, len(ids))
                 pid, ptf, plen = ids[ps:pe], tfs_[ps:pe], lens_[ps:pe]
                 tf_norm = scoring.tf_component(ptf, plen, avgdl)
                 bm, bl = codec.block_maxes(tf_norm, pid)
@@ -465,8 +485,59 @@ def _token_bucket(token: str, num_buckets: int) -> int:
     return zlib.crc32(token.encode("utf-8")) % num_buckets
 
 
+HOT_SAMPLE_TARGET = 2_000_000
+
+# Static recall seed for hot-token salting on source-code / prose corpora:
+# salting only needs recall (a non-hot token salted anyway merges back to
+# identical segments), so a frequency estimate from a sample plus this seed
+# list replaces a full groupBy over the token universe (SURVEY.md §2.6).
+HOT_SEED_TOKENS = (
+    "fn import def return class the of to and a in is for if self this let "
+    "const var public static void int new use from as not none null true "
+    "false pub mod struct impl type function end print string value name"
+).split()
+
+
+def _hot_tokens(postings, n_postings: int, hot_token_count: int) -> list[str]:
+    """Top-`hot_token_count` tokens by estimated frequency, from a sampled
+    partial-agg count (bounded ~HOT_SAMPLE_TARGET rows scanned into the
+    groupBy regardless of corpus size) unioned with a static seed list.
+    Correctness does not depend on this set — only merge-phase balance."""
+    from pyspark.sql import functions as F
+
+    frac = min(1.0, HOT_SAMPLE_TARGET / max(n_postings, 1))
+    sampled = postings if frac >= 1.0 else postings.sample(fraction=frac, seed=7)
+    hot = [
+        r["token"]
+        for r in sampled.groupBy("token").count()
+        .orderBy(F.desc("count"), "token").limit(hot_token_count).collect()
+    ]
+    return sorted(set(hot) | set(HOT_SEED_TOKENS))
+
+
+def _write_positions(all_postings, out_dir: str, num_buckets: int) -> None:
+    """Word-position store, hive-partitioned by the same crc32 bucket the
+    query side prunes on (JVM crc32 == zlib.crc32 in _token_bucket)."""
+    from pyspark.sql import functions as F
+
+    (
+        all_postings.filter(~F.col("token").startswith(SHA_PREFIX))
+        .select("token", "doc_id", "positions")
+        .withColumn(
+            "bucket",
+            F.pmod(F.crc32(F.encode("token", "utf-8")), F.lit(num_buckets)).cast("int"),
+        )
+        .repartition("bucket")
+        .sortWithinPartitions("token", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{out_dir}/positions")
+    )
+
+
 def build_segments(spark, postings, out_dir: str, avgdl: float,
-                   num_buckets: int, salt_mod: int, hot: list[str]) -> None:
+                   num_buckets: int, salt_mod: int, hot: list[str],
+                   seg_max: int = SEG_MAX) -> None:
     """Stage 2: salted sub-lists (vectorized segmented encode), then a merge
     pass that shuffles only compressed bytes and passes non-hot tokens
     through untouched. Reused by the batch build and by streaming
@@ -487,7 +558,7 @@ def build_segments(spark, postings, out_dir: str, avgdl: float,
     segments = (
         sublists.repartition("token")
         .sortWithinPartitions("token", "salt")
-        .mapInArrow(make_merge_partition_fn(avgdl, num_buckets), SEGMENT_SCHEMA)
+        .mapInArrow(make_merge_partition_fn(avgdl, num_buckets, seg_max), SEGMENT_SCHEMA)
     )
     (
         segments.repartition("bucket")
@@ -499,35 +570,58 @@ def build_segments(spark, postings, out_dir: str, avgdl: float,
 
 
 def compact_index(spark, out_dir: str, num_buckets: int = 32,
-                  salt_mod: int = 16, hot_token_count: int = 64) -> dict:
+                  salt_mod: int = 16, hot_token_count: int = 64,
+                  seg_max: int = SEG_MAX) -> dict:
     """(Re)build segments + stats from ALL postings_raw shards — batch shards
     and streaming micro-batch shards alike. Streaming ingest therefore
     composes with the batch engine: `incremental_index` appends shards,
     `compact_index` folds them into the queryable segment store. Idempotent
-    and re-runnable (deterministic inputs -> identical segments)."""
+    and re-runnable (deterministic inputs -> identical segments).
+
+    Positions: a positional batch index keeps phrase search working across
+    compaction — the store is rebuilt from the shards' `positions` column.
+    Streaming micro-batch shards do NOT carry positions (stream_postings
+    tokenizes without them), so compacting a positional index that has
+    streamed shards appended invalidates the positions store: has_positions
+    flips to False and phrase_topk raises its explicit no-positions error
+    instead of silently serving stale positions."""
     from pyspark.sql import functions as F
 
     from .spark_util import ensure_shipped
 
     ensure_shipped(spark)
-    postings = (
-        spark.read.parquet(f"{out_dir}/postings_raw")
+    prior: dict = {}
+    stats_path = f"{out_dir}/stats.json"
+    if os.path.exists(stats_path):
+        with open(stats_path) as f:
+            prior = json.load(f)
+
+    all_postings = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{out_dir}/postings_raw")
         .filter(~F.col("token").startswith(SHA_PREFIX))
-        .select("token", "doc_id", "tf", "doc_len")
     )
+    postings = all_postings.select("token", "doc_id", "tf", "doc_len")
     stats = postings.agg(
         F.sum("tf").alias("tt"),
         F.countDistinct("doc_id").alias("n"),
         F.count("*").alias("p"),
     ).collect()[0]
     n_docs = int(stats["n"]) or 1
+    n_postings = int(stats["p"])
     avgdl = float(stats["tt"] or 0) / n_docs
-    hot = [
-        r["token"]
-        for r in postings.groupBy("token").count()
-        .orderBy(F.desc("count")).limit(hot_token_count).collect()
-    ]
-    build_segments(spark, postings, out_dir, avgdl, num_buckets, salt_mod, hot)
+    hot = _hot_tokens(postings, n_postings, hot_token_count)
+    build_segments(spark, postings, out_dir, avgdl, num_buckets, salt_mod, hot,
+                   seg_max=seg_max)
+
+    has_positions = False
+    if prior.get("has_positions") and "positions" in all_postings.columns:
+        # every shard must carry positions (a streamed shard reads as null)
+        missing = all_postings.filter(F.col("positions").isNull()).limit(1).count()
+        if missing == 0:
+            _write_positions(all_postings, out_dir, num_buckets)
+            has_positions = True
+
     seg_stats = spark.read.parquet(f"{out_dir}/segments").agg(
         F.countDistinct("token").alias("n_tokens")
     ).collect()[0]
@@ -535,12 +629,13 @@ def compact_index(spark, out_dir: str, num_buckets: int = 32,
         "n_docs": n_docs,
         "avgdl": avgdl,
         "n_tokens": int(seg_stats["n_tokens"]),
-        "n_postings": int(stats["p"]),
+        "n_postings": n_postings,
         "num_buckets": num_buckets,
+        "has_positions": has_positions,
         "hot_tokens": hot,
         "compacted": True,
     }
-    with open(f"{out_dir}/stats.json", "w") as f:
+    with open(stats_path, "w") as f:
         json.dump(out, f)
     return out
 
@@ -605,6 +700,7 @@ def build_index(
     verify_sha: bool = True,
     resume: bool = True,
     index_positions: bool = False,
+    seg_max: int = SEG_MAX,
 ) -> BuildResult:
     """Build an inverted index under out_dir.
 
@@ -736,31 +832,18 @@ def build_index(
     n_postings = sum(m["postings"] for m in manifests)
     avgdl = float(total_tokens) / n_docs
 
-    # ---- hot tokens (top-k by partial counts on a sample) ----
-    hot = [
-        r["token"]
-        for r in postings.groupBy("token").count()
-        .orderBy(F.desc("count")).limit(hot_token_count).collect()
-    ]
+    # ---- hot tokens: sampled estimate + static seed (recall-only need) ----
+    hot = _hot_tokens(postings, n_postings, hot_token_count)
     timings["stats_hot_s"] = round(time.time() - s0, 3)
     s0 = time.time()
 
-    build_segments(spark, postings, out_dir, avgdl, num_buckets, salt_mod, hot)
+    build_segments(spark, postings, out_dir, avgdl, num_buckets, salt_mod, hot,
+                   seg_max=seg_max)
     timings["posting_build_s"] = round(time.time() - s0, 3)
     s0 = time.time()
 
     if index_positions:
-        # JVM crc32 == zlib.crc32 used by the query side (_token_bucket)
-        (
-            all_postings.filter(~F.col("token").startswith(SHA_PREFIX))
-            .select("token", "doc_id", "positions")
-            .withColumn("bucket", F.pmod(F.crc32(F.encode("token", "utf-8")), F.lit(num_buckets)).cast("int"))
-            .repartition("bucket")
-            .sortWithinPartitions("token", "doc_id")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(f"{out_dir}/positions")
-        )
+        _write_positions(all_postings, out_dir, num_buckets)
         timings["positions_s"] = round(time.time() - s0, 3)
         s0 = time.time()
 

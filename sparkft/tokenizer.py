@@ -162,6 +162,22 @@ def reconstruct(
 # ---------------------------------------------------------------------------
 
 
+def _fast_path_ok(cfg: TokenizerConfig) -> bool:
+    """ASCII fast-path eligibility for a *config* (rows are further gated by
+    `fastlatin.is_fast_eligible`). The fast path hard-codes the default
+    separator set, no words_dict, lossy lowercasing, and default dispatch;
+    any config that changes those must take the scalar pipeline so the
+    documented fast/scalar parity contract holds (e.g. lossy=False keeps
+    case, allow_list=["deu"] turns on German compound splitting for Latin
+    runs — both scalar-only effects)."""
+    return (
+        cfg.separators is None
+        and cfg.words_dict is None
+        and cfg.lossy
+        and cfg.allow_list is None
+    )
+
+
 def tokenize_words_arrow(
     texts: Sequence[Optional[str]],
     cfg: TokenizerConfig = DEFAULT_CONFIG,
@@ -178,7 +194,7 @@ def tokenize_words_arrow(
 
     from . import fastlatin
 
-    default_cfg = cfg.separators is None and cfg.words_dict is None
+    default_cfg = _fast_path_ok(cfg)
     fast_rows: list[int] = []
     fast_texts: list[str] = []
     slow_rows: list[int] = []
@@ -242,7 +258,7 @@ def tokenize_batch(
     lemmas: list[str] = []
     fast_rows: list[int] = []
     fast_texts: list[str] = []
-    default_cfg = cfg.separators is None and cfg.words_dict is None
+    default_cfg = _fast_path_ok(cfg)
     for i, t in enumerate(texts):
         if t is None or not t:
             continue

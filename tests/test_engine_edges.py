@@ -28,12 +28,11 @@ def test_seg_max_part_splitting(spark, tmp_path, monkeypatch):
     from sparkft.oracle import BruteForceIndex
     from sparkft.search import IndexReader, taat_topk, wand_topk
 
-    monkeypatch.setattr(ib, "SEG_MAX", 37)
     out = str(tmp_path / "idx")
     corpus = generate_corpus(250, seed=3)
     df = spark.createDataFrame(corpus).repartition(4)
     ib.build_index(spark, df, out, num_shards=1, num_buckets=4,
-                   hot_token_count=16, salt_mod=4)
+                   hot_token_count=16, salt_mod=4, seg_max=37)
 
     seg = spark.read.parquet(f"{out}/segments")
     multi = seg.filter("part > 0").count()

@@ -1,0 +1,202 @@
+"""Round-2 fixes: allow-list script restriction, fast-path config gating,
+bounded passthrough segments, positional compaction, int32 offset guard,
+deterministic IVF centroid sampling, sampled hot-token superset."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from sparkft.config import DEFAULT_CONFIG
+from sparkft.tokenizer import tokenize_batch, tokenize_str, tokenize_words_arrow
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .appName("sparkft-round2")
+        .getOrCreate()
+    )
+    yield s
+
+
+# --- detection: allow_list restricted to same-script candidates ------------
+
+THAI = "ไกลสุดกู่"  # Thai-script run
+
+
+def _detect(text, allow_list):
+    from sparkft import _tables as T
+    from sparkft.detection import RunDetection, codepoints
+
+    sids = T.script_ids_of_codepoints(codepoints(text))
+    return RunDetection(text, sids, allow_list).detect_language()
+
+
+def test_allowlist_same_script_preferred():
+    # whatlang's allowlist filter is script-scoped: a Thai run never
+    # resolves to "deu" just because it is listed first.
+    assert _detect(THAI, ("deu", "tha")) == "tha"
+
+
+def test_allowlist_no_same_script_entry_is_none():
+    assert _detect(THAI, ("deu", "fra")) is None
+
+
+def test_allowlist_single_entry_short_circuits():
+    # charabia: a one-entry allow_list skips detection entirely (mod.rs:26-31)
+    assert _detect(THAI, ("deu",)) == "deu"
+
+
+# --- batch fast path must respect lossy / allow_list ------------------------
+
+
+def test_batch_lossy_false_keeps_case():
+    cfg = DEFAULT_CONFIG.with_(lossy=False)
+    _, lemmas = tokenize_batch(["Hello World"], cfg)
+    assert lemmas == ["Hello", "World"]
+    _, words = tokenize_words_arrow(["Hello World"], cfg)
+    assert sorted(words.to_pylist()) == ["Hello", "World"]
+
+
+def test_batch_allowlist_deu_compound_split():
+    cfg = DEFAULT_CONFIG.with_(allow_list=["deu"])
+    scalar = [t.lemma for t in tokenize_str("Literaturverzeichnis", cfg)
+              if t.lemma.strip()]
+    assert scalar == ["literatur", "verzeichnis"]
+    _, lemmas = tokenize_batch(["Literaturverzeichnis"], cfg)
+    assert lemmas == scalar
+    _, words = tokenize_words_arrow(["Literaturverzeichnis"], cfg)
+    assert sorted(words.to_pylist()) == sorted(scalar)
+
+
+# --- merge phase: non-hot giant tokens still produce bounded parts ----------
+
+
+def test_passthrough_giant_token_split(spark, tmp_path):
+    from sparkft import codec
+    from sparkft.index_build import build_segments
+
+    rows = []
+    # "zzgiant" appears in 25 docs (> seg_max=8) but is NOT in the hot list
+    for d in range(25):
+        rows.append(("zzgiant", d + 1, 1, 10))
+    for d in range(3):
+        rows.append(("small", d + 1, 2, 10))
+    postings = spark.createDataFrame(
+        rows, "token string, doc_id long, tf long, doc_len long"
+    )
+    out = str(tmp_path / "idx")
+    build_segments(spark, postings, out, avgdl=10.0, num_buckets=4,
+                   salt_mod=4, hot=[], seg_max=8)
+    seg = spark.read.parquet(f"{out}/segments").filter("token = 'zzgiant'") \
+        .orderBy("part").collect()
+    assert len(seg) == 4  # ceil(25/8)
+    total = 0
+    for r in seg:
+        assert r["df"] == 25  # df column carries the token's total df
+        ids, _tfs, _lens = codec.decode_posting_list(
+            r["doc_gaps"], r["tfs"], r["lens"]
+        )
+        assert len(ids) <= 8
+        total += len(ids)
+    assert total == 25
+    small = spark.read.parquet(f"{out}/segments").filter("token = 'small'").collect()
+    assert len(small) == 1 and small[0]["part"] == 0
+
+
+# --- compaction preserves / invalidates the positions store -----------------
+
+
+@pytest.fixture(scope="module")
+def pos_corpus():
+    from sparkft.corpus import generate_corpus
+
+    return generate_corpus(60, seed=11)
+
+
+def test_compact_preserves_positions(spark, pos_corpus, tmp_path):
+    from sparkft.index_build import build_index, compact_index
+    from sparkft.search import IndexReader, phrase_topk
+
+    out = str(tmp_path / "pidx")
+    df = spark.createDataFrame(pos_corpus).repartition(2)
+    build_index(spark, df, out, num_shards=2, num_buckets=4,
+                index_positions=True)
+    before = phrase_topk(IndexReader(spark, out), "parse config", k=5)
+    res = compact_index(spark, out, num_buckets=4)
+    assert res["has_positions"] is True
+    after = phrase_topk(IndexReader(spark, out), "parse config", k=5)
+    assert after == before
+
+
+def test_compact_invalidates_positions_with_stream_shards(
+    spark, pos_corpus, tmp_path
+):
+    from sparkft.index_build import build_index, compact_index
+    from sparkft.search import IndexReader, phrase_topk
+
+    out = str(tmp_path / "pidx2")
+    df = spark.createDataFrame(pos_corpus).repartition(2)
+    build_index(spark, df, out, num_shards=2, num_buckets=4,
+                index_positions=True)
+    # append a streaming-style shard (no positions column)
+    shard = spark.createDataFrame(
+        [("streamtok", 999999, 1, 1)],
+        "token string, doc_id long, tf long, doc_len long",
+    )
+    shard.write.mode("overwrite").parquet(f"{out}/postings_raw/shard=stream-0")
+    res = compact_index(spark, out, num_buckets=4)
+    assert res["has_positions"] is False
+    with open(f"{out}/stats.json") as f:
+        assert json.load(f)["has_positions"] is False
+    with pytest.raises(ValueError, match="positions"):
+        phrase_topk(IndexReader(spark, out), "parse config", k=5)
+
+
+# --- int32 Arrow offset guard ------------------------------------------------
+
+
+def test_offset_overflow_raises():
+    from sparkft.index_build import _binary_from_offsets, _list_from_offsets
+
+    offsets = np.array([0, 2**31 + 5], dtype=np.int64)
+    with pytest.raises(ValueError, match="int32"):
+        _binary_from_offsets(b"", offsets)
+    with pytest.raises(ValueError, match="int32"):
+        _list_from_offsets(np.zeros(1), offsets, "float64")
+
+
+# --- IVF centroid sampling: content-deterministic under repartitioning ------
+
+
+def test_ivf_centroids_stable_under_repartitioning(spark):
+    from sparkft.ann import ivf_build
+
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.normal(size=8).tolist()) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    _, c1 = ivf_build(spark, df.repartition(3), n_centroids=4, iters=3)
+    _, c2 = ivf_build(spark, df.repartition(7), n_centroids=4, iters=3)
+    np.testing.assert_allclose(c1, c2)
+
+
+# --- sampled hot tokens: seed list always included ---------------------------
+
+
+def test_hot_tokens_include_seed(spark):
+    from sparkft.index_build import HOT_SEED_TOKENS, _hot_tokens
+
+    postings = spark.createDataFrame(
+        [("alpha", 1, 1, 5), ("alpha", 2, 1, 5), ("beta", 1, 1, 5)],
+        "token string, doc_id long, tf long, doc_len long",
+    )
+    hot = _hot_tokens(postings, 3, hot_token_count=1)
+    assert "alpha" in hot
+    assert set(HOT_SEED_TOKENS) <= set(hot)
