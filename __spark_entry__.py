@@ -31,10 +31,12 @@ from sparkft import dedup as D
 BM25_QUERY_TERMS = ["merge", "sort", "table"]
 K1, B = 1.2, 0.75
 
-# minhash permutation constants (shared with the SQL oracle)
-MINHASH_AB = [(2971, 577), (2939, 1103), (2767, 1409), (2719, 1931)]
-MINHASH_P = 2147483647
-SIMHASH_BITS = 16
+# minhash/simhash constants shared with the SQL oracles (single source of
+# truth in sparkft.dedup: 16 perms banded 4x4, 64-bit simhash in two halves)
+MINHASH_AB = D.MINHASH_AB
+MINHASH_P = D.MINHASH_P
+SIMHASH_BITS = D.SIMHASH_BITS
+LSH_BANDS, LSH_ROWS = D.LSH_BANDS, D.LSH_ROWS
 
 _TOKENIZE_FN = make_tokenize_arrow_fn(DEFAULT_CONFIG, "text", emit_sha=False)
 
@@ -275,30 +277,49 @@ def _lsh_band_buckets(spark, sf_dir):
     return D.lsh_buckets(D.minhash_signatures(_shingles(spark, sf_dir)))
 
 
-def _lsh_sql(sf: str) -> str:
+def _band_sql_expr(j: int) -> str:
+    expr = f"mh{j * LSH_ROWS}"
+    for r in range(1, LSH_ROWS):
+        expr = f"({expr} * 31 + mh{j * LSH_ROWS + r})"
+    return f"'{j}:' || ({expr} % 1000003)"
+
+
+def _bands_sql(sf: str) -> str:
     mh = _minhash_sql(sf)
+    selects = " UNION ALL ".join(
+        f"SELECT doc_id, {_band_sql_expr(j)} AS bucket FROM mh"
+        for j in range(LSH_BANDS)
+    )
+    return f"WITH mh AS ({mh}), bands AS ({selects})"
+
+
+def _lsh_sql(sf: str) -> str:
     return f"""
-WITH mh AS ({mh}),
-bands AS (
-  SELECT doc_id, '0:' || ((mh0 * 31 + mh1) % 1000003) AS bucket FROM mh
-  UNION ALL
-  SELECT doc_id, '1:' || ((mh2 * 31 + mh3) % 1000003) AS bucket FROM mh)
+{_bands_sql(sf)}
 SELECT bucket, count(*) AS cnt FROM bands GROUP BY bucket HAVING count(*) > 1
 """
 
 
 def _ngram_jaccard_pairs(spark, sf_dir):
-    return D.jaccard_pairs(_shingles(spark, sf_dir).cache(), threshold=0.1)
+    # the production plan: LSH banding -> candidate pairs -> exact verify
+    # (no all-pairs shingle self-join anywhere in the plan)
+    return D.jaccard_pairs_lsh(_shingles(spark, sf_dir), threshold=0.1)
 
 
 def _jaccard_sql(sf: str) -> str:
     return f"""
-WITH sh AS ({_SQL_SHINGLES}),
+{_bands_sql(sf)},
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+sh AS ({_SQL_SHINGLES}),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (
-  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id)
+  SELECT c.d1, c.d2, count(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.d1
+  JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+  GROUP BY c.d1, c.d2)
 SELECT d1, d2, round(i * 1.0 / (s1.sz + s2.sz - i), 4) AS jac
 FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
 WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.1
@@ -310,18 +331,26 @@ def _simhash(spark, sf_dir):
 
 
 def _simhash_sql(sf: str) -> str:
-    h = _H32_SQL.format(c="token")
+    half = SIMHASH_BITS // 2
+    h_lo = _H32_SQL.format(c="token")
+    h_hi = _H32_SQL.format(c="token || '#2'")
     sums = ", ".join(
-        f"sum(CASE WHEN ({h} % {1 << (j + 1)}) >= {1 << j} THEN tf ELSE -tf END) AS s{j}"
+        f"sum(CASE WHEN ({h_lo if j < half else h_hi} % {1 << (j % half + 1)})"
+        f" >= {1 << (j % half)} THEN tf ELSE -tf END) AS s{j}"
         for j in range(SIMHASH_BITS)
     )
-    bits = " + ".join(
-        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    lo_bits = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(half)
+    )
+    hi_bits = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << (j - half)} ELSE 0 END)"
+        for j in range(half, SIMHASH_BITS)
     )
     return f"""
 WITH postings AS ({_SQL_POSTINGS}),
 sums AS (SELECT doc_id, {sums} FROM postings GROUP BY doc_id)
-SELECT doc_id, ({bits})::BIGINT AS simhash FROM sums
+SELECT doc_id, ({lo_bits})::BIGINT AS simhash_lo, ({hi_bits})::BIGINT AS simhash_hi
+FROM sums
 """
 
 

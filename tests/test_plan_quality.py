@@ -101,3 +101,25 @@ def test_tokenize_stage_reads_only_needed_columns(spark):
     rs = plan.split("ReadSchema:", 1)[1].splitlines()[0]
     assert "text" in rs and "doc_id" in rs
     assert "n_chars" not in rs and "source" not in rs
+
+
+def test_jaccard_lsh_candidate_gated(spark):
+    """The near-dup verify plan must never contain an all-pairs shingle
+    self-join: every join touching `shingle` must also key on a doc pair
+    column (the LSH candidate gate)."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["ngram_jaccard_pairs"](spark, SF)
+    plan = plan_of(df)
+    assert "bucket" in plan  # banding stage present
+    for line in plan.splitlines():
+        if "Join" in line and "shingle" in line:
+            assert ("d1" in line) or ("d2" in line) or ("doc_id" in line), line
+
+
+def test_bm25_demo_not_cached(spark):
+    import __spark_entry__ as entry
+
+    df = entry.queries()["bm25_topk"](spark, SF)
+    plan = plan_of(df)
+    assert "InMemoryRelation" not in plan and "InMemoryTableScan" not in plan

@@ -200,3 +200,52 @@ def test_hot_tokens_include_seed(spark):
     hot = _hot_tokens(postings, 3, hot_token_count=1)
     assert "alpha" in hot
     assert set(HOT_SEED_TOKENS) <= set(hot)
+
+
+# --- LSH-gated Jaccard: subset of exact all-pairs, full recall up high ------
+
+
+def test_jaccard_lsh_recall(spark):
+    import __spark_entry__ as entry
+    from sparkft import dedup as D
+
+    sh = entry._shingles(spark, "/root/testdata/sf0.001")
+    exact = {(r["d1"], r["d2"]): r["jac"]
+             for r in D.jaccard_pairs(sh, threshold=0.1).collect()}
+    lsh = {(r["d1"], r["d2"]): r["jac"]
+           for r in D.jaccard_pairs_lsh(sh, threshold=0.1).collect()}
+    assert set(lsh) <= set(exact)
+    for pair, jac in lsh.items():
+        assert jac == exact[pair]
+    # at 4x4 banding, candidate recall at jac >= 0.6 is ~0.97; this corpus's
+    # near-dup pairs are far above the threshold — assert full recall there
+    high = {p for p, j in exact.items() if j >= 0.6}
+    assert high <= set(lsh)
+
+
+def test_simhash_halves_and_hamming(spark):
+    from pyspark.sql import functions as F
+
+    from sparkft import dedup as D
+
+    postings = spark.createDataFrame(
+        [(1, "alpha", 3), (1, "beta", 1), (2, "alpha", 3), (2, "beta", 1),
+         (3, "gamma", 2), (3, "delta", 5)],
+        "doc_id long, token string, tf long",
+    )
+    sim = D.simhash(postings)
+    rows = {r["doc_id"]: (r["simhash_lo"], r["simhash_hi"]) for r in sim.collect()}
+    assert rows[1] == rows[2]  # identical token-weight profile
+    assert all(0 <= v < 2**32 for pair in rows.values() for v in pair)
+    a = sim.filter(F.col("doc_id") == 1).select(
+        F.col("simhash_lo").alias("a_lo"), F.col("simhash_hi").alias("a_hi")
+    )
+    b = sim.filter(F.col("doc_id") == 3).select(
+        F.col("simhash_lo").alias("b_lo"), F.col("simhash_hi").alias("b_hi")
+    )
+    d = a.crossJoin(b).select(
+        D.simhash_hamming(
+            F.col("a_lo"), F.col("a_hi"), F.col("b_lo"), F.col("b_hi")
+        ).alias("ham")
+    ).collect()[0]["ham"]
+    assert 0 < d <= 64
