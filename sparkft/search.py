@@ -26,7 +26,7 @@ import numpy as np
 
 from . import codec, scoring
 from .config import DEFAULT_CONFIG, TokenizerConfig
-from .index_build import _token_bucket, u64_to_i64
+from .index_build import _token_bucket, i64_to_u64, u64_to_i64
 
 
 class IndexReader:
@@ -58,10 +58,9 @@ class IndexReader:
         _, lemmas = tokenize_batch([query], cfg, words_only=True)
         return sorted({t for t in lemmas if t})
 
-    def load_postings(self, terms: list[str]):
-        """Read + decode posting lists for `terms`.
-
-        Returns {term: (doc_ids u64, tfs, lens, df, block_max, block_last)}."""
+    def load_segment_rows(self, terms: list[str]) -> dict:
+        """Raw segment rows (compressed blobs + block metadata) for `terms`,
+        grouped by token and sorted by part. No decoding happens here."""
         if not terms:
             return {}
         import pyarrow.dataset as ds
@@ -76,9 +75,17 @@ class IndexReader:
         by_tok: dict = {}
         for r in tbl.to_pylist():
             by_tok.setdefault(r["token"], []).append(r)
-        out = {}
-        for tok, parts in by_tok.items():
+        for parts in by_tok.values():
             parts.sort(key=lambda r: r["part"])
+        return by_tok
+
+    def load_postings(self, terms: list[str]):
+        """Read + decode posting lists for `terms` (eager; the TAAT scorer
+        touches every posting anyway).
+
+        Returns {term: (doc_ids u64, tfs, lens, df, block_max, block_last)}."""
+        out = {}
+        for tok, parts in self.load_segment_rows(terms).items():
             ids = np.concatenate(
                 [codec.delta_decode(codec.decode_varints(p["doc_gaps"])) for p in parts]
             )
@@ -90,6 +97,140 @@ class IndexReader:
             )
             out[tok] = (ids, tfs, lens_, int(parts[0]["df"]), bmax, blast)
         return out
+
+
+def _varint_ends(blob: bytes) -> np.ndarray:
+    """Byte index of each LEB128 terminator (one vectorized scan, no value
+    decode): value i occupies bytes (ends[i-1]+1 .. ends[i])."""
+    if not blob:
+        return np.empty(0, dtype=np.int64)
+    b = np.frombuffer(blob, dtype=np.uint8)
+    return np.flatnonzero((b & 0x80) == 0)
+
+
+class LazyPostingList:
+    """Block-lazy posting cursor for WAND.
+
+    Holds the compressed varint blobs plus per-value byte offsets (from one
+    terminator scan) and the per-128-posting block metadata; a block's
+    doc_ids/tfs/lens are decoded only when the cursor actually enters it.
+    Delta chains reset per segment row, and each block's first gap is
+    anchored by the previous block's `block_last`, so any block decodes
+    independently: skip pointers (block_last) move the cursor without
+    touching skipped bytes. This makes WAND's decode work proportional to
+    the blocks it visits, not the term's df — the difference between a
+    bounded and a multi-GB driver footprint for a hot code token at scale.
+    """
+
+    __slots__ = (
+        "term", "df", "ub", "block_ub", "block_last", "nblocks",
+        "_parts", "_bpart", "_bv0", "_bv1", "_blocal",
+        "block", "off", "_cache", "decoded_blocks",
+    )
+
+    def __init__(self, term: str, parts: list[dict], idf_t: float):
+        self.term = term
+        self.df = int(parts[0]["df"])
+        bubs, blasts = [], []
+        self._parts = []
+        bpart, bv0, bv1, blocal = [], [], [], []
+        for pi, p in enumerate(parts):
+            ends_g = _varint_ends(p["doc_gaps"])
+            ends_t = _varint_ends(p["tfs"])
+            ends_l = _varint_ends(p["lens"])
+            n = len(ends_g)
+            self._parts.append((p["doc_gaps"], p["tfs"], p["lens"],
+                                ends_g, ends_t, ends_l))
+            nb = (n + codec.BLOCK - 1) // codec.BLOCK
+            for lb in range(nb):
+                bpart.append(pi)
+                bv0.append(lb * codec.BLOCK)
+                bv1.append(min((lb + 1) * codec.BLOCK, n))
+                blocal.append(lb)
+            bubs.append(idf_t * np.asarray(p["block_max"], dtype=np.float64))
+            blasts.append(np.asarray(p["block_last"], dtype=np.int64))
+        self.block_ub = np.concatenate(bubs)
+        self.block_last = np.concatenate(blasts)
+        self.nblocks = len(self.block_last)
+        self._bpart = bpart
+        self._bv0 = bv0
+        self._bv1 = bv1
+        self._blocal = blocal
+        self.ub = float(self.block_ub.max()) if self.nblocks else 0.0
+        self.block = 0
+        self.off = 0
+        self._cache: dict[int, tuple] = {}
+        self.decoded_blocks = 0
+
+    def _decode(self, b: int) -> tuple:
+        got = self._cache.get(b)
+        if got is not None:
+            return got
+        gaps_b, tfs_b, lens_b, ends_g, ends_t, ends_l = self._parts[self._bpart[b]]
+        v0, v1 = self._bv0[b], self._bv1[b]
+
+        def _slice(blob, ends):
+            s = 0 if v0 == 0 else int(ends[v0 - 1]) + 1
+            return blob[s: int(ends[v1 - 1]) + 1]
+
+        gaps = codec.decode_varints(_slice(gaps_b, ends_g))
+        ids_u = np.cumsum(gaps, dtype=np.uint64)
+        if self._blocal[b] > 0:
+            # anchor: last doc of the previous block in the same row
+            ids_u += i64_to_u64(self.block_last[b - 1: b])[0]
+        got = (
+            u64_to_i64(ids_u),
+            codec.decode_varints(_slice(tfs_b, ends_t)),
+            codec.decode_varints(_slice(lens_b, ends_l)),
+        )
+        self._cache[b] = got
+        self.decoded_blocks += 1
+        return got
+
+    def exhausted(self) -> bool:
+        return self.block >= self.nblocks
+
+    def cur_doc(self) -> int:
+        ids, _, _ = self._decode(self.block)
+        return int(ids[self.off])
+
+    def advance(self) -> None:
+        """One position forward."""
+        self.off += 1
+        if self.off >= self._bv1[self.block] - self._bv0[self.block]:
+            self.block += 1
+            self.off = 0
+
+    def seek(self, target: int) -> None:
+        """Position at the first doc >= target (skip-pointer move: only the
+        landing block is decoded)."""
+        nb = self.block + int(
+            np.searchsorted(self.block_last[self.block:], target, side="left")
+        )
+        if nb >= self.nblocks:
+            self.block = self.nblocks
+            self.off = 0
+            return
+        ids, _, _ = self._decode(nb)
+        off = int(np.searchsorted(ids, target, side="left"))
+        if nb == self.block:
+            off = max(off, self.off)
+        self.block, self.off = nb, off
+        if off >= len(ids):  # target past this block's last id (can't happen
+            self.block += 1  # for block_last-guided seeks; defensive)
+            self.off = 0
+
+    def score_of(self, doc: int, N: int, avgdl: float) -> float:
+        """BM25 contribution of `doc` in this list (0 if absent); decodes
+        only the single candidate block, does not move the cursor."""
+        b = int(np.searchsorted(self.block_last, doc, side="left"))
+        if b >= self.nblocks:
+            return 0.0
+        ids, tfs, lens_ = self._decode(b)
+        p = int(np.searchsorted(ids, doc))
+        if p < len(ids) and int(ids[p]) == doc:
+            return float(scoring.bm25(tfs[p], lens_[p], self.df, N, avgdl))
+        return 0.0
 
 
 def taat_topk(reader: IndexReader, query: str, k: int = 10,
@@ -113,62 +254,59 @@ def taat_topk(reader: IndexReader, query: str, k: int = 10,
 
 
 def wand_topk(reader: IndexReader, query: str, k: int = 10,
-              cfg: TokenizerConfig = DEFAULT_CONFIG) -> list[tuple[int, float]]:
-    """Block-max WAND over the decoded lists.
+              cfg: TokenizerConfig = DEFAULT_CONFIG,
+              stats: Optional[dict] = None) -> list[tuple[int, float]]:
+    """Block-max WAND over block-lazy posting cursors.
 
     Conservative comparisons (>= / <) keep the result set exactly equal to
     `taat_topk` even under float ties (asserted in tests). Skipped pivots are
     provably unable to enter the top-k: lists beyond the pivot have current
     doc > pivot_doc, so the candidate's true score is bounded by the summed
     block maxima of the prefix lists.
+
+    Decode is lazy per 128-posting block (`LazyPostingList`): pivot selection
+    and block upper bounds use only the block metadata; varint bytes are
+    decoded when a cursor lands in a block. Pass a dict as `stats` to receive
+    {"blocks_decoded", "blocks_total"}.
     """
     terms = reader.query_terms(query, cfg)
-    postings = reader.load_postings(terms)
-    if not postings:
+    rows = reader.load_segment_rows(terms)
+    if not rows:
         return []
     N, avgdl = reader.N, reader.avgdl
-    sorted_terms = sorted(postings)
-    lists = []
-    for term in sorted_terms:
-        ids, tfs, lens_, df, bmax, blast = postings[term]
-        idf_t = float(scoring.idf(N, df))
-        block_ub = idf_t * bmax
-        lists.append({
-            "ids": u64_to_i64(ids), "tfs": tfs, "lens": lens_, "df": df,
-            "pos": 0, "ub": float(block_ub.max()) if len(block_ub) else 0.0,
-            "block_ub": block_ub, "block_last": blast,
-        })
-    lists = [li for li in lists if len(li["ids"])]
+    lists = [
+        LazyPostingList(term, parts, float(scoring.idf(N, int(parts[0]["df"]))))
+        for term, parts in sorted(rows.items())  # sorted-term order
+    ]
+    lists = [li for li in lists if li.nblocks]
     if not lists:
         return []
 
     def full_score(doc: int) -> float:
         sc = 0.0
         for li in lists:  # lists are in sorted-term order -> deterministic sum
-            p = int(np.searchsorted(li["ids"], doc))
-            if p < len(li["ids"]) and li["ids"][p] == doc:
-                sc += float(scoring.bm25(li["tfs"][p], li["lens"][p], li["df"], N, avgdl))
+            sc += li.score_of(doc, N, avgdl)
         return sc
 
     heap: list[tuple[float, int]] = []  # min-heap of (score, -doc_id)
     threshold = -np.inf
 
     while True:
-        live = [li for li in lists if li["pos"] < len(li["ids"])]
+        live = [li for li in lists if not li.exhausted()]
         if not live:
             break
-        live.sort(key=lambda li: int(li["ids"][li["pos"]]))
+        live.sort(key=lambda li: li.cur_doc())
         pivot_idx = None
         ub_sum = 0.0
         for i, li in enumerate(live):
-            ub_sum += li["ub"]
+            ub_sum += li.ub
             if len(heap) < k or ub_sum >= threshold:
                 pivot_idx = i
                 break
         if pivot_idx is None:
             break
-        pivot_doc = int(live[pivot_idx]["ids"][live[pivot_idx]["pos"]])
-        if int(live[0]["ids"][live[0]["pos"]]) == pivot_doc:
+        pivot_doc = live[pivot_idx].cur_doc()
+        if live[0].cur_doc() == pivot_doc:
             skip = False
             if len(heap) >= k:
                 # bound over every list currently positioned at pivot_doc
@@ -176,11 +314,11 @@ def wand_topk(reader: IndexReader, query: str, k: int = 10,
                 # full set that can contribute to this doc's score
                 bub = 0.0
                 for li in live:
-                    if int(li["ids"][li["pos"]]) != pivot_doc:
+                    if li.cur_doc() != pivot_doc:
                         break  # sorted ascending: equals are a prefix
-                    bi = int(np.searchsorted(li["block_last"], pivot_doc, side="left"))
-                    bi = min(bi, len(li["block_ub"]) - 1)
-                    bub += float(li["block_ub"][bi])
+                    bi = int(np.searchsorted(li.block_last, pivot_doc, side="left"))
+                    bi = min(bi, li.nblocks - 1)
+                    bub += float(li.block_ub[bi])
                 skip = bub < threshold
             if not skip:
                 sc = full_score(pivot_doc)
@@ -192,12 +330,15 @@ def wand_topk(reader: IndexReader, query: str, k: int = 10,
                 if len(heap) >= k:
                     threshold = heap[0][0]
             for li in live:
-                if int(li["ids"][li["pos"]]) == pivot_doc:
-                    li["pos"] += 1
+                if not li.exhausted() and li.cur_doc() == pivot_doc:
+                    li.advance()
         else:
             for li in live[:pivot_idx]:
-                li["pos"] = int(np.searchsorted(li["ids"], pivot_doc, side="left"))
+                li.seek(pivot_doc)
 
+    if stats is not None:
+        stats["blocks_decoded"] = sum(li.decoded_blocks for li in lists)
+        stats["blocks_total"] = sum(li.nblocks for li in lists)
     out = sorted(heap, key=lambda it: (-it[0], -it[1]))
     return [(-d, s) for s, d in out]
 

@@ -123,3 +123,30 @@ def test_sha_invariant_enforced(spark, corpus, index):
 
     stats = json.load(open(f"{out}/stats.json"))
     assert stats["n_docs"] == len(corpus)
+
+
+def test_wand_block_decode_is_lazy(spark, tmp_path):
+    """WAND must not decode every block. Skewed corpus: 'common' appears in
+    all 3000 docs (~24 blocks), 'zzrare' in 3. For 'zzrare common' with k=3
+    the heap fills with rare+common docs, the common list's upper bound
+    falls below the threshold, and the skip pointers (block_last) leap the
+    common cursor over whole undecoded blocks."""
+    rows = []
+    for i in range(3000):
+        # explicit doc_ids cluster the rare docs at the head of the sorted
+        # posting list, so the common list's tail blocks are never entered
+        extra = " zzrare" if i < 30 else ""
+        rows.append(
+            {"doc_id": i, "repo": "r", "path": f"f{i}.txt", "commit": "c",
+             "content": f"common filler{i % 97} text{extra}"}
+        )
+    out = str(tmp_path / "lazyidx")
+    df = spark.createDataFrame(rows).repartition(4)
+    build_index(spark, df, out, num_shards=1, num_buckets=4,
+                doc_id_col="doc_id", verify_sha=False)
+    reader = IndexReader(spark, out)
+    stats: dict = {}
+    got = wand_topk(reader, "zzrare common", 3, stats=stats)
+    assert got == taat_topk(reader, "zzrare common", 3)
+    assert stats["blocks_total"] >= 20
+    assert stats["blocks_decoded"] < stats["blocks_total"] // 2, stats
