@@ -537,6 +537,144 @@ FROM events GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# CJK tokenization through the engine's vectorized stage (S2/S3/S4 active by
+# default). The oracle is a golden snapshot — the reference validates CJK the
+# same way (charabia/src/segmenter/{chinese,japanese,korean}.rs fixture
+# constants); SQL cannot re-derive dictionary segmentation.
+# ---------------------------------------------------------------------------
+
+CJK_DOCS = [
+    (1, "人人生而自由﹐在尊嚴和權利上一律平等。他們賦有理性和良心﹐並應以兄弟"
+        "關係的精神互相對待。人民的意志是政府权力的基础，这一意志应以定期的和"
+        "真正的选举予以表现。夏天，像是哼着小曲的少年，恶作剧般在大地上洒满每"
+        "一种灿烂的颜色。 123 456。"),
+    (2, "関西国際空港限定トートバッグ すもももももももものうち 123 456"),
+    (3, "한국어의형태해석을실시할수있습니다 123 456."),
+    (4, "mixed code with 中文注释 and カタカナ idents plus 한국어 strings"),
+]
+
+# golden (doc_id, token, tf) — byte-exact output of the default pipeline,
+# cross-checked against the reference fixtures in tests/test_segmenter_fixtures.py
+CJK_GOLDEN = [
+    (1, "123", 1),
+    (1, "456", 1),
+    (1, "\u4e00", 1),
+    (1, "\u4e00\u5f8b", 1),
+    (1, "\u4e00\u79cd", 1),
+    (1, "\u4e0a", 1),
+    (1, "\u4e26", 1),
+    (1, "\u4e88\u4ee5", 1),
+    (1, "\u4e92\u76f8", 1),
+    (1, "\u4eba\u4eba", 1),
+    (1, "\u4eba\u6c11", 1),
+    (1, "\u4ed6", 1),
+    (1, "\u4ee5", 2),
+    (1, "\u4fc2", 1),
+    (1, "\u5011", 1),
+    (1, "\u50cf\u662f", 1),
+    (1, "\u5144\u5f1f", 1),
+    (1, "\u5229", 1),
+    (1, "\u548c", 3),
+    (1, "\u54fc", 1),
+    (1, "\u56b4", 1),
+    (1, "\u5728", 2),
+    (1, "\u5730\u4e0a", 1),
+    (1, "\u57fa\u790e", 1),
+    (1, "\u590f\u5929", 1),
+    (1, "\u5927", 1),
+    (1, "\u5b9a\u671f", 1),
+    (1, "\u5c0a", 1),
+    (1, "\u5c0d", 1),
+    (1, "\u5c0f\u66f2", 1),
+    (1, "\u5c11\u5e74", 1),
+    (1, "\u5e73\u7b49", 1),
+    (1, "\u5f85", 1),
+    (1, "\u60e1\u4f5c\u5287", 1),
+    (1, "\u610f\u5fd7", 2),
+    (1, "\u61c9", 2),
+    (1, "\u653f\u5e9c", 1),
+    (1, "\u662f", 1),
+    (1, "\u6709", 1),
+    (1, "\u6743\u529b", 1),
+    (1, "\u6b0a", 1),
+    (1, "\u6bcf", 1),
+    (1, "\u6d12\u6eff", 1),
+    (1, "\u707f\u721b", 1),
+    (1, "\u7406\u6027", 1),
+    (1, "\u751f", 1),
+    (1, "\u7684", 7),
+    (1, "\u771e\u6b63", 1),
+    (1, "\u7740", 1),
+    (1, "\u7cbe\u795e", 1),
+    (1, "\u800c", 1),
+    (1, "\u81ea\u7531", 1),
+    (1, "\u822c", 1),
+    (1, "\u826f\u5fc3", 1),
+    (1, "\u8868\u73fe", 1),
+    (1, "\u8ce6", 1),
+    (1, "\u8fd9", 1),
+    (1, "\u9078\u8209", 1),
+    (1, "\u95dc", 1),
+    (1, "\u984f\u8272", 1),
+    (2, "123", 1),
+    (2, "456", 1),
+    (2, "\u3046\u3061", 1),
+    (2, "\u3059\u3082\u3082", 1),
+    (2, "\u3068\u3046\u3068", 1),
+    (2, "\u306e", 1),
+    (2, "\u306f\u3099\u3063\u304f\u3099", 1),
+    (2, "\u3082", 2),
+    (2, "\u3082\u3082", 2),
+    (2, "\u56fd\u969b", 1),
+    (2, "\u7a7a\u6e2f", 1),
+    (2, "\u95a2\u897f", 1),
+    (2, "\u9650\u5b9a", 1),
+    (3, "123", 1),
+    (3, "456", 1),
+    (3, "\u1109\u116e", 1),
+    (3, "\u1109\u1173\u11b8\u1102\u1175\u1103\u1161", 1),
+    (3, "\u1109\u1175\u11af\u1109\u1175", 1),
+    (3, "\u110b\u1173\u11af", 1),
+    (3, "\u110b\u1174", 1),
+    (3, "\u110b\u1175\u11bb", 1),
+    (3, "\u1112\u1161\u11ab\u1100\u116e\u11a8\u110b\u1165", 1),
+    (3, "\u1112\u1161\u11af", 1),
+    (3, "\u1112\u1162\u1109\u1165\u11a8", 1),
+    (3, "\u1112\u1167\u11bc\u1110\u1162", 1),
+    (4, "and", 1),
+    (4, "code", 1),
+    (4, "idents", 1),
+    (4, "mixed", 1),
+    (4, "plus", 1),
+    (4, "strings", 1),
+    (4, "with", 1),
+    (4, "\u1112\u1161\u11ab\u1100\u116e\u11a8\u110b\u1165", 1),
+    (4, "\u304b\u305f\u304b\u306a", 1),
+    (4, "\u4e2d", 1),
+    (4, "\u6587", 1),
+    (4, "\u6ce8", 1),
+    (4, "\u91cb", 1),
+]
+
+
+def _cjk_tokenize(spark, sf_dir):
+    df = spark.createDataFrame(CJK_DOCS, "doc_id long, text string")
+    return (
+        df.mapInArrow(_TOKENIZE_FN, POSTINGS_SCHEMA)
+        .select("doc_id", "token", "tf")
+    )
+
+
+def _cjk_sql(sf: str) -> str:
+    vals = ", ".join(
+        f"({d}, '{t}', {tf})" for d, t, tf in CJK_GOLDEN
+    )
+    return (
+        f"SELECT * FROM (VALUES {vals}) AS g(doc_id, token, tf)"
+    )
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -563,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": _top_customers,
         "orders_window_rank": _orders_window_rank,
         "events_hourly": _events_hourly,
+        "cjk_tokenize": _cjk_tokenize,
     }
 
 
@@ -588,4 +727,5 @@ def oracle_sql() -> dict[str, str]:
         "top_customers": _TOPCUST_SQL,
         "orders_window_rank": _WINDOW_SQL,
         "events_hourly": _EVENTS_SQL,
+        "cjk_tokenize": _cjk_sql(""),
     }

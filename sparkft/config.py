@@ -4,16 +4,20 @@ Mirrors charabia's `TokenizerBuilder` surface (reference:
 charabia/src/tokenizer.rs:217-338) plus cargo feature flags
 (charabia/Cargo.toml:32-89) exposed as booleans.
 
-Engine defaults mirror charabia's *default* feature set with two deliberate
-deviations, both documented in SURVEY.md §7.0:
+Engine defaults mirror charabia's *default* feature set with one deliberate
+deviation, documented in SURVEY.md §7.0:
 
 - ``latin_camelcase`` defaults to **True** (the crate default is off, but
   Meilisearch enables it and the north-star corpus is source code).
-- ``japanese_segmentation`` / ``korean_segmentation`` default to **False``:
-  faithful lindera (UniDic/KoDic) Viterbi morphology is not reproducible
-  without those dictionaries; disabling the feature follows charabia's own
-  feature-gated behavior (Cj/Jpn and Hangul runs then fall back per the
-  dispatch rules in charabia/src/segmenter/mod.rs:280-301).
+
+CJK segmentation is ON by default, matching the reference's default feature
+set (Cargo.toml:33-45): Chinese via the jieba-style DAG over the shipped
+frequency dictionary (data/chinese_words.txt), Japanese and Korean via the
+MeCab-style lattice over shipped compact UniDic/KoDic-style lexicons
+(data/japanese_lexicon.tsv, data/korean_lexicon.tsv). The chinese.rs /
+japanese.rs / korean.rs golden fixtures pass against these dictionaries
+(tests/test_segmenter_fixtures.py); larger dictionaries drop in with the
+same file formats.
 """
 
 from __future__ import annotations
@@ -28,9 +32,9 @@ class TokenizerConfig:
     latin_camelcase: bool = True  # deviation: crate default off, Meilisearch on
     chinese_segmentation: bool = True
     chinese_normalization: bool = True  # kVariants folding
-    japanese_segmentation: bool = False  # deviation: needs UniDic
+    japanese_segmentation: bool = True  # lattice + shipped compact lexicon
     japanese_transliteration: bool = True  # katakana -> hiragana
-    korean_segmentation: bool = False  # deviation: needs KoDic
+    korean_segmentation: bool = True  # lattice + shipped compact lexicon
     thai: bool = True
     khmer: bool = True  # word list recovered from the reference FST
     german_segmentation: bool = True

@@ -206,7 +206,38 @@ def _kana_table() -> dict[int, str]:
 
 
 def _has_katakana(s: str) -> bool:
-    return any(0x30A1 <= ord(c) <= 0x30FE for c in s)
+    return any(0x30A1 <= ord(c) <= 0x30FE or ord(c) == 0x30FC for c in s)
+
+
+# prolonged-sound-mark extension per preceding hiragana vowel row
+# (wana_kana katakana_to_hiragana LONG_VOWELS: a/i/u/e/o -> あ/い/う/い/う)
+_KANA_LONG: dict[str, str] = {}
+for _chars, _ext in [
+    ("ぁあかがさざただなはばぱまゃやらわ", "あ"),
+    ("ぃいきぎしじちぢにひびぴみりゐ", "い"),
+    ("ぅうくぐすずっつづぬふぶぷむゅゆるゔ", "う"),
+    ("ぇえけげせぜてでねへべぺめれゑ", "い"),
+    ("ぉおこごそぞとどのほぼぽもょよろを", "う"),
+]:
+    for _c in _chars:
+        _KANA_LONG[_c] = _ext
+
+
+def kana_fold(s: str) -> str:
+    """katakana -> hiragana including wana_kana's prolonged-sound-mark rule:
+    ー extends the previous syllable's vowel (トート -> とうと), else passes
+    through. Reference: japanese.rs TOKENIZED under japanese-transliteration
+    (default-on, Cargo.toml:37)."""
+    table = _kana_table()
+    out: list[str] = []
+    for ch in s:
+        if ch == "ー" and out:
+            ext = _KANA_LONG.get(out[-1])
+            if ext:
+                out.append(ext)
+                continue
+        out.append(table.get(ord(ch), ch))
+    return "".join(out)
 
 
 # ---------------------------------------------------------------------------
@@ -259,7 +290,7 @@ def normalize_lemma(
             and language in (None, "jpn")
             and _has_katakana(lemma)
         ):
-            lemma = lemma.translate(_kana_table())
+            lemma = kana_fold(lemma)
     elif script == T.GREEK:
         if cfg.greek:
             if lemma.endswith("ς"):
@@ -321,7 +352,13 @@ def normalize_lemma_charmap(
             if cfg.chinese_normalization and language in (None, "cmn", "zho"):
                 groups = [g.translate(_kvariants_table()) for g in groups]
             if cfg.japanese_transliteration and language in (None, "jpn"):
-                groups = [g.translate(_kana_table()) for g in groups]
+                # sequential fold so ー sees the previous group's output
+                prev = ""
+                for i, g in enumerate(groups):
+                    folded = kana_fold(prev + g)
+                    groups[i] = folded[len(prev):] if prev else folded
+                    if groups[i]:
+                        prev = groups[i][-1]
         elif script == T.GREEK:
             if cfg.greek:
                 for i in range(len(groups) - 1, -1, -1):

@@ -15,9 +15,10 @@ Parity targets (reference file:line cited per item):
   trie for valid UTF-8 word lists).
 - Chinese: jieba-style dict DAG + max-logprob route (no HMM) followed by
   charabia's greedy bigram/trigram `cut_for_search` refine
-  (charabia/src/segmenter/chinese.rs:20-50). Pluggable dictionary: the real
-  jieba frequency dict is not vendored; without one the segmenter is
-  inactive (feature-off dispatch semantics).
+  (charabia/src/segmenter/chinese.rs:20-50). Active by default over the
+  shipped frequency dictionary (data/chinese_words.txt) — matching the
+  reference's default-on jieba dict — and pluggable: inject a full jieba
+  dict.txt via ChineseSegmenter(freqs).
 - dispatch: charabia/src/segmenter/mod.rs:57-93,280-301.
 """
 
@@ -284,6 +285,23 @@ def german_segmenter() -> FstLikeSegmenter:
 
 
 @functools.lru_cache(maxsize=1)
+def chinese_segmenter() -> "ChineseSegmenter":
+    """Default Chinese segmenter over the shipped frequency dictionary
+    (sparkft/data/chinese_words.txt), mirroring the reference's default-on
+    jieba dict (charabia/src/segmenter/chinese.rs:63, Cargo.toml:35). A full
+    jieba dict.txt can be injected via `ChineseSegmenter(freqs)` /
+    `tokenize_str(..., chinese=...)` — same "word freq" format."""
+    freqs: dict[str, int] = {}
+    for line in T.word_list("chinese"):
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        word, _, f = line.partition(" ")
+        freqs[word] = int(f or 1)
+    return ChineseSegmenter(freqs)
+
+
+@functools.lru_cache(maxsize=1)
 def khmer_segmenter() -> FstLikeSegmenter:
     # word list extracted from the reference's ICU khmerdict FST
     # (scripts/extract_fst_keys.py; charabia/src/segmenter/khmer.rs:18-30)
@@ -387,6 +405,146 @@ class ChineseSegmenter:
 
 
 # ---------------------------------------------------------------------------
+# Japanese / Korean lattice segmenter (S3/S4): MeCab-style Viterbi
+# ---------------------------------------------------------------------------
+
+
+def _jk_char_class(c: str) -> str:
+    o = ord(c)
+    if c.isascii() and c.isalnum():
+        return "alnum"
+    if 0x30A0 <= o <= 0x30FF or o == 0x30FC or 0x31F0 <= o <= 0x31FF:
+        return "katakana"
+    if 0x3040 <= o <= 0x309F:
+        return "hiragana"
+    if 0xAC00 <= o <= 0xD7A3 or 0x1100 <= o <= 0x11FF or 0x3130 <= o <= 0x318F:
+        return "hangul"
+    return "other"
+
+
+class LatticeSegmenter:
+    """MeCab-style word lattice with unigram word costs and a coarse-POS
+    connection matrix — a compact stand-in for lindera's UniDic/KoDic
+    Viterbi (charabia/src/segmenter/japanese.rs:17-52, korean.rs:15-36,
+    Mode::Decompose). Unigram costs alone cannot reproduce the reference
+    goldens (すもも/も/もも/も/もも needs particle-noun alternation to beat
+    もも/もも/もも), hence the connection matrix. The lexicon is injected
+    (data/*_lexicon.tsv by default); a full UniDic/KoDic-derived lexicon
+    drops in with the same (word, pos, cost) shape.
+
+    Unknown text stays connective: ASCII-alnum runs become one node
+    (passthrough, like chinese.rs:24-26), katakana runs group into one
+    unknown noun (so decomposition only happens via real lexicon entries),
+    anything else falls back to expensive single-char unknown nodes.
+    """
+
+    _UNK_SINGLE_COST = 7000
+    _UNK_KATA_BASE = 6000
+    _UNK_KATA_PER_CHAR = 400
+
+    def __init__(self, lexicon: dict[str, list[tuple[str, int]]],
+                 conn: dict[tuple[str, str], int], default_conn: int = 500):
+        self.lexicon = lexicon
+        self.conn = conn
+        self.default_conn = default_conn
+        self.max_len = max((len(w) for w in lexicon), default=1)
+
+    def _conn(self, a: str, b: str) -> int:
+        return self.conn.get((a, b), self.default_conn)
+
+    def _unknown_node(self, s: str, i: int) -> tuple[int, str, int]:
+        """(end, pos_tag, cost) for the unknown node starting at i."""
+        cls = _jk_char_class(s[i])
+        j = i + 1
+        if cls in ("alnum", "katakana"):
+            while j < len(s) and _jk_char_class(s[j]) == cls:
+                j += 1
+        if cls == "alnum":
+            return j, "sym", 2000
+        if cls == "katakana":
+            return j, "noun", self._UNK_KATA_BASE + self._UNK_KATA_PER_CHAR * (j - i)
+        if cls == "other":
+            return j, "sym", 3000
+        return j, "noun", self._UNK_SINGLE_COST
+
+    def segment(self, s: str) -> list[str]:
+        n = len(s)
+        if n == 0:
+            return []
+        # dp[i]: {tag: (cost, start, word, prev_tag)} best path covering s[:i]
+        dp: list[dict] = [dict() for _ in range(n + 1)]
+        dp[0]["BOS"] = (0, -1, "", "")
+        for i in range(n):
+            if not dp[i]:
+                continue
+            nodes = []
+            for l in range(1, min(self.max_len, n - i) + 1):
+                w = s[i: i + l]
+                for pos, cost in self.lexicon.get(w, ()):
+                    nodes.append((i + l, pos, cost, w))
+            ue, upos, ucost = self._unknown_node(s, i)
+            nodes.append((ue, upos, ucost, s[i:ue]))
+            for prev_tag, (pcost, *_rest) in dp[i].items():
+                for j, pos, cost, w in nodes:
+                    total = pcost + self._conn(prev_tag, pos) + cost
+                    cur = dp[j].get(pos)
+                    if cur is None or total < cur[0]:
+                        dp[j][pos] = (total, i, w, prev_tag)
+        # best terminal state (EOS connection)
+        best_tag = min(
+            dp[n], key=lambda t: dp[n][t][0] + self._conn(t, "EOS")
+        )
+        out: list[str] = []
+        i, tag = n, best_tag
+        while i > 0:
+            cost, start, w, prev_tag = dp[i][tag]
+            out.append(w)
+            i, tag = start, prev_tag
+        out.reverse()
+        return out
+
+
+# shared coarse-POS connection matrix (costs; lower = preferred)
+_JK_CONN: dict[tuple[str, str], int] = {}
+for _a, _b, _c in [
+    ("BOS", "prt", 3000), ("BOS", "aux", 3000), ("BOS", "suf", 3000),
+    ("noun", "prt", 0), ("prt", "noun", 0),
+    ("noun", "noun", 800), ("prt", "prt", 1000),
+    ("pron", "prt", 0), ("prt", "pron", 100),
+    ("verb", "aux", 0), ("aux", "aux", 200), ("adj", "aux", 100),
+    ("noun", "verb", 300), ("verb", "noun", 400), ("prt", "verb", 100),
+    ("verb", "prt", 200), ("adj", "noun", 200), ("noun", "adj", 400),
+    ("noun", "aux", 300), ("conj", "noun", 200), ("conj", "verb", 200),
+    ("adv", "verb", 100), ("adv", "adj", 100), ("noun", "suf", 0),
+    ("pref", "noun", 0), ("verb", "verb", 700), ("aux", "noun", 400),
+    ("aux", "prt", 200), ("sym", "noun", 100), ("noun", "sym", 100),
+    ("sym", "sym", 200), ("prt", "sym", 100), ("sym", "prt", 400),
+]:
+    _JK_CONN[(_a, _b)] = _c
+
+
+def _load_lexicon(name: str) -> dict[str, list[tuple[str, int]]]:
+    lex: dict[str, list[tuple[str, int]]] = {}
+    for line in T._read_data(f"{name}.tsv").split("\n"):
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        word, pos, cost = line.split("\t")
+        lex.setdefault(word, []).append((pos, int(cost)))
+    return lex
+
+
+@functools.lru_cache(maxsize=1)
+def japanese_segmenter() -> LatticeSegmenter:
+    return LatticeSegmenter(_load_lexicon("japanese_lexicon"), _JK_CONN)
+
+
+@functools.lru_cache(maxsize=1)
+def korean_segmenter() -> LatticeSegmenter:
+    return LatticeSegmenter(_load_lexicon("korean_lexicon"), _JK_CONN)
+
+
+# ---------------------------------------------------------------------------
 # Dispatch (charabia/src/segmenter/mod.rs:57-93,280-301)
 # ---------------------------------------------------------------------------
 
@@ -448,7 +606,10 @@ def run_segmenter(
         return german_segmenter().segment(chunk)
     if name == "khmer":
         return khmer_segmenter().segment(chunk)
-    if name == "chinese" and chinese is not None:
-        return chinese.segment(chunk)
-    # japanese / korean: morphology dictionaries not vendored; identity
+    if name == "chinese":
+        return (chinese or chinese_segmenter()).segment(chunk)
+    if name == "japanese":
+        return japanese_segmenter().segment(chunk)
+    if name == "korean":
+        return korean_segmenter().segment(chunk)
     return [chunk]

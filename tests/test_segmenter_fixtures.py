@@ -153,3 +153,120 @@ def test_custom_separators():
 )
 def test_concat_invariant(text):
     assert "".join(segment_str(text, DEFAULT_CONFIG)) == text
+
+
+# --- Chinese (charabia/src/segmenter/chinese.rs:66-336; default features:
+# chinese-segmentation on, chinese-normalization on, pinyin OFF) ---
+
+CHINESE_TEXT = (
+    "人人生而自由﹐在尊嚴和權利上一律平等。他們賦有理性和良心﹐並應以兄弟關係的"
+    "精神互相對待。人民的意志是政府权力的基础，这一意志应以定期的和真正的选举予"
+    "以表现。夏天，像是哼着小曲的少年，恶作剧般在大地上洒满每一种灿烂的颜色。 "
+    "123 456。"
+)
+
+CHINESE_SEGMENTED = [
+    "人人", "生", "而", "自由", "﹐", "在", "尊", "嚴", "和", "權", "利", "上",
+    "一律", "平等", "。", "他", "們", "賦", "有", "理性", "和", "良心", "﹐",
+    "並", "應", "以", "兄弟", "關", "係", "的", "精神", "互相", "對", "待",
+    "。", "人民", "的", "意志", "是", "政府", "权力", "的", "基础", "，", "这",
+    "一", "意志", "应", "以", "定期", "的", "和", "真正", "的", "选举", "予以",
+    "表现", "。", "夏天", "，", "像是", "哼", "着", "小曲", "的", "少年", "，",
+    "恶作剧", "般", "在", "大", "地上", "洒满", "每", "一种", "灿烂", "的",
+    "颜色", "。", " ", "123", " ", "456", "。",
+]
+
+CHINESE_TOKENIZED = [
+    "人人", "生", "而", "自由", ",", "在", "尊", "嚴", "和", "權", "利", "上",
+    "一律", "平等", "。", "他", "們", "賦", "有", "理性", "和", "良心", ",",
+    "並", "應", "以", "兄弟", "關", "係", "的", "精神", "互相", "對", "待",
+    "。", "人民", "的", "意志", "是", "政府", "权力", "的", "基礎", ",", "这",
+    "一", "意志", "應", "以", "定期", "的", "和", "眞正", "的", "選舉", "予以",
+    "表現", "。", "夏天", ",", "像是", "哼", "着", "小曲", "的", "少年", ",",
+    "惡作劇", "般", "在", "大", "地上", "洒滿", "每", "一种", "灿爛", "的",
+    "顏色", "。", " ", "123", " ", "456", "。",
+]
+
+
+def test_chinese_segment_default_dict():
+    assert segment_str(CHINESE_TEXT, DEFAULT_CONFIG) == CHINESE_SEGMENTED
+
+
+def test_chinese_tokenize_default_dict():
+    toks = tokenize_str(CHINESE_TEXT, DEFAULT_CONFIG)
+    assert [t.lemma for t in toks] == CHINESE_TOKENIZED
+
+
+def test_chinese_script_language():
+    toks = [t for t in tokenize_str(CHINESE_TEXT, DEFAULT_CONFIG)
+            if t.lemma == "人人"]
+    assert toks and toks[0].script == "Cj" and toks[0].language == "cmn"
+
+
+# --- Japanese (charabia/src/segmenter/japanese.rs:55-159; default features:
+# japanese-segmentation-unidic + japanese-transliteration, Cargo.toml:37) ---
+
+JAPANESE_TEXT = "関西国際空港限定トートバッグ すもももももももものうち 123 456"
+
+JAPANESE_SEGMENTED = [
+    "関西", "国際", "空港", "限定", "トート", "バッグ", " ", "すもも", "も",
+    "もも", "も", "もも", "の", "うち", " ", "123", " ", "456",
+]
+
+# transliteration folds katakana to hiragana; ー extends the previous vowel
+JAPANESE_TOKENIZED = [
+    "関西", "国際", "空港", "限定", "とうと", "ばっぐ", " ",
+    "すもも", "も", "もも", "も", "もも", "の", "うち", " ", "123", " ",
+    "456",
+]
+
+
+def test_japanese_segment():
+    assert segment_str(JAPANESE_TEXT, DEFAULT_CONFIG) == JAPANESE_SEGMENTED
+
+
+def test_japanese_tokenize():
+    toks = tokenize_str(JAPANESE_TEXT, DEFAULT_CONFIG)
+    assert [t.lemma for t in toks] == JAPANESE_TOKENIZED
+
+
+def test_japanese_script_language():
+    toks = [t for t in tokenize_str(JAPANESE_TEXT, DEFAULT_CONFIG)
+            if t.lemma == "関西"]
+    assert toks and toks[0].script == "Cj" and toks[0].language == "jpn"
+
+
+# --- Korean (charabia/src/segmenter/korean.rs:38-78; default feature
+# korean = lindera ko-dic, Cargo.toml:39) ---
+
+KOREAN_TEXT = "한국어의형태해석을실시할수있습니다 123 456."
+
+KOREAN_SEGMENTED = [
+    "한국어", "의", "형태", "해석", "을", "실시", "할", "수", "있", "습니다",
+    " ", "123", " ", "456", ".",
+]
+
+# the reference's korean.rs TOKENIZED constants are NFD (decomposed Jamo) —
+# the NFKD normalizer decomposes Hangul syllables
+import unicodedata
+
+KOREAN_TOKENIZED = [unicodedata.normalize("NFD", t) for t in KOREAN_SEGMENTED]
+
+
+def test_korean_segment():
+    assert segment_str(KOREAN_TEXT, DEFAULT_CONFIG) == KOREAN_SEGMENTED
+
+
+def test_korean_tokenize():
+    toks = tokenize_str(KOREAN_TEXT, DEFAULT_CONFIG)
+    assert [t.lemma for t in toks] == KOREAN_TOKENIZED
+
+
+def test_korean_script_language():
+    toks = [t for t in tokenize_str(KOREAN_TEXT, DEFAULT_CONFIG)
+            if t.lemma == unicodedata.normalize("NFD", "한국어")]
+    # single-segmenter script: detection is skipped, language stays None —
+    # the reference macro asserts language.unwrap_or(Kor) == Kor, i.e. None
+    # is acceptable (segmenter/mod.rs:443-447)
+    assert toks and toks[0].script == "Hangul"
+    assert toks[0].language in (None, "kor")
