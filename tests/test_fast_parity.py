@@ -110,3 +110,42 @@ def test_words_arrow_matches_scalar_bag_mixed_scripts(texts):
             if tok.kind not in (SEP_HARD, SEP_SOFT) and tok.lemma:
                 expected[(i, tok.lemma)] += 1
     assert got == expected
+
+
+# --- per-segmenter quickcheck (segmenter/mod.rs:476-479: no panic on random
+# input; strengthened to full-coverage reconstruction, which holds for every
+# dictionary/lattice segmenter because unknown chars become nodes) ---
+
+cjk_text = st.text(
+    alphabet=st.one_of(
+        st.characters(min_codepoint=0x3040, max_codepoint=0x30FF),  # kana
+        st.characters(min_codepoint=0x4E00, max_codepoint=0x4FFF),  # cjk
+        st.characters(min_codepoint=0xAC00, max_codepoint=0xAD00),  # hangul
+        st.characters(min_codepoint=0x20, max_codepoint=0x7E),      # ascii
+        st.characters(min_codepoint=0x0E00, max_codepoint=0x0E7F),  # thai
+        st.characters(min_codepoint=0x1780, max_codepoint=0x17FF),  # khmer
+    ),
+    max_size=40,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(cjk_text)
+def test_each_segmenter_no_panic_and_covers(text):
+    from sparkft.segment import (
+        chinese_segmenter,
+        german_segmenter,
+        japanese_segmenter,
+        khmer_segmenter,
+        korean_segmenter,
+        split_camel_case,
+        thai_segmenter,
+    )
+
+    for seg in (
+        thai_segmenter(), german_segmenter(), khmer_segmenter(),
+        chinese_segmenter(), japanese_segmenter(), korean_segmenter(),
+    ):
+        parts = seg.segment(text)
+        assert "".join(parts) == text
+    assert "".join(split_camel_case(text)) == text
