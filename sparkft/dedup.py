@@ -72,13 +72,15 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def minhash_signatures(sh: DataFrame) -> DataFrame:
-    """(doc_id, mh0..mh3) over a (doc_id, shingle) frame."""
-    h = h32(F.col("shingle"))
+    """(doc_id, mh0..mh15) over a (doc_id, shingle) frame. The shingle hash
+    is projected once per row (Catalyst does not CSE the md5 across the 16
+    min-aggregates)."""
+    hashed = sh.select("doc_id", h32(F.col("shingle")).alias("_h"))
     aggs = [
-        F.min((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
+        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
         for i, (a, b) in enumerate(MINHASH_AB)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def _band_expr(j: int) -> "F.Column":
@@ -184,11 +186,18 @@ def simhash(postings: DataFrame) -> DataFrame:
     _SIMHASH_HALF note above). Bits 0-31 draw from h32(token), bits 32-63
     from an independently salted h32(token || '#2'); bit tests via modulo
     keep the expression portable to ANSI SQL."""
-    h_lo = h32(F.col("token"))
-    h_hi = h32(F.concat(F.col("token"), F.lit("#2")))
+    # hash each token ONCE per half in a projection (Catalyst does not CSE
+    # the md5 across the 64 aggregate expressions — without this the plan
+    # computes 64 md5s per row)
+    hashed = postings.select(
+        "doc_id",
+        "tf",
+        h32(F.col("token")).alias("_hlo"),
+        h32(F.concat(F.col("token"), F.lit("#2"))).alias("_hhi"),
+    )
     bit_sums = []
     for j in range(SIMHASH_BITS):
-        h = h_lo if j < _SIMHASH_HALF else h_hi
+        h = F.col("_hlo") if j < _SIMHASH_HALF else F.col("_hhi")
         jj = j % _SIMHASH_HALF
         bit_sums.append(
             F.sum(
@@ -196,7 +205,7 @@ def simhash(postings: DataFrame) -> DataFrame:
                 .otherwise(-F.col("tf"))
             ).alias(f"s{j}")
         )
-    agg = postings.groupBy("doc_id").agg(*bit_sums)
+    agg = hashed.groupBy("doc_id").agg(*bit_sums)
 
     def _half(lo: int) -> "F.Column":
         sim = None

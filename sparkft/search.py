@@ -122,15 +122,19 @@ class LazyPostingList:
     bounded and a multi-GB driver footprint for a hot code token at scale.
     """
 
+    WINDOW = 8  # blocks decoded per call: amortizes per-call numpy overhead
+    # while keeping decode work bounded (WINDOW * 128 postings)
+
     __slots__ = (
-        "term", "df", "ub", "block_ub", "block_last", "nblocks",
+        "term", "df", "idf_t", "ub", "block_ub", "block_last", "nblocks",
         "_parts", "_bpart", "_bv0", "_bv1", "_blocal",
-        "block", "off", "_cache", "decoded_blocks",
+        "block", "off", "_cache", "decoded_blocks", "_cur_ids",
     )
 
     def __init__(self, term: str, parts: list[dict], idf_t: float):
         self.term = term
         self.df = int(parts[0]["df"])
+        self.idf_t = idf_t
         bubs, blasts = [], []
         self._parts = []
         bpart, bv0, bv1, blocal = [], [], [], []
@@ -161,13 +165,27 @@ class LazyPostingList:
         self.off = 0
         self._cache: dict[int, tuple] = {}
         self.decoded_blocks = 0
+        self._cur_ids = None
 
     def _decode(self, b: int) -> tuple:
         got = self._cache.get(b)
         if got is not None:
             return got
-        gaps_b, tfs_b, lens_b, ends_g, ends_t, ends_l = self._parts[self._bpart[b]]
-        v0, v1 = self._bv0[b], self._bv1[b]
+        # decode a window of up to WINDOW contiguous blocks of the same
+        # segment row in ONE varint pass: the delta chain is continuous
+        # within a row, so a single cumsum anchored at the window's first
+        # block covers every block in the window
+        pi = self._bpart[b]
+        wend = b + 1
+        while (
+            wend < self.nblocks
+            and wend - b < self.WINDOW
+            and self._bpart[wend] == pi
+            and wend not in self._cache
+        ):
+            wend += 1
+        gaps_b, tfs_b, lens_b, ends_g, ends_t, ends_l = self._parts[pi]
+        v0, v1 = self._bv0[b], self._bv1[wend - 1]
 
         def _slice(blob, ends):
             s = 0 if v0 == 0 else int(ends[v0 - 1]) + 1
@@ -178,20 +196,23 @@ class LazyPostingList:
         if self._blocal[b] > 0:
             # anchor: last doc of the previous block in the same row
             ids_u += i64_to_u64(self.block_last[b - 1: b])[0]
-        got = (
-            u64_to_i64(ids_u),
-            codec.decode_varints(_slice(tfs_b, ends_t)),
-            codec.decode_varints(_slice(lens_b, ends_l)),
-        )
-        self._cache[b] = got
-        self.decoded_blocks += 1
-        return got
+        ids = u64_to_i64(ids_u)
+        tfs = codec.decode_varints(_slice(tfs_b, ends_t))
+        lens_ = codec.decode_varints(_slice(lens_b, ends_l))
+        base = self._bv0[b]
+        for wb in range(b, wend):
+            s, e = self._bv0[wb] - base, self._bv1[wb] - base
+            self._cache[wb] = (ids[s:e], tfs[s:e], lens_[s:e])
+            self.decoded_blocks += 1
+        return self._cache[b]
 
     def exhausted(self) -> bool:
         return self.block >= self.nblocks
 
     def cur_doc(self) -> int:
-        ids, _, _ = self._decode(self.block)
+        ids = self._cur_ids
+        if ids is None:
+            ids = self._cur_ids = self._decode(self.block)[0]
         return int(ids[self.off])
 
     def advance(self) -> None:
@@ -200,36 +221,47 @@ class LazyPostingList:
         if self.off >= self._bv1[self.block] - self._bv0[self.block]:
             self.block += 1
             self.off = 0
+            self._cur_ids = None
 
     def seek(self, target: int) -> None:
-        """Position at the first doc >= target (skip-pointer move: only the
-        landing block is decoded)."""
+        """Position at the first doc >= target (skip-pointer move: skipped
+        blocks stay undecoded)."""
         nb = self.block + int(
             np.searchsorted(self.block_last[self.block:], target, side="left")
         )
         if nb >= self.nblocks:
             self.block = self.nblocks
             self.off = 0
+            self._cur_ids = None
             return
         ids, _, _ = self._decode(nb)
         off = int(np.searchsorted(ids, target, side="left"))
         if nb == self.block:
             off = max(off, self.off)
+        self._cur_ids = ids
         self.block, self.off = nb, off
         if off >= len(ids):  # target past this block's last id (can't happen
             self.block += 1  # for block_last-guided seeks; defensive)
             self.off = 0
+            self._cur_ids = None
 
     def score_of(self, doc: int, N: int, avgdl: float) -> float:
         """BM25 contribution of `doc` in this list (0 if absent); decodes
-        only the single candidate block, does not move the cursor."""
-        b = int(np.searchsorted(self.block_last, doc, side="left"))
+        only the candidate block window, does not move the cursor. Scalar
+        float64 math in the same operation order as scoring.bm25 (IEEE754
+        doubles: bit-identical to the vectorized TAAT path)."""
+        b = int(self.block_last.searchsorted(doc, "left"))
         if b >= self.nblocks:
             return 0.0
         ids, tfs, lens_ = self._decode(b)
-        p = int(np.searchsorted(ids, doc))
-        if p < len(ids) and int(ids[p]) == doc:
-            return float(scoring.bm25(tfs[p], lens_[p], self.df, N, avgdl))
+        p = int(ids.searchsorted(doc))
+        if p < len(ids) and ids[p] == doc:
+            tf = float(tfs[p])
+            dl = float(lens_[p])
+            return self.idf_t * (
+                tf * (scoring.K1 + 1.0)
+                / (tf + scoring.K1 * (1.0 - scoring.B + scoring.B * dl / avgdl))
+            )
         return 0.0
 
 
