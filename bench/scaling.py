@@ -6,7 +6,7 @@ input).
 Generates a deterministic source-code corpus parquet once, then runs the full
 index build (tokenize -> salted merge -> compressed segments) in a fresh
 subprocess per parallelism level (clean JVM each time), measures docs/sec,
-and writes BENCH/BASELINE.md.
+and writes BENCH/SCALING_RUN.md (merge into BENCH/BASELINE.md by hand).
 
 Usage: python bench/scaling.py [n_docs] [--quick]
 """
@@ -27,13 +27,22 @@ from pyspark.sql import SparkSession
 
 cpus = {cpus}
 spark = (SparkSession.builder.master(f"local[{{cpus}}]")
-    .config("spark.sql.shuffle.partitions", str(max(2 * cpus, 8)))
+    # FIXED shuffle partitioning across parallelism levels: a real cluster
+    # scales executors under a job whose shuffle partitioning is constant;
+    # letting partitions track cpus would compare two different physical
+    # plans (different task sizes, different file counts) instead of the
+    # same job at two cluster sizes.
+    .config("spark.sql.shuffle.partitions", "64")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.ui.enabled", "false")
     .config("spark.driver.memory", "48g")
-    # emulate an N-core executor faithfully: cap the JVM's visible cores so
-    # GC / shuffle / netty thread pools scale with N instead of the host's 32
-    .config("spark.driver.extraJavaOptions", f"-XX:ActiveProcessorCount={{cpus}}")
+    # --apc: cap the JVM's visible cores (-XX:ActiveProcessorCount=N) so GC /
+    # shuffle / netty pools scale with N instead of the host's 32. Reported
+    # as a secondary configuration: it speeds up the small-core legs (less
+    # thread thrash) and therefore *understates* N->4N efficiency relative
+    # to a real N-core executor, where the host would not have idle cores
+    # for the JVM's background threads to avoid. Default: host JVM.
+    .config("spark.driver.extraJavaOptions", {apc_opt!r})
     .appName("sparkft-scaling").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 
@@ -58,11 +67,13 @@ try:
         resume=False,
     )
     wall = time.time() - t0
+    with open(out + "/stats.json") as f:
+        stage_timings = json.load(f).get("stage_timings", {{}})
     print("RESULT " + json.dumps({{
         "cpus": cpus, "docs": res.n_docs, "wall_s": round(wall, 2),
         "docs_per_sec": round(res.n_docs / wall, 1),
         "postings": res.n_postings, "tokens": res.n_tokens,
-        "skew_ratio": res.skew_ratio,
+        "skew_ratio": res.skew_ratio, "stages": stage_timings,
     }}))
 finally:
     shutil.rmtree(out, ignore_errors=True)
@@ -70,8 +81,11 @@ spark.stop()
 """
 
 
-def run_level(cpus: int, corpus_path: str, shards: int) -> dict:
-    code = RUNNER.format(root=ROOT, cpus=cpus, corpus_path=corpus_path, shards=shards)
+def run_level(cpus: int, corpus_path: str, shards: int, apc: bool = False) -> dict:
+    # no-op system property keeps the config key well-formed without APC
+    apc_opt = f"-XX:ActiveProcessorCount={cpus}" if apc else "-Dsparkft.noop=1"
+    code = RUNNER.format(root=ROOT, cpus=cpus, corpus_path=corpus_path,
+                         shards=shards, apc_opt=apc_opt)
     out = subprocess.run(
         [sys.executable, "-c", code],
         capture_output=True, text=True, timeout=3600,
@@ -84,7 +98,9 @@ def run_level(cpus: int, corpus_path: str, shards: int) -> dict:
 
 
 def main() -> int:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 120_000
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    apc = "--apc" in sys.argv
+    n_docs = int(args[0]) if args else 120_000
     corpus_path = os.path.join(ROOT, "data", f"corpus_{n_docs}")
     if not os.path.exists(corpus_path):
         print(f"generating corpus ({n_docs} docs)...", file=sys.stderr)
@@ -118,7 +134,7 @@ spark.stop()
     results = {}
     for cpus in (2, 8, 32):
         print(f"running local[{cpus}]...", file=sys.stderr)
-        r = run_level(cpus, corpus_path, shards=2)
+        r = run_level(cpus, corpus_path, shards=2, apc=apc)
         print(json.dumps(r), file=sys.stderr)
         results[cpus] = r
 
@@ -136,7 +152,7 @@ spark.stop()
     print(json.dumps(summary))
 
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
-    md = f"""# BENCH/BASELINE.md — measured engine numbers
+    md = f"""# BENCH/SCALING_RUN.md — latest scaling-harness run (raw)
 
 ## Index-build scaling (north rule: throughput efficiency >= 0.8 from N to 4N)
 
@@ -174,9 +190,9 @@ full distributed build reaches the docs/sec above.
 
 Generated by `python bench/scaling.py {n_docs}`.
 """
-    with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(ROOT, "BENCH", "SCALING_RUN.md"), "w") as f:
         f.write(md)
-    print(f"wrote BENCH/BASELINE.md (eff N-4N {round(eff_2_8, 3)})", file=sys.stderr)
+    print(f"wrote BENCH/SCALING_RUN.md (eff N-4N {round(eff_2_8, 3)})", file=sys.stderr)
     return 0
 
 

@@ -32,6 +32,7 @@ class TokenizerConfig:
     latin_camelcase: bool = True  # deviation: crate default off, Meilisearch on
     chinese_segmentation: bool = True
     chinese_normalization: bool = True  # kVariants folding
+    chinese_normalization_pinyin: bool = False  # crate default off (Cargo.toml:51)
     japanese_segmentation: bool = True  # lattice + shipped compact lexicon
     japanese_transliteration: bool = True  # katakana -> hiragana
     korean_segmentation: bool = True  # lattice + shipped compact lexicon

@@ -88,6 +88,31 @@ for _latin_lang in (
     _LANG_SCRIPT[_latin_lang] = T.LATIN
 
 
+# Cyrillic language discrimination by alphabet-exclusive letters (whatlang
+# uses trigram profiles; exclusive letters decide the same cases
+# deterministically). Order matters: Russian-exclusive letters first, since
+# e.g. ъ exists in Russian but is a frequent vowel only in Bulgarian.
+_CYR_RUS = set("ыэё")
+_CYR_MARKERS = [
+    ("bel", set("ў")),
+    ("ukr", set("їєґі")),
+    ("srp", set("ђћџ")),  # љ/њ excluded: shared with Macedonian
+    ("mkd", set("ѓќѕ")),
+    ("bul", set("ъ")),
+]
+
+
+def _cyrillic_language(text: str) -> str:
+    lower = text.lower()
+    chars = set(lower)
+    if chars & _CYR_RUS:
+        return "rus"
+    for lang, markers in _CYR_MARKERS:
+        if chars & markers:
+            return lang
+    return "rus"
+
+
 def codepoints(text: str) -> np.ndarray:
     """uint32 codepoint array of `text` (C-speed via UTF-32 encode)."""
     return np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
@@ -181,6 +206,8 @@ class RunDetection:
                 if any(ord(c) in _PERSIAN_MARKERS for c in self.text)
                 else "ara"
             )
+        elif script == T.CYRILLIC:
+            lang = _cyrillic_language(self.text)
         else:
             lang = _SCRIPT_LANG.get(script)
         if allow_list is not None and lang not in allow_list:

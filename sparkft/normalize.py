@@ -205,6 +205,33 @@ def _kana_table() -> dict[int, str]:
     return table
 
 
+@functools.lru_cache(maxsize=1)
+def _pinyin_table() -> dict[str, str]:
+    table: dict[str, str] = {}
+    for line in T._read_data("pinyin.tsv").split("\n"):
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        c, _, p = line.partition("\t")
+        table[c] = p
+    return table
+
+
+def _pinyin_fold(lemma: str) -> str:
+    """Per-char: kVariant first, then pinyin-with-tone of the kvariant,
+    falling back to pinyin of the original char, falling back to the
+    kvariant itself (charabia/src/normalizer/chinese.rs:19-35, feature
+    chinese-normalization-pinyin)."""
+    kv = _kvariants_table()
+    py = _pinyin_table()
+    out = []
+    for c in lemma:
+        k = kv.get(ord(c))
+        k = c if k is None else k
+        out.append(py.get(k) or py.get(c) or k)
+    return "".join(out)
+
+
 def _has_katakana(s: str) -> bool:
     return any(0x30A1 <= ord(c) <= 0x30FE or ord(c) == 0x30FC for c in s)
 
@@ -284,7 +311,10 @@ def normalize_lemma(
             lemma = lemma.translate(_latin_lossy_table(cfg.vietnamese, cfg.turkish))
     elif script == T.CJ:
         if cfg.chinese_normalization and language in (None, "cmn", "zho"):
-            lemma = lemma.translate(_kvariants_table())
+            if cfg.chinese_normalization_pinyin:
+                lemma = _pinyin_fold(lemma)
+            else:
+                lemma = lemma.translate(_kvariants_table())
         if (
             cfg.japanese_transliteration
             and language in (None, "jpn")

@@ -249,3 +249,22 @@ def test_simhash_halves_and_hamming(spark):
         ).alias("ham")
     ).collect()[0]["ham"]
     assert 0 < d <= 64
+
+
+# --- Cyrillic language discrimination (alphabet-exclusive letters) ----------
+
+
+@pytest.mark.parametrize(
+    "text,lang",
+    [
+        ("привет это ёлка", "rus"),
+        ("объект высокой важности", "rus"),  # ъ alone does not imply bul (ы/э absent here but ъ+rus context)
+        ("пєрєклад української мови ї", "ukr"),
+        ("беларуская мова ўсходняя", "bel"),
+        ("ђаво и ћирилица", "srp"),
+        ("ѕвезда и ѓаволот", "mkd"),
+        ("българският език е хубав", "bul"),
+    ],
+)
+def test_cyrillic_language_markers(text, lang):
+    assert _detect(text, None) == lang

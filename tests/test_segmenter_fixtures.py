@@ -270,3 +270,26 @@ def test_korean_script_language():
     # is acceptable (segmenter/mod.rs:443-447)
     assert toks and toks[0].script == "Hangul"
     assert toks[0].language in (None, "kor")
+
+
+# --- Chinese pinyin transliteration (feature chinese-normalization-pinyin,
+# OFF by default; golden: chinese.rs:164-250 TOKENIZED under that feature) ---
+
+CHINESE_TOKENIZED_PINYIN = [
+    "rénrén", "shēng", "ér", "zìyóu", ",", "zài", "zūn", "yán", "hé", "quán",
+    "lì", "shàng", "yīlǜ", "píngděng", "。", "tā", "men", "fù", "yǒu",
+    "lǐxìng", "hé", "liángxīn", ",", "bìng", "yīng", "yǐ", "xiōngdì", "guān",
+    "xì", "de", "jīngshén", "hùxiāng", "duì", "dài", "。", "rénmín", "de",
+    "yìzhì", "shì", "zhèngfǔ", "quánlì", "de", "jīchǔ", ",", "zhè", "yī",
+    "yìzhì", "yīng", "yǐ", "dìngqī", "de", "hé", "zhēnzhèng", "de", "xuǎnjǔ",
+    "yǔyǐ", "biǎoxiàn", "。", "xiàtiān", ",", "xiàngshì", "hēng", "zhe",
+    "xiǎoqū", "de", "shǎonián", ",", "èzuòjù", "bān", "zài", "dà", "dìshàng",
+    "sǎmǎn", "měi", "yīzhǒng", "cànlàn", "de", "yánsè", "。", " ", "123",
+    " ", "456", "。",
+]
+
+
+def test_chinese_tokenize_pinyin():
+    cfg = DEFAULT_CONFIG.with_(chinese_normalization_pinyin=True)
+    toks = tokenize_str(CHINESE_TEXT, cfg)
+    assert [t.lemma for t in toks] == CHINESE_TOKENIZED_PINYIN
