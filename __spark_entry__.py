@@ -381,6 +381,49 @@ FROM v, q
 ORDER BY cos DESC, vec_id LIMIT 10
 """
 
+
+def _embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: sign-LSH banding -> candidate pairs
+    -> exact cosine verify (sparkft.ann.embedding_near_dup_pairs). The
+    threshold is set below the corpus's max pair cosine so the demo output
+    is non-empty; on real near-dup data (cos >= 0.95) band recall ~0.999."""
+    from sparkft import ann as A
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return A.embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+def _near_dup_sql(sf: str) -> str:
+    from sparkft.ann import hyperplane_planes
+
+    planes = hyperplane_planes(16, 64, 5)
+    bit_cols = []
+    for j, pl in enumerate(planes):
+        lit = "[" + ", ".join("1.0" if x > 0 else "-1.0" for x in pl) + "]::DOUBLE[]"
+        bit_cols.append(
+            f"(CASE WHEN list_inner_product(e, {lit}) >= 0 THEN '1' ELSE '0' END) AS b{j}"
+        )
+    band_selects = " UNION ALL ".join(
+        "SELECT vec_id, '" + str(b) + ":' || " + "||".join(f"b{b*4+r}" for r in range(4))
+        + " AS bucket FROM bits"
+        for b in range(4)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+bits AS (SELECT vec_id, {", ".join(bit_cols)} FROM v),
+bands AS ({band_selects}),
+cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+         FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+pairs AS (
+  SELECT c.d1, c.d2,
+         round(list_inner_product(v1.e, v2.e)
+               / (sqrt(list_inner_product(v1.e, v1.e))
+                  * sqrt(list_inner_product(v2.e, v2.e))), 6) AS cos
+  FROM cand c JOIN v v1 ON v1.vec_id = c.d1 JOIN v v2 ON v2.vec_id = c.d2)
+SELECT d1, d2, cos FROM pairs WHERE cos >= 0.4
+"""
+
+
 _LANG_MARKERS = {
     "en": ["the", "a"],
     "de": ["der", "die", "das"],
@@ -702,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_window_rank": _orders_window_rank,
         "events_hourly": _events_hourly,
         "cjk_tokenize": _cjk_tokenize,
+        "embedding_near_dup": _embedding_near_dup,
     }
 
 
@@ -728,4 +772,5 @@ def oracle_sql() -> dict[str, str]:
         "orders_window_rank": _WINDOW_SQL,
         "events_hourly": _EVENTS_SQL,
         "cjk_tokenize": _cjk_sql(""),
+        "embedding_near_dup": _near_dup_sql(""),
     }

@@ -106,3 +106,68 @@ def ivf_topk(assigned_df, cents: np.ndarray, qvec: list[float], k: int = 10,
     order = (cents @ q).argsort()[::-1][:probes]
     cand = assigned_df.filter(F.col("centroid").isin([int(c) for c in order]))
     return brute_force_topk(cand, qvec, k, id_col, emb_col)
+
+
+def hyperplane_planes(n_planes: int = 16, dim: int = 64, seed: int = 5):
+    """Deterministic Rademacher (+-1) hyperplanes for sign-LSH over
+    embeddings. +-1 entries keep the dot products exactly representable so
+    the Spark expressions and the ANSI-SQL oracle agree bit-for-bit."""
+    rng = np.random.default_rng(seed)
+    return rng.choice([-1.0, 1.0], size=(n_planes, dim))
+
+
+def embedding_near_dup_pairs(df, n_planes: int = 16, band_size: int = 4,
+                             threshold: float = 0.4, seed: int = 5,
+                             id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Embedding-cosine near-duplicate pairs, LSH-gated (the scale path):
+
+    sign-of-dot-product bits against `n_planes` random hyperplanes, banded
+    `band_size` bits per bucket; docs sharing any band bucket become
+    candidate pairs; exact cosine >= threshold verifies. All JVM-side
+    (aggregate/zip_with in codegen) — work is O(n) banding plus
+    O(candidates), never an all-pairs join. Collision probability per bit is
+    1 - angle/pi, so recall at cosine s is 1-(1-((1-acos(s)/pi))^band_size)^bands
+    (~0.999 at s=0.95 with 16 planes / 4x4 — true near-dups are caught)."""
+    from pyspark.sql import functions as F
+
+    dim = len(df.select(emb_col).first()[0])
+    planes = hyperplane_planes(n_planes, dim, seed)
+    e = F.transform(F.col(emb_col), lambda x: x.cast("double"))
+    v = df.select(F.col(id_col).alias("vid"), e.alias("e"))
+
+    def dot_with(plane):
+        arr = F.array(*[F.lit(float(p)) for p in plane])
+        return F.aggregate(
+            F.zip_with(F.col("e"), arr, lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+
+    bits = [F.when(dot_with(p) >= 0, "1").otherwise("0") for p in planes]
+    n_bands = n_planes // band_size
+    buckets = [
+        F.concat_ws(":", F.lit(str(b)),
+                    F.concat(*bits[b * band_size:(b + 1) * band_size]))
+        for b in range(n_bands)
+    ]
+    bands = v.select("vid", F.explode(F.array(*buckets)).alias("bucket"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.vid") < F.col("b.vid")))
+        .select(F.col("a.vid").alias("d1"), F.col("b.vid").alias("d2"))
+        .distinct()
+    )
+    e1 = v.select(F.col("vid").alias("d1"), F.col("e").alias("e1"))
+    e2 = v.select(F.col("vid").alias("d2"), F.col("e").alias("e2"))
+    dot = F.aggregate(F.zip_with("e1", "e2", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    n1 = F.sqrt(F.aggregate(F.zip_with("e1", "e1", lambda x, y: x * y),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    n2 = F.sqrt(F.aggregate(F.zip_with("e2", "e2", lambda x, y: x * y),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return (
+        cand.join(e1, "d1").join(e2, "d2")
+        .withColumn("cos", F.round(dot / (n1 * n2), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("d1", "d2", "cos")
+    )

@@ -268,3 +268,25 @@ def test_simhash_halves_and_hamming(spark):
 )
 def test_cyrillic_language_markers(text, lang):
     assert _detect(text, None) == lang
+
+
+# --- embedding near-dup: sign-LSH gate catches true near-dups ---------------
+
+
+def test_embedding_near_dup_finds_planted_pair(spark):
+    from sparkft.ann import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(9)
+    rows = []
+    base = rng.normal(size=32)
+    rows.append((1000, base.tolist()))
+    rows.append((1001, (base + rng.normal(scale=0.02, size=32)).tolist()))  # cos ~0.999
+    for i in range(200):
+        rows.append((i, rng.normal(size=32).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {(r["d1"], r["d2"]): r["cos"]
+             for r in embedding_near_dup_pairs(df, threshold=0.9).collect()}
+    assert (1000, 1001) in pairs
+    assert pairs[(1000, 1001)] > 0.99
+    # nothing else in random noise clears 0.9
+    assert len(pairs) == 1
