@@ -424,6 +424,25 @@ SELECT d1, d2, cos FROM pairs WHERE cos >= 0.4
 """
 
 
+
+def _winnow_fingerprints(spark, sf_dir):
+    return D.winnow_fingerprints(_docs(spark, sf_dir), k=8, w=4)
+
+
+_WINNOW_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) - 8 + 2),
+                        i -> ('0x' || substr(md5(substr(text, i::INT, 8)), 1, 8))::BIGINT) AS h
+  FROM documents WHERE length(text) >= 11),
+sel AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(h) - 4 + 2),
+                                       j -> list_min(h[j::INT : j::INT + 3]))) AS fp
+  FROM g)
+SELECT DISTINCT doc_id, fp FROM sel
+"""
+
+
 _LANG_MARKERS = {
     "en": ["the", "a"],
     "de": ["der", "die", "das"],
@@ -746,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _events_hourly,
         "cjk_tokenize": _cjk_tokenize,
         "embedding_near_dup": _embedding_near_dup,
+        "winnow_fingerprints": _winnow_fingerprints,
     }
 
 
@@ -773,4 +793,5 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": _EVENTS_SQL,
         "cjk_tokenize": _cjk_sql(""),
         "embedding_near_dup": _near_dup_sql(""),
+        "winnow_fingerprints": _WINNOW_SQL,
     }

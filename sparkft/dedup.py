@@ -249,3 +249,40 @@ def doc_fingerprints(postings: DataFrame) -> DataFrame:
     return postings.groupBy("doc_id").agg(
         F.md5(F.concat_ws(" ", F.array_sort(F.collect_set("token")))).alias("fp")
     )
+
+
+def winnow_fingerprints(df: DataFrame, k: int = 8, w: int = 4,
+                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): hash every k-char gram, slide a w-hash window, select each
+    window's minimum hash. Guarantee: any shared substring of length
+    >= w + k - 1 contributes at least one shared fingerprint, so plagiarism/
+    boilerplate detection reduces to an equi-join on (fp). Entirely JVM
+    codegen (transform over sequence + slice + array_min); the distinct
+    selected set collapses window ties by value, so no positional tie rule
+    is needed."""
+    from pyspark.sql import Window
+
+    text = F.col(text_col)
+    n = F.length(text)
+    # hash array computed ONCE per row, then exploded to (doc_id, pos, h)
+    # rows; expressing the window-min over the array with nested
+    # transform+slice instead would let Catalyst re-inline the array
+    # expression into every window position (O(n^2) hashes per doc).
+    grams = F.transform(
+        F.sequence(F.lit(1), n - k + 1),
+        lambda i: h32(text.substr(i, F.lit(k))),
+    )
+    rows = (
+        df.filter(n >= k + w - 1)
+        .select(F.col(id_col).alias("doc_id"), F.posexplode(grams).alias("pos", "h"))
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    n_grams = Window.partitionBy("doc_id")
+    return (
+        rows.withColumn("fp", F.min("h").over(win))
+        .withColumn("_n", F.count("*").over(n_grams))
+        .filter(F.col("pos") <= F.col("_n") - w)  # full windows only (pos 0-based)
+        .select("doc_id", "fp")
+        .distinct()
+    )

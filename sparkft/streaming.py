@@ -125,3 +125,49 @@ def incremental_index(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer
+
+
+def running_token_df(
+    stream_df,
+    cfg: TokenizerConfig = DEFAULT_CONFIG,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    cumulative document frequency per token across micro-batches.
+
+    Each micro-batch tokenizes its documents (same vectorized stage as the
+    batch engine), groups by token, and folds the batch's per-token doc
+    count into keyed state; the output stream emits (token, cum_df,
+    batch_delta) updates. This is the engine's incremental-statistics
+    surface: BM25 idf freshness without recomputing global stats.
+
+    Scale note: state is keyed by token, so a hot token's updates all land
+    on one state partition — but the per-batch input to the state operator
+    is already one row per (token, doc), aggregated map-side by the
+    tokenizer stage, so a key's per-batch traffic is bounded by batch size.
+    Cumulative df is additive; if a deployment needs to shard hot keys, key
+    by (token, salt) and sum the salted rows at read time.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    postings = stream_postings(stream_df, cfg, text_col, id_col)
+
+    def update(key, pdfs, state):
+        delta = 0
+        for pdf in pdfs:
+            delta += len(pdf)
+        total = (state.get[0] if state.exists else 0) + delta
+        state.update((total,))
+        yield pd.DataFrame(
+            {"token": [key[0]], "cum_df": [total], "batch_delta": [delta]}
+        )
+
+    return postings.groupBy("token").applyInPandasWithState(
+        update,
+        outputStructType="token string, cum_df long, batch_delta long",
+        stateStructType="total long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -290,3 +290,28 @@ def test_embedding_near_dup_finds_planted_pair(spark):
     assert pairs[(1000, 1001)] > 0.99
     # nothing else in random noise clears 0.9
     assert len(pairs) == 1
+
+
+# --- winnowing fingerprints: shared-substring guarantee ---------------------
+
+
+def test_winnow_guarantee(spark):
+    from sparkft.dedup import winnow_fingerprints
+
+    shared = "zqxjkwvyp bmfgh crtlnd"  # 22 chars >= k + w - 1 = 11
+    rows = [
+        (1, "aaaa bbbb cccc " + shared + " dddd eeee"),
+        (2, "completely different prefix " + shared + " and suffix here"),
+        (3, "no overlap with the others at all in this document text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = winnow_fingerprints(df, k=8, w=4)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    # any match of length >= w + k - 1 shares at least one fingerprint
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3] & by_doc[2] - (by_doc[1] & by_doc[2]))
+    # fingerprints are a small fraction of all grams (w-fold reduction-ish)
+    n_grams = len(rows[0][1]) - 8 + 1
+    assert len(by_doc[1]) < n_grams

@@ -133,3 +133,48 @@ def test_streaming_compaction_equals_batch(spark, tmp_path):
     for query in ["import config", "fn parse", "self return"]:
         assert taat_topk(rs, query, 10) == taat_topk(rb, query, 10)
         assert wand_topk(rs, query, 10) == wand_topk(rb, query, 10)
+
+
+def test_running_token_df_stateful(spark, tmp_path):
+    """applyInPandasWithState keeps per-token cumulative df across
+    micro-batches (maxFilesPerTrigger=1 forces one batch per file)."""
+    from pyspark.sql import functions as F
+
+    from sparkft.streaming import running_token_df
+
+    src = str(tmp_path / "src2")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha gamma")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(3, "alpha beta"), (4, "delta")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        running_token_df(stream)
+        .writeStream.format("memory")
+        .queryName("runningdf")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.sql("select * from runningdf").collect()
+    final = {}
+    for r in rows:
+        final[r["token"]] = max(final.get(r["token"], 0), r["cum_df"])
+    # alpha appears in docs 1,2 (file A) and 3 (file B) -> cumulative 3
+    assert final["alpha"] == 3
+    assert final["beta"] == 2
+    assert final["gamma"] == 1
+    assert final["delta"] == 1
+    # at least one token must have been updated across two batches
+    assert any(r["batch_delta"] < r["cum_df"] for r in rows)
