@@ -88,6 +88,17 @@ def main() -> int:
                   "customer order", "hash join"]:
             wand_topk(reader, q, 10)
         timings["search_wand_x5"] = round(time.time() - t0, 3)
+
+        # distributed serving: 40 queries fanned across executors
+        from sparkft.search import distributed_topk
+
+        qset = [f"{a} {b}" for a in ["merge", "hash", "sort", "index",
+                                     "group", "filter", "window", "stream"]
+                for b in ["table", "join", "key", "row", "scan"]]
+        t0 = time.time()
+        distributed_topk(spark, idx_dir, qset, k=10,
+                         parallelism=cpus).count()
+        timings["search_distributed_x40"] = round(time.time() - t0, 3)
         docs_per_sec = res.docs_per_sec
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)

@@ -463,3 +463,42 @@ def phrase_topk(reader: IndexReader, phrase: str, k: int = 10,
     scores = np.fromiter(acc.values(), dtype=np.float64, count=len(acc))
     top = scoring.topk_indices(scores, doc_ids, k)
     return [(int(doc_ids[i]), float(scores[i])) for i in top]
+
+
+def distributed_topk(spark, index_dir: str, queries: list[str], k: int = 10,
+                     cfg: TokenizerConfig = DEFAULT_CONFIG,
+                     parallelism: Optional[int] = None):
+    """Serve a query SET distributed: queries partition across executors,
+    each worker opens its own IndexReader over the shared segment store
+    (local FS here; any pyarrow.dataset-readable URI on a cluster) and runs
+    block-max WAND per query. Query throughput scales with executors while
+    each query still reads O(terms) bytes via bucket + token pruning.
+
+    Returns a DataFrame (qid, query, rank, doc_id, score) with rank 1-based,
+    row-identical to looping `wand_topk` on the driver."""
+    from pyspark.sql import functions as F  # noqa: F401 (API symmetry)
+
+    qdf = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(queries)], "qid long, query string"
+    )
+    if parallelism:
+        qdf = qdf.repartition(parallelism)
+
+    def serve(pdfs):
+        import pandas as pd
+
+        reader = IndexReader(None, index_dir)  # one reader per worker
+        for pdf in pdfs:
+            out = {"qid": [], "query": [], "rank": [], "doc_id": [], "score": []}
+            for qid, q in zip(pdf["qid"], pdf["query"]):
+                for rank, (doc, score) in enumerate(wand_topk(reader, q, k, cfg), 1):
+                    out["qid"].append(qid)
+                    out["query"].append(q)
+                    out["rank"].append(rank)
+                    out["doc_id"].append(doc)
+                    out["score"].append(score)
+            yield pd.DataFrame(out)
+
+    return qdf.mapInPandas(
+        serve, "qid long, query string, rank int, doc_id long, score double"
+    )

@@ -150,3 +150,17 @@ def test_wand_block_decode_is_lazy(spark, tmp_path):
     assert got == taat_topk(reader, "zzrare common", 3)
     assert stats["blocks_total"] >= 20
     assert stats["blocks_decoded"] < stats["blocks_total"] // 2, stats
+
+
+def test_distributed_topk_equals_driver_loop(spark, corpus, index):
+    from sparkft.search import distributed_topk
+
+    out, _ = index
+    reader = IndexReader(spark, out)
+    got = {}
+    df = distributed_topk(spark, out, QUERIES, k=10, parallelism=4)
+    for r in df.collect():
+        got.setdefault(r["qid"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid, q in enumerate(QUERIES):
+        expected = [(i + 1, d, s) for i, (d, s) in enumerate(wand_topk(reader, q, 10))]
+        assert sorted(got.get(qid, [])) == expected, q

@@ -123,3 +123,26 @@ def test_bm25_demo_not_cached(spark):
     df = entry.queries()["bm25_topk"](spark, SF)
     plan = plan_of(df)
     assert "InMemoryRelation" not in plan and "InMemoryTableScan" not in plan
+
+
+def test_winnow_single_hash_pass(spark):
+    """The winnowing plan must hash each gram once (posexplode + window),
+    not re-inline the gram array per window position."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["winnow_fingerprints"](spark, SF)
+    plan = plan_of(df)
+    assert "Window" in plan
+    assert plan.count("md5") <= 4, plan.count("md5")
+
+
+def test_embedding_near_dup_candidate_gated(spark):
+    import __spark_entry__ as entry
+
+    df = entry.queries()["embedding_near_dup"](spark, SF)
+    plan = plan_of(df)
+    assert "bucket" in plan  # banding stage present
+    for line in plan.splitlines():
+        # any join on embeddings columns must involve the candidate ids
+        if "Join" in line and "bucket" not in line and " e" in line:
+            assert "d1" in line or "d2" in line or "vid" in line, line
