@@ -203,3 +203,14 @@ def test_lib_doc_example():
     assert toks[0].kind == WORD
     assert toks[1].lemma == " "
     assert toks[1].kind == SEP_SOFT
+
+
+def test_chinese_pinyin_normalizer_fixture():
+    """charabia/src/normalizer/chinese.rs:85-120 (pinyin feature): kVariant
+    first, pinyin of the kvariant, fallback to pinyin of the original char
+    (杤 -> kvariant has no reading, original does)."""
+    from sparkft.normalize import _pinyin_fold
+
+    assert _pinyin_fold("尊嚴") == "zūnyán"
+    assert _pinyin_fold("生而自由") == "shēngérzìyóu"
+    assert _pinyin_fold("澚䀾亚㮺刄杤") == "àoqìyàběnrènwàn"
