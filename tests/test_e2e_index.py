@@ -164,3 +164,38 @@ def test_distributed_topk_equals_driver_loop(spark, corpus, index):
     for qid, q in enumerate(QUERIES):
         expected = [(i + 1, d, s) for i, (d, s) in enumerate(wand_topk(reader, q, 10))]
         assert sorted(got.get(qid, [])) == expected, q
+
+
+def test_cjk_index_rank_identity(spark, tmp_path):
+    """Full engine path over a CJK corpus: UTF-8 tokens through tokenize ->
+    salted merge -> varint segments -> WAND, rank-identical to the
+    single-node scorer (which shares only the tokenizer, not the index)."""
+    base = [
+        "人民的意志是政府权力的基础 这是真正的选举",
+        "関西国際空港限定トートバッグ を買いました",
+        "한국어의형태해석을실시할수있습니다 좋습니다",
+        "夏天像是哼着小曲的少年 每一种灿烂的颜色",
+        "政府 の データ システム と 선생님",
+    ]
+    rows = []
+    for i in range(60):
+        rows.append({
+            "doc_id": i,
+            "text": base[i % len(base)] + f" doc{i} extra{i % 7}",
+        })
+    df = spark.createDataFrame(rows)
+    out = str(tmp_path / "cjkidx")
+    build_index(spark, df, out, text_col="text", doc_id_col="doc_id",
+                num_shards=2, num_buckets=4)
+    oracle = BruteForceIndex([r["doc_id"] for r in rows],
+                             [r["text"] for r in rows])
+    reader = IndexReader(spark, out)
+    # note: a kanji-only query (e.g. "関西 空港") detects as Chinese (no
+    # kana) and kVariant-folds differently from the Japanese-detected
+    # document — the reference behaves the same way; the Japanese query
+    # must carry kana for jpn dispatch
+    for q in ["人民 政府", "トート 空港", "한국어 형태", "颜色", "データ extra1"]:
+        expected = oracle.topk(q, 10)
+        assert expected, q  # query must actually match documents
+        assert taat_topk(reader, q, 10) == expected, q
+        assert wand_topk(reader, q, 10) == expected, q
