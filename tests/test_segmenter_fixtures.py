@@ -293,3 +293,12 @@ def test_chinese_tokenize_pinyin():
     cfg = DEFAULT_CONFIG.with_(chinese_normalization_pinyin=True)
     toks = tokenize_str(CHINESE_TEXT, cfg)
     assert [t.lemma for t in toks] == CHINESE_TOKENIZED_PINYIN
+
+
+def test_chinese_mixed_number_and_letter():
+    # charabia/src/segmenter/chinese.rs:341-346
+    from sparkft.segment import chinese_segmenter
+
+    assert chinese_segmenter().segment("我从2025年开始学习Rust语言。") == [
+        "我", "从", "2025", "年", "开始", "学习", "Rust", "语言", "。",
+    ]
