@@ -443,6 +443,59 @@ SELECT DISTINCT doc_id, fp FROM sel
 """
 
 
+
+def _bm25_conjunctive_topk(spark, sf_dir):
+    """Engine path for conjunctive (AND) retrieval: galloping posting-list
+    intersection over the lazy cursors, BM25-ranked (search.conjunctive_topk)
+    on the same cached index as bm25_engine_topk."""
+    import hashlib
+    import os
+    import tempfile
+
+    from sparkft.index_build import build_index
+    from sparkft.search import IndexReader, conjunctive_topk
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    idx_dir = os.path.join(tempfile.gettempdir(), f"sparkft_entry_idx_{key}")
+    if not os.path.exists(f"{idx_dir}/stats.json"):
+        docs = _docs(spark, sf_dir)
+        build_index(
+            spark, docs, idx_dir, text_col="text", doc_id_col="doc_id",
+            num_shards=2, num_buckets=8, verify_sha=False, resume=True,
+        )
+    reader = IndexReader(spark, idx_dir)
+    hits = conjunctive_topk(reader, " ".join(BM25_QUERY_TERMS), 10)
+    return spark.createDataFrame(
+        [(int(d), round(s, 4)) for d, s in hits], "doc_id long, score double"
+    )
+
+
+def _bm25_conj_sql(sf: str) -> str:
+    terms = ", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)
+    n = len(BM25_QUERY_TERMS)
+    return f"""
+WITH postings AS ({_SQL_POSTINGS}),
+doclen AS ({_SQL_DOCLEN}),
+stats AS (SELECT count(*) AS n, sum(dl) AS tt FROM doclen),
+q(token) AS (VALUES {terms}),
+term_df AS (SELECT token, count(*) AS df FROM postings
+            WHERE token IN (SELECT token FROM q) GROUP BY token),
+scored AS (
+  SELECT p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * ({K1} + 1.0)
+                 / (p.tf + {K1} * (1.0 - {B} + {B} * l.dl / (s.tt * 1.0 / s.n)))) ) AS sc,
+         count(DISTINCT p.token) AS nt
+  FROM postings p
+  JOIN term_df d USING (token)
+  JOIN doclen l ON p.doc_id = l.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id)
+SELECT doc_id, round(sc, 4) AS score FROM scored WHERE nt = {n}
+ORDER BY round(sc, 4) DESC, doc_id LIMIT 10
+"""
+
+
 _LANG_MARKERS = {
     "en": ["the", "a"],
     "de": ["der", "die", "das"],
@@ -766,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cjk_tokenize": _cjk_tokenize,
         "embedding_near_dup": _embedding_near_dup,
         "winnow_fingerprints": _winnow_fingerprints,
+        "bm25_conjunctive_topk": _bm25_conjunctive_topk,
     }
 
 
@@ -794,4 +848,5 @@ def oracle_sql() -> dict[str, str]:
         "cjk_tokenize": _cjk_sql(""),
         "embedding_near_dup": _near_dup_sql(""),
         "winnow_fingerprints": _WINNOW_SQL,
+        "bm25_conjunctive_topk": _bm25_conj_sql(""),
     }

@@ -60,7 +60,8 @@ def main() -> int:
         "ngram_jaccard_pairs", "simhash", "embedding_cosine_topk",
         "quality_scores", "doc_fingerprint",
         "pricing_summary", "top_customers", "orders_window_rank",
-        "events_hourly", "cjk_tokenize", "embedding_near_dup", "winnow_fingerprints",
+        "events_hourly", "cjk_tokenize", "embedding_near_dup",
+        "winnow_fingerprints", "bm25_conjunctive_topk",
     ]
     for name in headline:
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())

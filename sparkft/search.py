@@ -502,3 +502,56 @@ def distributed_topk(spark, index_dir: str, queries: list[str], k: int = 10,
     return qdf.mapInPandas(
         serve, "qid long, query string, rank int, doc_id long, score double"
     )
+
+
+def conjunctive_topk(reader: IndexReader, query: str, k: int = 10,
+                     cfg: TokenizerConfig = DEFAULT_CONFIG) -> list[tuple[int, float]]:
+    """Conjunctive (AND) top-k: only documents containing EVERY query term,
+    ranked by the same BM25 sum and tie-break as taat/wand.
+
+    Galloping posting-list intersection over the block-lazy cursors: the
+    rarest list drives; each other list `seek`s forward to the candidate
+    (skip pointers leap undecoded blocks), so work is O(|rarest| * log) and
+    decode stays proportional to visited blocks — the classic intersection
+    the north star pairs with block-max WAND.
+    """
+    terms = reader.query_terms(query, cfg)
+    rows = reader.load_segment_rows(terms)
+    if not rows or len(rows) < len(terms):
+        return []  # a term with no postings empties the conjunction
+    N, avgdl = reader.N, reader.avgdl
+    lists = [
+        LazyPostingList(term, parts, float(scoring.idf(N, int(parts[0]["df"]))))
+        for term, parts in sorted(rows.items())
+    ]
+    if any(li.nblocks == 0 for li in lists):
+        return []
+    order = sorted(range(len(lists)), key=lambda i: lists[i].df)
+    driver = lists[order[0]]
+    others = [lists[i] for i in order[1:]]
+
+    heap: list[tuple[float, int]] = []  # min-heap of (score, -doc_id)
+    while not driver.exhausted():
+        doc = driver.cur_doc()
+        ok = True
+        for li in others:
+            li.seek(doc)
+            if li.exhausted() or li.cur_doc() != doc:
+                ok = False
+                if li.exhausted():
+                    # no further matches possible anywhere
+                    driver.block = driver.nblocks
+                break
+        if ok:
+            sc = 0.0
+            for li in lists:  # sorted-term order -> deterministic float sum
+                sc += li.score_of(doc, N, avgdl)
+            item = (sc, -doc)
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+        if not driver.exhausted():
+            driver.advance()
+    out = sorted(heap, key=lambda it: (-it[0], -it[1]))
+    return [(-d, s) for s, d in out]

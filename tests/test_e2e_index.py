@@ -199,3 +199,30 @@ def test_cjk_index_rank_identity(spark, tmp_path):
         assert expected, q  # query must actually match documents
         assert taat_topk(reader, q, 10) == expected, q
         assert wand_topk(reader, q, 10) == expected, q
+
+
+def test_conjunctive_topk(spark, corpus, index):
+    from sparkft.index_build import i64_to_u64
+    from sparkft.search import conjunctive_topk
+
+    out, _ = index
+    reader = IndexReader(spark, out)
+    for q in ["import fn", "parse config", "self return def", "zebra import"]:
+        terms = reader.query_terms(q)
+        postings = reader.load_postings(terms)
+        if len(postings) < len(terms):
+            expected = []
+        else:
+            member = [set(u64_to_i64_set(p[0])) for p in postings.values()]
+            all_scored = taat_topk(reader, q, 10**6)
+            expected = [
+                (d, s) for d, s in all_scored if all(d in m for m in member)
+            ][:10]
+        got = conjunctive_topk(reader, q, 10)
+        assert got == expected, q
+
+
+def u64_to_i64_set(ids_u64):
+    from sparkft.index_build import u64_to_i64
+
+    return u64_to_i64(ids_u64).tolist()
