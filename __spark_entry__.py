@@ -390,13 +390,17 @@ def _embedding_near_dup(spark, sf_dir):
     from sparkft import ann as A
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return A.embedding_near_dup_pairs(emb, threshold=0.4)
+    # demo widths (32 planes / 8-bit bands, threshold under the random-
+    # vector ceiling) so the 500-row test table yields non-empty output;
+    # production defaults are 64 planes / 16-bit bands at threshold 0.9
+    return A.embedding_near_dup_pairs(emb, n_planes=32, band_size=8,
+                                      threshold=0.4)
 
 
 def _near_dup_sql(sf: str) -> str:
     from sparkft.ann import hyperplane_planes
 
-    planes = hyperplane_planes(16, 64, 5)
+    planes = hyperplane_planes(32, 64, 5)
     bit_cols = []
     for j, pl in enumerate(planes):
         lit = "[" + ", ".join("1.0" if x > 0 else "-1.0" for x in pl) + "]::DOUBLE[]"
@@ -404,7 +408,7 @@ def _near_dup_sql(sf: str) -> str:
             f"(CASE WHEN list_inner_product(e, {lit}) >= 0 THEN '1' ELSE '0' END) AS b{j}"
         )
     band_selects = " UNION ALL ".join(
-        "SELECT vec_id, '" + str(b) + ":' || " + "||".join(f"b{b*4+r}" for r in range(4))
+        "SELECT vec_id, '" + str(b) + ":' || " + "||".join(f"b{b*8+r}" for r in range(8))
         + " AS bucket FROM bits"
         for b in range(4)
     )

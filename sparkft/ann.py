@@ -116,8 +116,8 @@ def hyperplane_planes(n_planes: int = 16, dim: int = 64, seed: int = 5):
     return rng.choice([-1.0, 1.0], size=(n_planes, dim))
 
 
-def embedding_near_dup_pairs(df, n_planes: int = 16, band_size: int = 4,
-                             threshold: float = 0.4, seed: int = 5,
+def embedding_near_dup_pairs(df, n_planes: int = 64, band_size: int = 16,
+                             threshold: float = 0.9, seed: int = 5,
                              id_col: str = "vec_id", emb_col: str = "embedding"):
     """Embedding-cosine near-duplicate pairs, LSH-gated (the scale path):
 
@@ -126,8 +126,14 @@ def embedding_near_dup_pairs(df, n_planes: int = 16, band_size: int = 4,
     candidate pairs; exact cosine >= threshold verifies. All JVM-side
     (aggregate/zip_with in codegen) — work is O(n) banding plus
     O(candidates), never an all-pairs join. Collision probability per bit is
-    1 - angle/pi, so recall at cosine s is 1-(1-((1-acos(s)/pi))^band_size)^bands
-    (~0.999 at s=0.95 with 16 planes / 4x4 — true near-dups are caught)."""
+    1 - angle/pi, so recall at cosine s is
+    1-(1-((1-acos(s)/pi))^band_size)^bands. Defaults (64 planes, 4 bands of
+    16 bits) are the scale configuration: 2^16 buckets per band keep bucket
+    sizes — and therefore the within-bucket pair blow-up — tiny at large n,
+    with recall ~0.93 at cos 0.99 and ~0.55 at 0.95 (raise bands for more).
+    Coarser bands (e.g. 32 planes / 8-bit bands) trade candidate volume for
+    recall at lower similarity — fine at demo scale, quadratic pain at
+    100 TB."""
     from pyspark.sql import functions as F
 
     dim = len(df.select(emb_col).first()[0])
