@@ -500,6 +500,31 @@ ORDER BY round(sc, 4) DESC, doc_id LIMIT 10
 """
 
 
+
+def _lang_id_ngram(spark, sf_dir):
+    return D.lang_id_ngram(_docs(spark, sf_dir))
+
+
+def _lang_id_ngram_sql(sf: str) -> str:
+    from sparkft.dedup import LANG_TRIGRAMS, _LANG_ORDER
+
+    score_cols = []
+    for lang, grams in LANG_TRIGRAMS.items():
+        parts = " + ".join(
+            f"((length(lower(text)) - length(replace(lower(text), '{g}', ''))) / {len(g)})::BIGINT"
+            for g in grams
+        )
+        score_cols.append(f"({parts}) AS s_{lang}")
+    mx = "greatest(" + ", ".join(f"s_{l}" for l in _LANG_ORDER) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN s_{l} = {mx} THEN '{l}'" for l in _LANG_ORDER
+    ) + " END"
+    return f"""
+WITH scored AS (SELECT doc_id, {", ".join(score_cols)} FROM documents)
+SELECT doc_id, {case} AS lang, {mx} AS score FROM scored
+"""
+
+
 _LANG_MARKERS = {
     "en": ["the", "a"],
     "de": ["der", "die", "das"],
@@ -824,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _embedding_near_dup,
         "winnow_fingerprints": _winnow_fingerprints,
         "bm25_conjunctive_topk": _bm25_conjunctive_topk,
+        "lang_id_ngram": _lang_id_ngram,
     }
 
 
@@ -853,4 +879,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _near_dup_sql(""),
         "winnow_fingerprints": _WINNOW_SQL,
         "bm25_conjunctive_topk": _bm25_conj_sql(""),
+        "lang_id_ngram": _lang_id_ngram_sql(""),
     }

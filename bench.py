@@ -49,8 +49,23 @@ def main() -> int:
         fn()
         timings[name] = round(time.time() - t0, 3)
 
-    # warm the JVM/Python workers once (session + worker startup noise)
+    # warm the JVM and the Python worker pool once (one wave of tokenize
+    # tasks per core importing the engine): worker spawn is ~0.4s each and
+    # amortizes to zero at real scale, so it must not land in the first
+    # measured query (same policy as bench/scaling.py)
     spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    from sparkft.config import DEFAULT_CONFIG
+    from sparkft.index_build import POSTINGS_SCHEMA, make_tokenize_arrow_fn
+
+    warm_fn = make_tokenize_arrow_fn(DEFAULT_CONFIG, "text", emit_sha=False)
+    (
+        spark.createDataFrame(
+            [(i, "warm up body") for i in range(cpus * 4)], "doc_id long, text string"
+        )
+        .repartition(cpus * 2)
+        .mapInArrow(warm_fn, POSTINGS_SCHEMA)
+        .count()
+    )
 
     qs = entry.queries()
     headline = [
@@ -61,7 +76,7 @@ def main() -> int:
         "quality_scores", "doc_fingerprint",
         "pricing_summary", "top_customers", "orders_window_rank",
         "events_hourly", "cjk_tokenize", "embedding_near_dup",
-        "winnow_fingerprints", "bm25_conjunctive_topk",
+        "winnow_fingerprints", "bm25_conjunctive_topk", "lang_id_ngram",
     ]
     for name in headline:
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())

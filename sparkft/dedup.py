@@ -286,3 +286,43 @@ def winnow_fingerprints(df: DataFrame, k: int = 8, w: int = 4,
         .select("doc_id", "fp")
         .distinct()
     )
+
+
+# characteristic character trigrams per language (whatlang-style profile,
+# reduced to the highest-signal entries; counting is exact and portable to
+# ANSI SQL via replace-length arithmetic)
+LANG_TRIGRAMS = {
+    "eng": ["the", "and", "ing", "ion", "to "],
+    "deu": ["der", "und", "sch", "ein", "ich"],
+    "fra": ["les", "ent", "de ", "que", "ait"],
+    "spa": ["que", "los", "de ", "ado", "cion"],
+}
+_LANG_ORDER = list(LANG_TRIGRAMS)
+
+
+def _trigram_count(text_col, gram: str) -> "F.Column":
+    return (
+        (F.length(text_col) - F.length(F.replace(text_col, F.lit(gram))))
+        / len(gram)
+    ).cast("long")
+
+
+def lang_id_ngram(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Character-n-gram language ID over a text column: per-language score =
+    total occurrences of that language's characteristic trigrams; winner by
+    score with a fixed language-order tie-break. One projection, all JVM
+    codegen (replace/length), no Python."""
+    text = F.lower(F.col(text_col))
+    scores = {
+        lang: sum(
+            (_trigram_count(text, g) for g in grams), F.lit(0).cast("long")
+        ).alias(f"s_{lang}")
+        for lang, grams in LANG_TRIGRAMS.items()
+    }
+    scored = df.select(F.col(id_col).alias("doc_id"), *scores.values())
+    mx = F.greatest(*[F.col(f"s_{lang}") for lang in _LANG_ORDER])
+    best = F
+    for lang in _LANG_ORDER:  # chained when = first-match tie-break
+        best = best.when(F.col(f"s_{lang}") == mx, lang)
+    return scored.select("doc_id", best.alias("lang"), mx.alias("score"))

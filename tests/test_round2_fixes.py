@@ -315,3 +315,20 @@ def test_winnow_guarantee(spark):
     # fingerprints are a small fraction of all grams (w-fold reduction-ish)
     n_grams = len(rows[0][1]) - 8 + 1
     assert len(by_doc[1]) < n_grams
+
+
+# --- n-gram language ID ------------------------------------------------------
+
+
+def test_lang_id_ngram(spark):
+    from sparkft.dedup import lang_id_ngram
+
+    rows = [
+        (1, "the cat and the dog are running along the winding path"),
+        (2, "der hund und die katze laufen schnell durch einen wald"),
+        (3, "les enfants mangent de la soupe et que la vie est belle"),
+        (4, "los gatos que juegan de la manana han llegado al jardin"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["lang"] for r in lang_id_ngram(df).collect()}
+    assert got == {1: "eng", 2: "deu", 3: "fra", 4: "spa"}
