@@ -525,6 +525,35 @@ SELECT doc_id, {case} AS lang, {mx} AS score FROM scored
 """
 
 
+
+def _phrase_engine_match(spark, sf_dir):
+    """Engine path for phrase matching: positional index (bucket-pruned
+    positions store) + adjacency intersection — the 100x answer to the
+    posexplode self-join the phrase_match demo mirrors. Same SQL oracle."""
+    import hashlib
+    import os
+    import tempfile
+
+    from sparkft.index_build import build_index
+    from sparkft.search import IndexReader, phrase_match_counts
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    idx_dir = os.path.join(tempfile.gettempdir(), f"sparkft_entry_pidx_{key}")
+    if not os.path.exists(f"{idx_dir}/stats.json"):
+        docs = _docs(spark, sf_dir)
+        build_index(
+            spark, docs, idx_dir, text_col="text", doc_id_col="doc_id",
+            num_shards=2, num_buckets=8, verify_sha=False, resume=True,
+            index_positions=True,
+        )
+    reader = IndexReader(spark, idx_dir)
+    counts = phrase_match_counts(reader, " ".join(PHRASE))
+    return spark.createDataFrame(
+        [(int(d), int(n)) for d, n in sorted(counts.items())],
+        "doc_id long, n_matches long",
+    )
+
+
 _LANG_MARKERS = {
     "en": ["the", "a"],
     "de": ["der", "die", "das"],
@@ -850,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": _winnow_fingerprints,
         "bm25_conjunctive_topk": _bm25_conjunctive_topk,
         "lang_id_ngram": _lang_id_ngram,
+        "phrase_engine_match": _phrase_engine_match,
     }
 
 
@@ -880,4 +910,5 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": _WINNOW_SQL,
         "bm25_conjunctive_topk": _bm25_conj_sql(""),
         "lang_id_ngram": _lang_id_ngram_sql(""),
+        "phrase_engine_match": _PHRASE_SQL,
     }

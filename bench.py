@@ -77,6 +77,7 @@ def main() -> int:
         "pricing_summary", "top_customers", "orders_window_rank",
         "events_hourly", "cjk_tokenize", "embedding_near_dup",
         "winnow_fingerprints", "bm25_conjunctive_topk", "lang_id_ngram",
+        "phrase_engine_match",
     ]
     for name in headline:
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())

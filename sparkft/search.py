@@ -411,32 +411,32 @@ def _load_positions(reader: IndexReader, terms: list[str]):
     }
 
 
-def phrase_topk(reader: IndexReader, phrase: str, k: int = 10,
-                cfg: TokenizerConfig = DEFAULT_CONFIG) -> list[tuple[int, float]]:
-    """Exact-phrase top-k: documents containing the query's word tokens
-    adjacently and in order, ranked by BM25 over the phrase's terms (same
-    deterministic scoring as `taat_topk`). Requires an index built with
-    index_positions=True."""
+def phrase_match_counts(reader: IndexReader, phrase: str,
+                        cfg: TokenizerConfig = DEFAULT_CONFIG) -> dict[int, int]:
+    """{doc_id: number of exact-phrase occurrences} from the positional
+    index: doc-level intersection of the phrase's terms, then positional
+    adjacency (start positions whose i-th successor holds the i-th term).
+    Reads O(phrase terms) via bucket pruning."""
     from .tokenizer import tokenize_batch
 
     _, lemmas = tokenize_batch([phrase], cfg, words_only=True)
     seq = [t for t in lemmas if t]
     if not seq:
-        return []
+        return {}
     uniq = sorted(set(seq))
     pos = _load_positions(reader, uniq)
     if any(t not in pos for t in uniq):
-        return []
+        return {}
     # doc-level intersection across the phrase's unique terms
     cand = None
     for t in uniq:
         d = pos[t][0]
         cand = d if cand is None else np.intersect1d(cand, d, assume_unique=False)
     if cand is None or len(cand) == 0:
-        return []
+        return {}
     # positional adjacency per candidate doc
     idx = {t: {int(d): p for d, p in zip(pos[t][0], pos[t][1])} for t in uniq}
-    matches = []
+    counts: dict[int, int] = {}
     for d in cand.tolist():
         starts = idx[seq[0]][d]
         for i, t in enumerate(seq[1:], start=1):
@@ -445,9 +445,23 @@ def phrase_topk(reader: IndexReader, phrase: str, k: int = 10,
             nxt = idx[t][d]
             starts = starts[np.isin(starts + i, nxt)]
         if len(starts):
-            matches.append(d)
+            counts[int(d)] = int(len(starts))
+    return counts
+
+
+def phrase_topk(reader: IndexReader, phrase: str, k: int = 10,
+                cfg: TokenizerConfig = DEFAULT_CONFIG) -> list[tuple[int, float]]:
+    """Exact-phrase top-k: documents containing the query's word tokens
+    adjacently and in order, ranked by BM25 over the phrase's terms (same
+    deterministic scoring as `taat_topk`). Requires an index built with
+    index_positions=True."""
+    from .tokenizer import tokenize_batch
+
+    matches = sorted(phrase_match_counts(reader, phrase, cfg))
     if not matches:
         return []
+    _, lemmas = tokenize_batch([phrase], cfg, words_only=True)
+    uniq = sorted({t for t in lemmas if t})
     # BM25 over the phrase terms for matching docs (sorted-term accumulation)
     postings = reader.load_postings(uniq)
     acc: dict[int, float] = {m: 0.0 for m in matches}
