@@ -205,7 +205,7 @@ def _bm25_engine_topk(spark, sf_dir):
     from sparkft.index_build import build_index
     from sparkft.search import IndexReader, wand_topk
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    key = hashlib.md5(f"{sf_dir}:v2".encode()).hexdigest()[:10]
     idx_dir = os.path.join(tempfile.gettempdir(), f"sparkft_entry_idx_{key}")
     if not os.path.exists(f"{idx_dir}/stats.json"):
         docs = _docs(spark, sf_dir)
@@ -459,7 +459,7 @@ def _bm25_conjunctive_topk(spark, sf_dir):
     from sparkft.index_build import build_index
     from sparkft.search import IndexReader, conjunctive_topk
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    key = hashlib.md5(f"{sf_dir}:v2".encode()).hexdigest()[:10]
     idx_dir = os.path.join(tempfile.gettempdir(), f"sparkft_entry_idx_{key}")
     if not os.path.exists(f"{idx_dir}/stats.json"):
         docs = _docs(spark, sf_dir)
@@ -537,7 +537,7 @@ def _phrase_engine_match(spark, sf_dir):
     from sparkft.index_build import build_index
     from sparkft.search import IndexReader, phrase_match_counts
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    key = hashlib.md5(f"{sf_dir}:v2".encode()).hexdigest()[:10]
     idx_dir = os.path.join(tempfile.gettempdir(), f"sparkft_entry_pidx_{key}")
     if not os.path.exists(f"{idx_dir}/stats.json"):
         docs = _docs(spark, sf_dir)
