@@ -71,8 +71,11 @@ _H32_SPARK = lambda col: F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("lon
 _H32_SQL = "(('0x' || substr(md5({c}), 1, 8))::BIGINT)"
 
 
-def _shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct n-token shingles."""
+def _shingles(spark: SparkSession, sf_dir: str, n: int = 3,
+              distinct: bool = True) -> DataFrame:
+    """(doc_id, shingle) n-token shingles. distinct=True is required by the
+    Jaccard set semantics; min-aggregating consumers (MinHash) pass False to
+    skip that whole extra shuffle — min() is idempotent to duplicates."""
     docs = _docs(spark, sf_dir)
     words = docs.select(
         "doc_id",
@@ -85,7 +88,8 @@ def _shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
             "concat_ws(' ', w[i], w[i+1], w[i+2]))"
         ).alias("shingles"),
     )
-    return idx.select("doc_id", F.explode("shingles").alias("shingle")).distinct()
+    out = idx.select("doc_id", F.explode("shingles").alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 _SQL_SHINGLES = """
@@ -104,6 +108,31 @@ WHERE len(w) >= 3
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 for 'merge sort table' over sf0.001 documents."""
     return _bm25_topk(spark, "/root/testdata/sf0.001")
+
+
+def _engine_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir, cached in tmp) the ONE segment index shared by
+    every engine-path entry query. Built with positions so BM25/WAND,
+    conjunctive, and phrase serving all read the same store — the segments
+    and stats are byte-identical to a positions-off build, so sharing it
+    cannot perturb the ranked paths. Key is versioned: any index-format
+    change bumps it so a stale cache can never be served."""
+    import hashlib
+    import os
+    import tempfile
+
+    from sparkft.index_build import build_index
+
+    key = hashlib.md5(f"{sf_dir}:v3pos".encode()).hexdigest()[:10]
+    idx_dir = os.path.join(tempfile.gettempdir(), f"sparkft_entry_idx_{key}")
+    if not os.path.exists(f"{idx_dir}/stats.json"):
+        docs = _docs(spark, sf_dir)
+        build_index(
+            spark, docs, idx_dir, text_col="text", doc_id_col="doc_id",
+            num_shards=2, num_buckets=8, verify_sha=False, resume=True,
+            index_positions=True,
+        )
+    return idx_dir
 
 
 # ---------------------------------------------------------------------------
@@ -198,22 +227,9 @@ def _bm25_engine_topk(spark, sf_dir):
     index (salted merge, delta+varint, block metadata) and serve via
     block-max WAND. Compared against the same ANSI-SQL oracle as the
     DataFrame path — end-to-end proof that the index round-trips scores."""
-    import hashlib
-    import os
-    import tempfile
-
-    from sparkft.index_build import build_index
     from sparkft.search import IndexReader, wand_topk
 
-    key = hashlib.md5(f"{sf_dir}:v2".encode()).hexdigest()[:10]
-    idx_dir = os.path.join(tempfile.gettempdir(), f"sparkft_entry_idx_{key}")
-    if not os.path.exists(f"{idx_dir}/stats.json"):
-        docs = _docs(spark, sf_dir)
-        build_index(
-            spark, docs, idx_dir, text_col="text", doc_id_col="doc_id",
-            num_shards=2, num_buckets=8, verify_sha=False, resume=True,
-        )
-    reader = IndexReader(spark, idx_dir)
+    reader = IndexReader(spark, _engine_index(spark, sf_dir))
     hits = wand_topk(reader, " ".join(BM25_QUERY_TERMS), 10)
     return spark.createDataFrame(
         [(int(d), round(s, 4)) for d, s in hits], "doc_id long, score double"
@@ -261,7 +277,7 @@ def _dedup_exact(spark, sf_dir):
 
 
 def _minhash_signatures(spark, sf_dir):
-    return D.minhash_signatures(_shingles(spark, sf_dir))
+    return D.minhash_signatures(_shingles(spark, sf_dir, distinct=False))
 
 
 def _minhash_sql(sf: str) -> str:
@@ -274,7 +290,9 @@ def _minhash_sql(sf: str) -> str:
 
 
 def _lsh_band_buckets(spark, sf_dir):
-    return D.lsh_buckets(D.minhash_signatures(_shingles(spark, sf_dir)))
+    return D.lsh_buckets(
+        D.minhash_signatures(_shingles(spark, sf_dir, distinct=False))
+    )
 
 
 def _band_sql_expr(j: int) -> str:
@@ -452,22 +470,9 @@ def _bm25_conjunctive_topk(spark, sf_dir):
     """Engine path for conjunctive (AND) retrieval: galloping posting-list
     intersection over the lazy cursors, BM25-ranked (search.conjunctive_topk)
     on the same cached index as bm25_engine_topk."""
-    import hashlib
-    import os
-    import tempfile
-
-    from sparkft.index_build import build_index
     from sparkft.search import IndexReader, conjunctive_topk
 
-    key = hashlib.md5(f"{sf_dir}:v2".encode()).hexdigest()[:10]
-    idx_dir = os.path.join(tempfile.gettempdir(), f"sparkft_entry_idx_{key}")
-    if not os.path.exists(f"{idx_dir}/stats.json"):
-        docs = _docs(spark, sf_dir)
-        build_index(
-            spark, docs, idx_dir, text_col="text", doc_id_col="doc_id",
-            num_shards=2, num_buckets=8, verify_sha=False, resume=True,
-        )
-    reader = IndexReader(spark, idx_dir)
+    reader = IndexReader(spark, _engine_index(spark, sf_dir))
     hits = conjunctive_topk(reader, " ".join(BM25_QUERY_TERMS), 10)
     return spark.createDataFrame(
         [(int(d), round(s, 4)) for d, s in hits], "doc_id long, score double"
@@ -530,23 +535,9 @@ def _phrase_engine_match(spark, sf_dir):
     """Engine path for phrase matching: positional index (bucket-pruned
     positions store) + adjacency intersection — the 100x answer to the
     posexplode self-join the phrase_match demo mirrors. Same SQL oracle."""
-    import hashlib
-    import os
-    import tempfile
-
-    from sparkft.index_build import build_index
     from sparkft.search import IndexReader, phrase_match_counts
 
-    key = hashlib.md5(f"{sf_dir}:v2".encode()).hexdigest()[:10]
-    idx_dir = os.path.join(tempfile.gettempdir(), f"sparkft_entry_pidx_{key}")
-    if not os.path.exists(f"{idx_dir}/stats.json"):
-        docs = _docs(spark, sf_dir)
-        build_index(
-            spark, docs, idx_dir, text_col="text", doc_id_col="doc_id",
-            num_shards=2, num_buckets=8, verify_sha=False, resume=True,
-            index_positions=True,
-        )
-    reader = IndexReader(spark, idx_dir)
+    reader = IndexReader(spark, _engine_index(spark, sf_dir))
     counts = phrase_match_counts(reader, " ".join(PHRASE))
     return spark.createDataFrame(
         [(int(d), int(n)) for d, n in sorted(counts.items())],

@@ -51,24 +51,24 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
 
 
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-             n: int = 3) -> DataFrame:
-    """Distinct n-token shingles per doc (whitespace tokens; the charabia
-    tokenizer's word stream equals this on plain-text corpora)."""
+             n: int = 3, distinct: bool = True) -> DataFrame:
+    """n-token shingles per doc (whitespace tokens; the charabia tokenizer's
+    word stream equals this on plain-text corpora). distinct=True (a full
+    (doc_id, shingle) shuffle) is required by Jaccard set semantics;
+    min-aggregating consumers (MinHash) can pass False and skip it — min()
+    is idempotent to duplicates."""
     words = df.select(
         F.col(id_col).alias("doc_id"),
         F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias("w"),
     ).filter(F.size("w") >= n)
     terms = ", ".join(f"w[i+{k}]" for k in range(n))
-    return (
-        words.select(
-            "doc_id",
-            F.expr(
-                f"transform(sequence(0, size(w) - {n}), i -> concat_ws(' ', {terms}))"
-            ).alias("sh"),
-        )
-        .select("doc_id", F.explode("sh").alias("shingle"))
-        .distinct()
-    )
+    out = words.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, size(w) - {n}), i -> concat_ws(' ', {terms}))"
+        ).alias("sh"),
+    ).select("doc_id", F.explode("sh").alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(sh: DataFrame) -> DataFrame:
