@@ -545,6 +545,133 @@ def _phrase_engine_match(spark, sf_dir):
     )
 
 
+# typo query: merje->merge (5 chars, 1 edit), windoe->window (6, 1),
+# customers->customer (9, 2 allowed / 1 used) — exercises the Meilisearch
+# length rule end-to-end. prefix 's' expands to 6 dictionary words.
+TYPO_QUERY_TERMS = ["merje", "windoe", "customers"]
+PREFIX_QUERY = "s"
+
+
+def _bm25_over_terms(spark, sf_dir, exp: DataFrame) -> DataFrame:
+    """Shared DataFrame BM25 ranking over an expanded term set `exp`
+    ((token) frame): same scoring pipeline as _bm25_topk with the term
+    filter replaced by a broadcast semi-join against the expansion."""
+    p = _postings(spark, sf_dir)
+    doc_stats = p.groupBy("doc_id").agg(F.max("doc_len").alias("dl"))
+    totals = doc_stats.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("tt")
+    ).collect()[0]
+    n_docs, avgdl = int(totals["n"]), float(totals["tt"]) / int(totals["n"])
+    q = p.join(F.broadcast(exp), "token", "left_semi")
+    term_df = q.groupBy("token").agg(F.count("*").alias("df"))
+    return (
+        q.join(F.broadcast(term_df), "token")
+        .withColumn(
+            "idf", F.log1p((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        )
+        .withColumn(
+            "s",
+            F.col("idf")
+            * (
+                F.col("tf")
+                * (K1 + 1.0)
+                / (F.col("tf") + K1 * (1.0 - B + B * F.col("doc_len") / avgdl))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _typo_search_topk(spark, sf_dir):
+    """Typo-tolerant BM25 top-k, DataFrame path: the distinct-token
+    dictionary is expanded against the query words with a JVM-side
+    levenshtein predicate (Meilisearch length rule, sparkft.typo), then the
+    expanded word set is ranked with the shared BM25 pipeline."""
+    from sparkft.typo import expand_terms_df
+
+    exp = expand_terms_df(_postings(spark, sf_dir), TYPO_QUERY_TERMS)
+    return _bm25_over_terms(spark, sf_dir, exp)
+
+
+def _expanded_bm25_sql(exp_cte: str) -> str:
+    return f"""
+WITH postings AS ({_SQL_POSTINGS}),
+doclen AS ({_SQL_DOCLEN}),
+stats AS (SELECT count(*) AS n, sum(dl) AS tt FROM doclen),
+{exp_cte},
+term_df AS (SELECT token, count(*) AS df FROM postings
+            WHERE token IN (SELECT token FROM exp) GROUP BY token),
+scored AS (
+  SELECT p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * ({K1} + 1.0)
+                 / (p.tf + {K1} * (1.0 - {B} + {B} * l.dl / (s.tt * 1.0 / s.n)))) ) AS sc
+  FROM postings p
+  JOIN term_df d USING (token)
+  JOIN doclen l ON p.doc_id = l.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id)
+SELECT doc_id, round(sc, 4) AS score FROM scored
+ORDER BY round(sc, 4) DESC, doc_id LIMIT 10
+"""
+
+
+def _typo_sql(sf: str) -> str:
+    from sparkft.typo import allowed_edits
+
+    vals = ", ".join(f"('{t}', {allowed_edits(t)})" for t in TYPO_QUERY_TERMS)
+    exp = f"""q(qterm, maxe) AS (VALUES {vals}),
+exp AS (SELECT DISTINCT token FROM (SELECT DISTINCT token FROM postings) d
+        JOIN q ON levenshtein(d.token, q.qterm) <= q.maxe)"""
+    return _expanded_bm25_sql(exp)
+
+
+def _typo_engine_topk(spark, sf_dir):
+    """Engine path for the same typo query: SymSpell deletion-neighborhood
+    expansion over the reader's term dictionary + block-max WAND over the
+    expanded set. Same oracle as the DataFrame path."""
+    from sparkft.search import IndexReader, typo_topk
+
+    reader = IndexReader(spark, _engine_index(spark, sf_dir))
+    hits = typo_topk(reader, " ".join(TYPO_QUERY_TERMS), 10)
+    return spark.createDataFrame(
+        [(int(d), round(s, 4)) for d, s in hits], "doc_id long, score double"
+    )
+
+
+def _prefix_search_topk(spark, sf_dir):
+    """Prefix (search-as-you-type) BM25 top-k, DataFrame path: the
+    dictionary expansion is a startswith filter on the distinct-token
+    relation (pushes to the scan), ranked with the shared BM25 pipeline."""
+    p = _postings(spark, sf_dir)
+    exp = (
+        p.select("token").distinct()
+        .filter(F.col("token").startswith(PREFIX_QUERY))
+    )
+    return _bm25_over_terms(spark, sf_dir, exp)
+
+
+def _prefix_sql(sf: str) -> str:
+    exp = f"""exp AS (SELECT DISTINCT token FROM postings
+        WHERE token LIKE '{PREFIX_QUERY}%')"""
+    return _expanded_bm25_sql(exp)
+
+
+def _prefix_engine_topk(spark, sf_dir):
+    """Engine path for the same prefix query: token-range scan of the
+    segment store (row-group pruned) + WAND over the expansion."""
+    from sparkft.search import IndexReader, prefix_topk
+
+    reader = IndexReader(spark, _engine_index(spark, sf_dir))
+    hits = prefix_topk(reader, PREFIX_QUERY, 10)
+    return spark.createDataFrame(
+        [(int(d), round(s, 4)) for d, s in hits], "doc_id long, score double"
+    )
+
+
 _LANG_MARKERS = {
     "en": ["the", "a"],
     "de": ["der", "die", "das"],
@@ -871,6 +998,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_conjunctive_topk": _bm25_conjunctive_topk,
         "lang_id_ngram": _lang_id_ngram,
         "phrase_engine_match": _phrase_engine_match,
+        "typo_search_topk": _typo_search_topk,
+        "typo_engine_topk": _typo_engine_topk,
+        "prefix_search_topk": _prefix_search_topk,
+        "prefix_engine_topk": _prefix_engine_topk,
     }
 
 
@@ -902,4 +1033,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_conjunctive_topk": _bm25_conj_sql(""),
         "lang_id_ngram": _lang_id_ngram_sql(""),
         "phrase_engine_match": _PHRASE_SQL,
+        "typo_search_topk": _typo_sql(""),
+        "typo_engine_topk": _typo_sql(""),
+        "prefix_search_topk": _prefix_sql(""),
+        "prefix_engine_topk": _prefix_sql(""),
     }

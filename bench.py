@@ -77,7 +77,8 @@ def main() -> int:
         "pricing_summary", "top_customers", "orders_window_rank",
         "events_hourly", "cjk_tokenize", "embedding_near_dup",
         "winnow_fingerprints", "bm25_conjunctive_topk", "lang_id_ngram",
-        "phrase_engine_match",
+        "phrase_engine_match", "typo_search_topk", "typo_engine_topk",
+        "prefix_search_topk", "prefix_engine_topk",
     ]
     for name in headline:
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())

@@ -58,6 +58,62 @@ class IndexReader:
         _, lemmas = tokenize_batch([query], cfg, words_only=True)
         return sorted({t for t in lemmas if t})
 
+    def term_dictionary(self) -> dict[str, int]:
+        """{token: df} over the whole index — a token-and-df-only columnar
+        scan of the segment store (no posting blobs are read), cached on the
+        reader. This is the expansion dictionary for typo/prefix search; it
+        is orders of magnitude smaller than the postings."""
+        got = getattr(self, "_term_dict", None)
+        if got is None:
+            tbl = self._dataset.to_table(columns=["token", "df", "part"])
+            got = {}
+            for t, df, part in zip(
+                tbl.column("token").to_pylist(),
+                tbl.column("df").to_pylist(),
+                tbl.column("part").to_pylist(),
+            ):
+                if part == 0:  # df is the token's full df, replicated per part
+                    got[t] = int(df)
+            self._term_dict = got
+        return got
+
+    def symspell(self):
+        """Deletion-neighborhood expansion index over term_dictionary(),
+        built lazily once per reader (see sparkft.typo for the scale note)."""
+        got = getattr(self, "_symspell", None)
+        if got is None:
+            from .typo import SymSpellIndex
+
+            got = self._symspell = SymSpellIndex(sorted(self.term_dictionary()))
+        return got
+
+    def prefix_terms(self, prefix: str, max_expansions: int = 64) -> list[str]:
+        """Dictionary words starting with `prefix`, via a token-range scan of
+        the segment store ((token >= p) & (token < p')) — row groups are
+        token-sorted so min/max stats prune everything outside the range.
+        If more than max_expansions match, the highest-df words win (ties:
+        token asc) — a deterministic cap so a 1-char prefix cannot explode
+        the WAND list set."""
+        import pyarrow.dataset as ds
+
+        if not prefix:
+            return []
+        hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+        tbl = self._dataset.to_table(
+            columns=["token", "df", "part"],
+            filter=(ds.field("token") >= prefix) & (ds.field("token") < hi),
+        )
+        seen: dict[str, int] = {}
+        for t, df, part in zip(
+            tbl.column("token").to_pylist(),
+            tbl.column("df").to_pylist(),
+            tbl.column("part").to_pylist(),
+        ):
+            if part == 0:
+                seen[t] = int(df)
+        ranked = sorted(seen.items(), key=lambda kv: (-kv[1], kv[0]))
+        return sorted(t for t, _ in ranked[:max_expansions])
+
     def load_segment_rows(self, terms: list[str]) -> dict:
         """Raw segment rows (compressed blobs + block metadata) for `terms`,
         grouped by token and sorted by part. No decoding happens here."""
@@ -301,7 +357,13 @@ def wand_topk(reader: IndexReader, query: str, k: int = 10,
     decoded when a cursor lands in a block. Pass a dict as `stats` to receive
     {"blocks_decoded", "blocks_total"}.
     """
-    terms = reader.query_terms(query, cfg)
+    return wand_topk_terms(reader, reader.query_terms(query, cfg), k, stats)
+
+
+def wand_topk_terms(reader: IndexReader, terms: list[str], k: int = 10,
+                    stats: Optional[dict] = None) -> list[tuple[int, float]]:
+    """Block-max WAND over an explicit (already-tokenized) term set — the
+    shared scorer behind `wand_topk` and the typo/prefix expanded queries."""
     rows = reader.load_segment_rows(terms)
     if not rows:
         return []
@@ -569,3 +631,39 @@ def conjunctive_topk(reader: IndexReader, query: str, k: int = 10,
             driver.advance()
     out = sorted(heap, key=lambda it: (-it[0], -it[1]))
     return [(-d, s) for s, d in out]
+
+
+# ---------------------------------------------------------------------------
+# Typo-tolerant and prefix search (engine-original; Meilisearch's flagship
+# features over the charabia token stream — see sparkft/typo.py)
+# ---------------------------------------------------------------------------
+
+
+def typo_topk(reader: IndexReader, query: str, k: int = 10,
+              cfg: TokenizerConfig = DEFAULT_CONFIG,
+              stats: Optional[dict] = None) -> list[tuple[int, float]]:
+    """Typo-tolerant top-k: each query word expands to every dictionary word
+    within its allowed edit distance (Meilisearch default rule: <5 chars 0
+    typos, 5-8 one, 9+ two); the union of expanded words is ranked with the
+    same block-max WAND + BM25 sum as plain disjunctive search. Expansion
+    uses the reader's cached SymSpell deletion-neighborhood index; serving
+    reads stay O(expanded terms) via bucket + token pruning."""
+    sym = reader.symspell()
+    expanded = sorted({w for t in reader.query_terms(query, cfg)
+                       for w in sym.expand(t)})
+    if stats is not None:
+        stats["expanded_terms"] = expanded
+    return wand_topk_terms(reader, expanded, k)
+
+
+def prefix_topk(reader: IndexReader, prefix: str, k: int = 10,
+                max_expansions: int = 64,
+                stats: Optional[dict] = None) -> list[tuple[int, float]]:
+    """Prefix top-k (search-as-you-type): the prefix expands to dictionary
+    words via a token-range scan of the segment store (row-group min/max
+    pruning; highest-df words win past max_expansions), then the expanded
+    set is ranked by the shared WAND + BM25 sum."""
+    expanded = reader.prefix_terms(prefix.strip().lower(), max_expansions)
+    if stats is not None:
+        stats["expanded_terms"] = expanded
+    return wand_topk_terms(reader, expanded, k)

@@ -1,0 +1,167 @@
+"""Typo-tolerant + prefix search: expansion correctness (SymSpell candidate
+completeness vs brute-force Levenshtein scan), the Meilisearch length rule,
+and engine-path rank identity against TAAT over a hand-expanded term set."""
+
+import random
+import string
+
+import pytest
+
+from sparkft.typo import SymSpellIndex, allowed_edits, levenshtein
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .appName("sparkft-typo")
+        .getOrCreate()
+    )
+    yield s
+
+
+def test_allowed_edits_rule():
+    # Meilisearch defaults: <5 chars 0 typos, 5-8 one, 9+ two
+    assert allowed_edits("the") == 0
+    assert allowed_edits("sort") == 0
+    assert allowed_edits("merge") == 1
+    assert allowed_edits("window") == 1
+    assert allowed_edits("filterer") == 1
+    assert allowed_edits("customers") == 2
+    assert allowed_edits("tokenization") == 2
+
+
+def test_levenshtein_known_values():
+    assert levenshtein("kitten", "sitting", 3) == 3
+    assert levenshtein("merje", "merge", 1) == 1
+    assert levenshtein("abc", "abc", 0) == 0
+    # cap early-exit returns cap+1, never an undercount
+    assert levenshtein("aaaa", "bbbb", 1) == 2
+    assert levenshtein("abcdef", "", 2) == 3
+
+
+def _brute_expand(vocab, term):
+    e = allowed_edits(term)
+    return sorted(w for w in vocab if levenshtein(term, w, e) <= e)
+
+
+def test_symspell_matches_brute_force_random():
+    rng = random.Random(7)
+    vocab = sorted(
+        {"".join(rng.choice(string.ascii_lowercase[:6]) for _ in range(rng.randint(2, 10)))
+         for _ in range(300)}
+    )
+    sym = SymSpellIndex(vocab)
+    queries = [rng.choice(vocab) for _ in range(30)]
+    # perturb some queries by 1-2 random edits
+    for i in range(0, 30, 2):
+        q = list(queries[i])
+        pos = rng.randrange(len(q))
+        q[pos] = rng.choice(string.ascii_lowercase[:6])
+        queries[i] = "".join(q)
+    for q in queries:
+        assert sym.expand(q) == _brute_expand(vocab, q), q
+
+
+def test_symspell_zero_edit_terms():
+    sym = SymSpellIndex(["sort", "sore", "merge"])
+    # 4-char query allows 0 typos: exact match only
+    assert sym.expand("sort") == ["sort"]
+    assert sym.expand("sord") == []
+
+
+def _tiny_index(spark, tmp_path):
+    from sparkft.index_build import build_index
+
+    rows = []
+    words = ["merge", "sort", "window", "windows", "winter", "customer",
+             "scan", "stream", "filter"]
+    rng = random.Random(3)
+    for d in range(60):
+        rows.append((d, " ".join(rng.choice(words) for _ in range(30))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "idx")
+    build_index(spark, df, out, text_col="text", doc_id_col="doc_id",
+                num_shards=1, num_buckets=4, verify_sha=False)
+    return out
+
+
+def test_typo_topk_equals_taat_over_expansion(spark, tmp_path):
+    from sparkft.search import IndexReader, typo_topk, wand_topk_terms
+
+    idx = _tiny_index(spark, tmp_path)
+    reader = IndexReader(spark, idx)
+    stats = {}
+    got = typo_topk(reader, "windoe custmer", 10, stats=stats)
+    # manual expansion: windoe->{window, windows? lev=2 >1}, custmer(7)->customer(1 del... insert o: lev 1)
+    assert stats["expanded_terms"] == ["customer", "window"]
+    want = wand_topk_terms(reader, ["customer", "window"], 10)
+    assert got == want
+    assert len(got) == 10
+
+
+def test_typo_expansion_respects_length_rule(spark, tmp_path):
+    from sparkft.search import IndexReader, typo_topk
+
+    idx = _tiny_index(spark, tmp_path)
+    reader = IndexReader(spark, idx)
+    stats = {}
+    typo_topk(reader, "scam", 10, stats=stats)  # 4 chars: 0 typos allowed
+    assert stats["expanded_terms"] == []
+    stats = {}
+    typo_topk(reader, "scan", 10, stats=stats)
+    assert stats["expanded_terms"] == ["scan"]
+
+
+def test_prefix_topk_equals_taat_over_expansion(spark, tmp_path):
+    from sparkft.search import IndexReader, prefix_topk, wand_topk_terms
+
+    idx = _tiny_index(spark, tmp_path)
+    reader = IndexReader(spark, idx)
+    stats = {}
+    got = prefix_topk(reader, "win", 10, stats=stats)
+    assert stats["expanded_terms"] == ["window", "windows", "winter"]
+    assert got == wand_topk_terms(reader, ["window", "windows", "winter"], 10)
+
+
+def test_prefix_max_expansions_cap_is_df_ranked(spark, tmp_path):
+    from sparkft.index_build import build_index
+    from sparkft.search import IndexReader
+
+    # wa appears in every doc, wb in half, wc in a quarter
+    rows = []
+    for d in range(40):
+        toks = ["wa"]
+        if d % 2 == 0:
+            toks.append("wb")
+        if d % 4 == 0:
+            toks.append("wc")
+        rows.append((d, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "idx2")
+    build_index(spark, df, out, text_col="text", doc_id_col="doc_id",
+                num_shards=1, num_buckets=4, verify_sha=False)
+    reader = IndexReader(spark, out)
+    assert reader.prefix_terms("w", max_expansions=2) == ["wa", "wb"]
+    assert reader.prefix_terms("w", max_expansions=10) == ["wa", "wb", "wc"]
+    assert reader.prefix_terms("z") == []
+
+
+def test_expand_terms_df_matches_symspell(spark):
+    from sparkft.typo import expand_terms_df
+
+    vocab = ["merge", "sort", "window", "windows", "customer", "scan"]
+    dict_df = spark.createDataFrame([(w,) for w in vocab], "token string")
+    got = sorted(
+        r["token"]
+        for r in expand_terms_df(dict_df, ["windoe", "custmer", "scam"]).collect()
+    )
+    sym = SymSpellIndex(vocab)
+    want = sorted(
+        {w for t in ["windoe", "custmer", "scam"] for w in sym.expand(t)}
+    )
+    assert got == want == ["customer", "window"]
