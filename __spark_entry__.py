@@ -672,6 +672,177 @@ def _prefix_engine_topk(spark, sf_dir):
     )
 
 
+FILTER_LANG = "en"
+
+
+def _filtered_search_topk(spark, sf_dir):
+    """Attribute-filtered BM25 top-k, DataFrame path (Meilisearch `filter`,
+    re-based on BM25): rank only documents with lang = FILTER_LANG. BM25
+    statistics (N, avgdl, df) stay index-global — the filter restricts
+    candidates, not the model — so scores are comparable across filters.
+    The candidate restriction is a broadcast semi-join on the pushed-down
+    (lang = ...) scan of the narrow (doc_id, lang) projection, applied right
+    after the token filter so only query-term postings are ever joined."""
+    p = _postings(spark, sf_dir)
+    doc_stats = p.groupBy("doc_id").agg(F.max("doc_len").alias("dl"))
+    totals = doc_stats.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("tt")
+    ).collect()[0]
+    n_docs, avgdl = int(totals["n"]), float(totals["tt"]) / int(totals["n"])
+    q = p.filter(F.col("token").isin(BM25_QUERY_TERMS))
+    term_df = q.groupBy("token").agg(F.count("*").alias("df"))
+    allowed = (
+        _docs(spark, sf_dir)
+        .filter(F.col("lang") == FILTER_LANG)
+        .select("doc_id")
+    )
+    return (
+        q.join(F.broadcast(allowed), "doc_id", "left_semi")
+        .join(F.broadcast(term_df), "token")
+        .withColumn(
+            "idf", F.log1p((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        )
+        .withColumn(
+            "s",
+            F.col("idf")
+            * (
+                F.col("tf")
+                * (K1 + 1.0)
+                / (F.col("tf") + K1 * (1.0 - B + B * F.col("doc_len") / avgdl))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _filtered_sql(sf: str) -> str:
+    terms = ", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)
+    return f"""
+WITH postings AS ({_SQL_POSTINGS}),
+doclen AS ({_SQL_DOCLEN}),
+stats AS (SELECT count(*) AS n, sum(dl) AS tt FROM doclen),
+q(token) AS (VALUES {terms}),
+term_df AS (SELECT token, count(*) AS df FROM postings
+            WHERE token IN (SELECT token FROM q) GROUP BY token),
+scored AS (
+  SELECT p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * ({K1} + 1.0)
+                 / (p.tf + {K1} * (1.0 - {B} + {B} * l.dl / (s.tt * 1.0 / s.n)))) ) AS sc
+  FROM postings p
+  JOIN term_df d USING (token)
+  JOIN doclen l ON p.doc_id = l.doc_id
+  CROSS JOIN stats s
+  WHERE p.doc_id IN (SELECT doc_id FROM documents WHERE lang = '{FILTER_LANG}')
+  GROUP BY p.doc_id)
+SELECT doc_id, round(sc, 4) AS score FROM scored
+ORDER BY round(sc, 4) DESC, doc_id LIMIT 10
+"""
+
+
+def _filtered_engine_topk(spark, sf_dir):
+    """Engine path for the same filtered query: the allowed-doc set gates
+    the WAND scoring branch (rejected pivots advance without heap updates),
+    so decode stays lazy and bounds stay conservative. The demo collects the
+    allowed ids from the pushed-down lang scan; at 100 TB that set is an
+    attribute index (per-facet-value doc-id store), probed the same way."""
+    from sparkft.search import IndexReader, filtered_topk
+
+    reader = IndexReader(spark, _engine_index(spark, sf_dir))
+    allowed = [
+        r[0]
+        for r in _docs(spark, sf_dir)
+        .filter(F.col("lang") == FILTER_LANG)
+        .select("doc_id")
+        .collect()
+    ]
+    hits = filtered_topk(reader, " ".join(BM25_QUERY_TERMS), 10,
+                         allowed_docs=allowed)
+    return spark.createDataFrame(
+        [(int(d), round(s, 4)) for d, s in hits], "doc_id long, score double"
+    )
+
+
+def _words_ranked_topk(spark, sf_dir):
+    """Meilisearch's first ranking rule ("words"), DataFrame path: documents
+    matching more distinct query terms rank first, tie-broken by the BM25
+    sum then doc_id. Same scored-postings pipeline as bm25_topk with a
+    two-key sort — one extra count(*) per group, no extra shuffle."""
+    p = _postings(spark, sf_dir)
+    doc_stats = p.groupBy("doc_id").agg(F.max("doc_len").alias("dl"))
+    totals = doc_stats.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("tt")
+    ).collect()[0]
+    n_docs, avgdl = int(totals["n"]), float(totals["tt"]) / int(totals["n"])
+    q = p.filter(F.col("token").isin(BM25_QUERY_TERMS))
+    term_df = q.groupBy("token").agg(F.count("*").alias("df"))
+    return (
+        q.join(F.broadcast(term_df), "token")
+        .withColumn(
+            "idf", F.log1p((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        )
+        .withColumn(
+            "s",
+            F.col("idf")
+            * (
+                F.col("tf")
+                * (K1 + 1.0)
+                / (F.col("tf") + K1 * (1.0 - B + B * F.col("doc_len") / avgdl))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.round(F.sum("s"), 4).alias("score"),
+        )
+        .orderBy(F.desc("n_words"), F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _words_sql(sf: str) -> str:
+    terms = ", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)
+    return f"""
+WITH postings AS ({_SQL_POSTINGS}),
+doclen AS ({_SQL_DOCLEN}),
+stats AS (SELECT count(*) AS n, sum(dl) AS tt FROM doclen),
+q(token) AS (VALUES {terms}),
+term_df AS (SELECT token, count(*) AS df FROM postings
+            WHERE token IN (SELECT token FROM q) GROUP BY token),
+scored AS (
+  SELECT p.doc_id,
+         count(*)::BIGINT AS n_words,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * ({K1} + 1.0)
+                 / (p.tf + {K1} * (1.0 - {B} + {B} * l.dl / (s.tt * 1.0 / s.n)))) ) AS sc
+  FROM postings p
+  JOIN term_df d USING (token)
+  JOIN doclen l ON p.doc_id = l.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id)
+SELECT doc_id, n_words, round(sc, 4) AS score FROM scored
+ORDER BY n_words DESC, round(sc, 4) DESC, doc_id LIMIT 10
+"""
+
+
+def _words_engine_topk(spark, sf_dir):
+    """Engine path for the words ranking rule: exhaustive TAAT accumulation
+    of (distinct-terms-matched, BM25 sum) over the segment store — the
+    composite key defeats WAND's single bound, so this path costs one full
+    traversal of the query terms' postings (O(query postings), not O(index))."""
+    from sparkft.search import IndexReader, words_ranked_topk
+
+    reader = IndexReader(spark, _engine_index(spark, sf_dir))
+    hits = words_ranked_topk(reader, " ".join(BM25_QUERY_TERMS), 10)
+    return spark.createDataFrame(
+        [(int(d), int(c), round(s, 4)) for d, c, s in hits],
+        "doc_id long, n_words long, score double",
+    )
+
+
 _LANG_MARKERS = {
     "en": ["the", "a"],
     "de": ["der", "die", "das"],
@@ -1002,6 +1173,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "typo_engine_topk": _typo_engine_topk,
         "prefix_search_topk": _prefix_search_topk,
         "prefix_engine_topk": _prefix_engine_topk,
+        "filtered_search_topk": _filtered_search_topk,
+        "filtered_engine_topk": _filtered_engine_topk,
+        "words_ranked_topk": _words_ranked_topk,
+        "words_engine_topk": _words_engine_topk,
     }
 
 
@@ -1037,4 +1212,8 @@ def oracle_sql() -> dict[str, str]:
         "typo_engine_topk": _typo_sql(""),
         "prefix_search_topk": _prefix_sql(""),
         "prefix_engine_topk": _prefix_sql(""),
+        "filtered_search_topk": _filtered_sql(""),
+        "filtered_engine_topk": _filtered_sql(""),
+        "words_ranked_topk": _words_sql(""),
+        "words_engine_topk": _words_sql(""),
     }

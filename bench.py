@@ -79,6 +79,8 @@ def main() -> int:
         "winnow_fingerprints", "bm25_conjunctive_topk", "lang_id_ngram",
         "phrase_engine_match", "typo_search_topk", "typo_engine_topk",
         "prefix_search_topk", "prefix_engine_topk",
+        "filtered_search_topk", "filtered_engine_topk",
+        "words_ranked_topk", "words_engine_topk",
     ]
     for name in headline:
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())

@@ -55,7 +55,7 @@ def main(sf_dir: str, only: str | None = None):
     oq = entry.oracle_sql()
     failures = 0
     for name, fn in qs.items():
-        if only and name != only:
+        if only and name not in only.split(","):
             continue
         t0 = time.time()
         try:

@@ -56,6 +56,39 @@ class BruteForceIndex:
         top = scoring.topk_indices(scores, dids, k)
         return [(int(dids[i]), float(scores[i])) for i in top]
 
+    def filtered_topk(self, query: str, k: int = 10,
+                      allowed=None) -> list[tuple[int, float]]:
+        """Attribute-filtered reference ranking: the full (index-global
+        statistics) ranking restricted to `allowed` doc_ids. Mirrors the
+        engine's filtered WAND, where the filter gates candidates but never
+        the BM25 model."""
+        full = self.topk(query, k=self.N)
+        if allowed is not None:
+            allowed = set(int(d) for d in allowed)
+            full = [(d, s) for d, s in full if d in allowed]
+        return full[:k]
+
+    def words_topk(self, query: str, k: int = 10) -> list[tuple[int, int, float]]:
+        """Reference for the "words" ranking rule: (distinct query terms
+        matched DESC, BM25 sum DESC, doc_id ASC); same sorted-term
+        accumulation order as the engine, so equality is float64-exact."""
+        _, qlem = tokenize_batch([query], self.cfg, words_only=True)
+        terms = sorted({t for t in qlem if t})
+        acc: dict[int, float] = {}
+        cnt: dict[int, int] = {}
+        for term in terms:
+            if term not in self.postings:
+                continue
+            rows, tfs = self.postings[term]
+            df = len(rows)
+            sc = scoring.bm25(tfs, self.doc_len[rows], df, self.N, self.avgdl)
+            for r, s in zip(rows.tolist(), sc.tolist()):
+                d = int(self.doc_ids[r])
+                acc[d] = acc.get(d, 0.0) + s
+                cnt[d] = cnt.get(d, 0) + 1
+        order = sorted(acc, key=lambda d: (-cnt[d], -acc[d], d))[:k]
+        return [(d, cnt[d], acc[d]) for d in order]
+
 
 class BruteForcePhraseIndex(BruteForceIndex):
     """Adds exact-phrase search over the raw token streams (positions are

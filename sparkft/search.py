@@ -361,9 +361,13 @@ def wand_topk(reader: IndexReader, query: str, k: int = 10,
 
 
 def wand_topk_terms(reader: IndexReader, terms: list[str], k: int = 10,
-                    stats: Optional[dict] = None) -> list[tuple[int, float]]:
+                    stats: Optional[dict] = None,
+                    allowed: Optional[set] = None) -> list[tuple[int, float]]:
     """Block-max WAND over an explicit (already-tokenized) term set — the
-    shared scorer behind `wand_topk` and the typo/prefix expanded queries."""
+    shared scorer behind `wand_topk`, the typo/prefix expanded queries, and
+    (via `allowed`) attribute-filtered search. A pivot outside `allowed`
+    advances without scoring or heap updates, so the threshold only ever
+    comes from admissible documents and bounds stay conservative."""
     rows = reader.load_segment_rows(terms)
     if not rows:
         return []
@@ -401,8 +405,8 @@ def wand_topk_terms(reader: IndexReader, terms: list[str], k: int = 10,
             break
         pivot_doc = live[pivot_idx].cur_doc()
         if live[0].cur_doc() == pivot_doc:
-            skip = False
-            if len(heap) >= k:
+            skip = allowed is not None and pivot_doc not in allowed
+            if not skip and len(heap) >= k:
                 # bound over every list currently positioned at pivot_doc
                 # (lists beyond the pivot may also equal it), which is the
                 # full set that can contribute to this doc's score
@@ -667,3 +671,56 @@ def prefix_topk(reader: IndexReader, prefix: str, k: int = 10,
     if stats is not None:
         stats["expanded_terms"] = expanded
     return wand_topk_terms(reader, expanded, k)
+
+
+# ---------------------------------------------------------------------------
+# Filtered search + the "words" ranking rule (engine-original; Meilisearch's
+# attribute filters and its first ranking criterion, re-based on BM25)
+# ---------------------------------------------------------------------------
+
+
+def filtered_topk(reader: IndexReader, query: str, k: int = 10,
+                  allowed_docs=None,
+                  cfg: TokenizerConfig = DEFAULT_CONFIG) -> list[tuple[int, float]]:
+    """Attribute-filtered top-k: rank only documents in `allowed_docs`
+    (any int container; None = unfiltered). BM25 statistics (N, avgdl, df)
+    stay index-global — the filter restricts candidates, not the model, so
+    scores are comparable across filters (and to unfiltered search).
+
+    The membership test gates the scoring branch of the WAND loop: rejected
+    pivots advance without a heap update, so bounds stay conservative and
+    decode stays lazy. At 100 TB the allowed set is an attribute index (a
+    hive-partitioned (attr -> doc_id) store or per-facet-value bitmap), not
+    a driver-held set; the loop's O(1) membership probe is the same."""
+    allowed = None if allowed_docs is None else (
+        allowed_docs if isinstance(allowed_docs, set) else set(map(int, allowed_docs))
+    )
+    return wand_topk_terms(reader, reader.query_terms(query, cfg), k,
+                           allowed=allowed)
+
+
+def words_ranked_topk(reader: IndexReader, query: str, k: int = 10,
+                      cfg: TokenizerConfig = DEFAULT_CONFIG
+                      ) -> list[tuple[int, int, float]]:
+    """Meilisearch's first ranking rule ("words": documents matching more
+    query words rank first), tie-broken by the BM25 sum then doc_id.
+    Returns [(doc_id, n_terms_matched, score)].
+
+    Exhaustive TAAT accumulation of (distinct-terms-matched, score) — the
+    composite key breaks WAND's single upper bound, so pruning does not
+    apply; this ranking costs one full traversal of the query terms'
+    postings (still O(query postings), never O(index))."""
+    terms = reader.query_terms(query, cfg)
+    postings = reader.load_postings(terms)
+    if not postings:
+        return []
+    acc: dict[int, float] = {}
+    cnt: dict[int, int] = {}
+    for term in sorted(postings):
+        ids, tfs, lens_, df, _, _ = postings[term]
+        sc = scoring.bm25(tfs, lens_, df, reader.N, reader.avgdl)
+        for d, s in zip(u64_to_i64(ids).tolist(), sc.tolist()):
+            acc[d] = acc.get(d, 0.0) + s
+            cnt[d] = cnt.get(d, 0) + 1
+    order = sorted(acc, key=lambda d: (-cnt[d], -acc[d], d))[:k]
+    return [(d, cnt[d], acc[d]) for d in order]
