@@ -123,10 +123,16 @@ def _engine_index(spark: SparkSession, sf_dir: str) -> str:
 
     from sparkft.index_build import build_index
 
-    key = hashlib.md5(f"{sf_dir}:v3pos".encode()).hexdigest()[:10]
+    key = hashlib.md5(f"{sf_dir}:v4pos".encode()).hexdigest()[:10]
     idx_dir = os.path.join(tempfile.gettempdir(), f"sparkft_entry_idx_{key}")
     if not os.path.exists(f"{idx_dir}/stats.json"):
+        from sparkft.facets import write_attribute_store
+
         docs = _docs(spark, sf_dir)
+        # attribute store next to the segments (facets + the sort rule);
+        # written first so stats.json stays the build-complete marker
+        write_attribute_store(spark, docs, idx_dir,
+                              cols=("lang", "n_chars", "source"))
         build_index(
             spark, docs, idx_dir, text_col="text", doc_id_col="doc_id",
             num_shards=2, num_buckets=8, verify_sha=False, resume=True,
@@ -843,6 +849,347 @@ def _words_engine_topk(spark, sf_dir):
     )
 
 
+def _facet_counts_df(spark, sf_dir):
+    """Facet distribution (Meilisearch `facetDistribution`), DataFrame path:
+    per-lang doc counts over the docs matching >= 1 query term — the same
+    disjunctive candidate set BM25 ranks. Candidates are a distinct doc_id
+    projection of the pruned postings scan; the documents join is a
+    broadcast semi-join feeding one small groupBy."""
+    p = _postings(spark, sf_dir)
+    cand = (
+        p.filter(F.col("token").isin(BM25_QUERY_TERMS))
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        _docs(spark, sf_dir)
+        .join(F.broadcast(cand), "doc_id", "left_semi")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def _facet_sql(sf: str) -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return f"""
+SELECT lang, count(*) AS n_docs FROM documents
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM ({_SQL_TOKS})
+                 WHERE token IN ({terms}))
+GROUP BY lang
+"""
+
+
+def _facet_engine_counts(spark, sf_dir):
+    """Engine path for the same facet distribution: disjunctive candidate
+    ids from the segment store (O(query terms) reads, tombstone-filtered) +
+    one vectorized searchsorted lookup into the doc_id-sorted attribute
+    store."""
+    from sparkft.facets import AttributeStore, facet_counts
+    from sparkft.search import IndexReader
+
+    idx = _engine_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    counts = facet_counts(reader, AttributeStore(idx),
+                          " ".join(BM25_QUERY_TERMS), "lang")
+    return spark.createDataFrame(
+        [(k, int(v)) for k, v in counts.items()], "lang string, n_docs long"
+    )
+
+
+def _sorted_search_topk(spark, sf_dir):
+    """The `sort` ranking rule (Meilisearch), DataFrame path: docs matching
+    >= 1 query term ordered by the n_chars attribute DESC (doc_id ASC
+    tie-break). TakeOrdered over the candidate set — never a corpus sort."""
+    p = _postings(spark, sf_dir)
+    cand = (
+        p.filter(F.col("token").isin(BM25_QUERY_TERMS))
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        _docs(spark, sf_dir)
+        .join(F.broadcast(cand), "doc_id", "left_semi")
+        .select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _sorted_sql(sf: str) -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return f"""
+SELECT doc_id, n_chars FROM documents
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM ({_SQL_TOKS})
+                 WHERE token IN ({terms}))
+ORDER BY n_chars DESC, doc_id LIMIT 10
+"""
+
+
+def _sorted_engine_topk(spark, sf_dir):
+    """Engine path for the sort rule: candidate ids from the segment store +
+    attribute lookup + one lexsort over the candidates."""
+    from sparkft.facets import AttributeStore, sort_topk
+    from sparkft.search import IndexReader
+
+    idx = _engine_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    hits = sort_topk(reader, AttributeStore(idx),
+                     " ".join(BM25_QUERY_TERMS), "n_chars", 10,
+                     descending=True)
+    return spark.createDataFrame(
+        [(int(d), int(v)) for d, v in hits], "doc_id long, n_chars long"
+    )
+
+
+def _distinct_search_topk(spark, sf_dir):
+    """Meilisearch `distinctAttribute`, DataFrame path: the BM25 ranking
+    keeping at most one doc per lang (best-scored wins). One window over
+    the scored candidates (partitioned by the attribute), never a corpus
+    pass."""
+    from pyspark.sql import Window
+
+    p = _postings(spark, sf_dir)
+    doc_stats = p.groupBy("doc_id").agg(F.max("doc_len").alias("dl"))
+    totals = doc_stats.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("tt")
+    ).collect()[0]
+    n_docs, avgdl = int(totals["n"]), float(totals["tt"]) / int(totals["n"])
+    q = p.filter(F.col("token").isin(BM25_QUERY_TERMS))
+    term_df = q.groupBy("token").agg(F.count("*").alias("df"))
+    scored = (
+        q.join(F.broadcast(term_df), "token")
+        .withColumn(
+            "idf", F.log1p((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        )
+        .withColumn(
+            "s",
+            F.col("idf")
+            * (
+                F.col("tf")
+                * (K1 + 1.0)
+                / (F.col("tf") + K1 * (1.0 - B + B * F.col("doc_len") / avgdl))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 4).alias("score"))
+        .join(_docs(spark, sf_dir).select("doc_id", "lang"), "doc_id")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _distinct_sql(sf: str) -> str:
+    terms = ", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)
+    return f"""
+WITH postings AS ({_SQL_POSTINGS}),
+doclen AS ({_SQL_DOCLEN}),
+stats AS (SELECT count(*) AS n, sum(dl) AS tt FROM doclen),
+q(token) AS (VALUES {terms}),
+term_df AS (SELECT token, count(*) AS df FROM postings
+            WHERE token IN (SELECT token FROM q) GROUP BY token),
+scored AS (
+  SELECT p.doc_id,
+         round(sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * ({K1} + 1.0)
+                 / (p.tf + {K1} * (1.0 - {B} + {B} * l.dl / (s.tt * 1.0 / s.n)))) ), 4) AS score
+  FROM postings p
+  JOIN term_df d USING (token)
+  JOIN doclen l ON p.doc_id = l.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id),
+ranked AS (
+  SELECT sc.doc_id, dd.lang, sc.score,
+         row_number() OVER (PARTITION BY dd.lang
+                            ORDER BY sc.score DESC, sc.doc_id) AS rn
+  FROM scored sc JOIN documents dd ON sc.doc_id = dd.doc_id)
+SELECT doc_id, lang, score FROM ranked WHERE rn = 1
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def _distinct_engine_topk(spark, sf_dir):
+    """Engine path for distinctAttribute: exhaustive TAAT + one pass down
+    the sorted candidates keeping first-per-lang (attribute store lookup)."""
+    from sparkft.facets import AttributeStore, distinct_topk
+    from sparkft.search import IndexReader
+
+    idx = _engine_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    hits = distinct_topk(reader, AttributeStore(idx),
+                         " ".join(BM25_QUERY_TERMS), "lang", 10)
+    return spark.createDataFrame(
+        [(int(d), v, round(s, 4)) for d, v, s in hits],
+        "doc_id long, lang string, score double",
+    )
+
+
+def _highlight_topk(spark, sf_dir):
+    """Highlighting (_formatted): for the BM25 top-10, the number of
+    matched-word spans located in the ORIGINAL text via the tokenizer's
+    char offsets (the charabia char_map machinery). Spans are computed only
+    for the served docs — highlighting never touches the corpus."""
+    from sparkft.highlight import highlight_spans
+    from sparkft.search import IndexReader, wand_topk
+
+    reader = IndexReader(spark, _engine_index(spark, sf_dir))
+    hits = wand_topk(reader, " ".join(BM25_QUERY_TERMS), 10)
+    ids = [int(d) for d, _ in hits]
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in _docs(spark, sf_dir).filter(F.col("doc_id").isin(ids)).collect()
+    }
+    return spark.createDataFrame(
+        [(d, len(highlight_spans(texts[d], BM25_QUERY_TERMS))) for d in ids],
+        "doc_id long, n_spans long",
+    )
+
+
+def _highlight_sql(sf: str) -> str:
+    terms = ", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)
+    in_terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return f"""
+WITH postings AS ({_SQL_POSTINGS}),
+doclen AS ({_SQL_DOCLEN}),
+stats AS (SELECT count(*) AS n, sum(dl) AS tt FROM doclen),
+q(token) AS (VALUES {terms}),
+term_df AS (SELECT token, count(*) AS df FROM postings
+            WHERE token IN (SELECT token FROM q) GROUP BY token),
+scored AS (
+  SELECT p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * ({K1} + 1.0)
+                 / (p.tf + {K1} * (1.0 - {B} + {B} * l.dl / (s.tt * 1.0 / s.n)))) ) AS sc
+  FROM postings p
+  JOIN term_df d USING (token)
+  JOIN doclen l ON p.doc_id = l.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id),
+top AS (SELECT doc_id FROM scored ORDER BY round(sc, 4) DESC, doc_id LIMIT 10)
+SELECT t.doc_id, count(*) AS n_spans
+FROM ({_SQL_TOKS}) t JOIN top USING (doc_id)
+WHERE t.token IN ({in_terms})
+GROUP BY t.doc_id
+"""
+
+
+DELETE_MOD = 7  # entry delete set: doc_id % 7 == 0 (deterministic, ~14%)
+
+
+def _deleted_index(spark, sf_dir, compacted: bool) -> str:
+    """Copy of the shared entry index with the deterministic delete set
+    tombstoned (and optionally compacted) — copied so the shared cache is
+    never polluted. Cached per (sf_dir, compacted)."""
+    import os
+    import shutil
+    import tempfile
+
+    from sparkft.index_build import compact_index, delete_docs
+
+    src = _engine_index(spark, sf_dir)
+    tag = "cmp" if compacted else "del"
+    dst = f"{src}_{tag}{DELETE_MOD}"
+    if not os.path.exists(f"{dst}/stats.json"):
+        tmp = tempfile.mkdtemp(dir=os.path.dirname(dst))
+        shutil.copytree(src, tmp, dirs_exist_ok=True)
+        dead = [
+            r[0]
+            for r in _docs(spark, sf_dir)
+            .filter(F.col("doc_id") % DELETE_MOD == 0)
+            .select("doc_id")
+            .collect()
+        ]
+        delete_docs(tmp, dead)
+        if compacted:
+            compact_index(spark, tmp, num_buckets=8)
+        os.rename(tmp, dst)
+    return dst
+
+
+def _deleted_engine_topk(spark, sf_dir):
+    """Merge-on-read deletes, pre-compaction: tombstoned docs are excluded
+    from WAND serving while BM25 stats (N/avgdl/df) keep their pre-delete
+    values (Lucene live-until-merge semantics). Oracle: full-corpus BM25
+    with candidates restricted to live docs."""
+    from sparkft.search import IndexReader, wand_topk
+
+    reader = IndexReader(spark, _deleted_index(spark, sf_dir, compacted=False))
+    hits = wand_topk(reader, " ".join(BM25_QUERY_TERMS), 10)
+    return spark.createDataFrame(
+        [(int(d), round(s, 4)) for d, s in hits], "doc_id long, score double"
+    )
+
+
+def _deleted_sql(sf: str) -> str:
+    terms = ", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)
+    return f"""
+WITH postings AS ({_SQL_POSTINGS}),
+doclen AS ({_SQL_DOCLEN}),
+stats AS (SELECT count(*) AS n, sum(dl) AS tt FROM doclen),
+q(token) AS (VALUES {terms}),
+term_df AS (SELECT token, count(*) AS df FROM postings
+            WHERE token IN (SELECT token FROM q) GROUP BY token),
+scored AS (
+  SELECT p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * ({K1} + 1.0)
+                 / (p.tf + {K1} * (1.0 - {B} + {B} * l.dl / (s.tt * 1.0 / s.n)))) ) AS sc
+  FROM postings p
+  JOIN term_df d USING (token)
+  JOIN doclen l ON p.doc_id = l.doc_id
+  CROSS JOIN stats s
+  WHERE p.doc_id % {DELETE_MOD} <> 0
+  GROUP BY p.doc_id)
+SELECT doc_id, round(sc, 4) AS score FROM scored
+ORDER BY round(sc, 4) DESC, doc_id LIMIT 10
+"""
+
+
+def _compacted_engine_topk(spark, sf_dir):
+    """Same delete set, post-compaction: segments and stats are rebuilt over
+    live docs only, so scores equal a fresh build on the live corpus.
+    Oracle: BM25 with stats AND df recomputed over live docs."""
+    from sparkft.search import IndexReader, wand_topk
+
+    reader = IndexReader(spark, _deleted_index(spark, sf_dir, compacted=True))
+    hits = wand_topk(reader, " ".join(BM25_QUERY_TERMS), 10)
+    return spark.createDataFrame(
+        [(int(d), round(s, 4)) for d, s in hits], "doc_id long, score double"
+    )
+
+
+def _compacted_sql(sf: str) -> str:
+    terms = ", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)
+    return f"""
+WITH toks AS (SELECT doc_id, token FROM ({_SQL_TOKS})
+              WHERE doc_id % {DELETE_MOD} <> 0),
+postings AS (SELECT doc_id, token, count(*) AS tf FROM toks
+             GROUP BY doc_id, token),
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, sum(dl) AS tt FROM doclen),
+q(token) AS (VALUES {terms}),
+term_df AS (SELECT token, count(*) AS df FROM postings
+            WHERE token IN (SELECT token FROM q) GROUP BY token),
+scored AS (
+  SELECT p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * ({K1} + 1.0)
+                 / (p.tf + {K1} * (1.0 - {B} + {B} * l.dl / (s.tt * 1.0 / s.n)))) ) AS sc
+  FROM postings p
+  JOIN term_df d USING (token)
+  JOIN doclen l ON p.doc_id = l.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id)
+SELECT doc_id, round(sc, 4) AS score FROM scored
+ORDER BY round(sc, 4) DESC, doc_id LIMIT 10
+"""
+
+
 _LANG_MARKERS = {
     "en": ["the", "a"],
     "de": ["der", "die", "das"],
@@ -1177,6 +1524,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_engine_topk": _filtered_engine_topk,
         "words_ranked_topk": _words_ranked_topk,
         "words_engine_topk": _words_engine_topk,
+        "deleted_engine_topk": _deleted_engine_topk,
+        "compacted_engine_topk": _compacted_engine_topk,
+        "facet_counts": _facet_counts_df,
+        "facet_engine_counts": _facet_engine_counts,
+        "sorted_search_topk": _sorted_search_topk,
+        "sorted_engine_topk": _sorted_engine_topk,
+        "distinct_search_topk": _distinct_search_topk,
+        "distinct_engine_topk": _distinct_engine_topk,
+        "highlight_topk": _highlight_topk,
     }
 
 
@@ -1216,4 +1572,13 @@ def oracle_sql() -> dict[str, str]:
         "filtered_engine_topk": _filtered_sql(""),
         "words_ranked_topk": _words_sql(""),
         "words_engine_topk": _words_sql(""),
+        "deleted_engine_topk": _deleted_sql(""),
+        "compacted_engine_topk": _compacted_sql(""),
+        "facet_counts": _facet_sql(""),
+        "facet_engine_counts": _facet_sql(""),
+        "sorted_search_topk": _sorted_sql(""),
+        "sorted_engine_topk": _sorted_sql(""),
+        "distinct_search_topk": _distinct_sql(""),
+        "distinct_engine_topk": _distinct_sql(""),
+        "highlight_topk": _highlight_sql(""),
     }

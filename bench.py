@@ -81,6 +81,11 @@ def main() -> int:
         "prefix_search_topk", "prefix_engine_topk",
         "filtered_search_topk", "filtered_engine_topk",
         "words_ranked_topk", "words_engine_topk",
+        "deleted_engine_topk", "compacted_engine_topk",
+        "facet_counts", "facet_engine_counts",
+        "sorted_search_topk", "sorted_engine_topk",
+        "distinct_search_topk", "distinct_engine_topk",
+        "highlight_topk",
     ]
     for name in headline:
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())

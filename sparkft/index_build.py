@@ -569,6 +569,38 @@ def build_segments(spark, postings, out_dir: str, avgdl: float,
     )
 
 
+def delete_docs(index_dir: str, doc_ids) -> int:
+    """Tombstone-based document deletion (Lucene-style merge-on-read).
+
+    Appends the ids as an immutable parquet file under
+    `{index_dir}/tombstones/`; readers exclude tombstoned docs from every
+    serving path immediately, while segments, stats (N/avgdl/df) and
+    positions stay untouched until `compact_index` folds the deletes out —
+    the classic live-until-merge scoring approximation. The filename is a
+    content hash, so re-issuing the same delete is a no-op overwrite
+    (idempotent), and concurrent deletes never clobber each other.
+
+    At 100 TB the tombstone store is the same doc-id-sorted parquet, read as
+    a bitmap by each serving worker; deletes stay O(|deleted|), never
+    touching the posting data."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids = sorted({int(d) for d in doc_ids})
+    if not ids:
+        return 0
+    tomb_dir = f"{index_dir}/tombstones"
+    os.makedirs(tomb_dir, exist_ok=True)
+    h = hashlib.sha256(np.asarray(ids, dtype=np.int64).tobytes()).hexdigest()[:16]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64())}),
+        f"{tomb_dir}/del-{h}.parquet",
+    )
+    return len(ids)
+
+
 def compact_index(spark, out_dir: str, num_buckets: int = 32,
                   salt_mod: int = 16, hot_token_count: int = 64,
                   seg_max: int = SEG_MAX) -> dict:
@@ -601,6 +633,20 @@ def compact_index(spark, out_dir: str, num_buckets: int = 32,
         .parquet(f"{out_dir}/postings_raw")
         .filter(~F.col("token").startswith(SHA_PREFIX))
     )
+    # Fold tombstoned docs out of the rebuilt segments AND the recomputed
+    # stats: after compaction the index is byte-equivalent to a fresh build
+    # over the live corpus. The tombstone store is kept (postings_raw shards
+    # still contain the dead rows, so a later compaction must keep filtering;
+    # readers double-filter harmlessly). Broadcast: the delete set is tiny
+    # relative to postings — at scale Spark AQE would pick this anyway.
+    tomb_dir = f"{out_dir}/tombstones"
+    if os.path.isdir(tomb_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(tomb_dir)
+    ):
+        tombs = spark.read.parquet(tomb_dir).select("doc_id").distinct()
+        all_postings = all_postings.join(
+            F.broadcast(tombs), "doc_id", "left_anti"
+        )
     postings = all_postings.select("token", "doc_id", "tf", "doc_len")
     stats = postings.agg(
         F.sum("tf").alias("tt"),

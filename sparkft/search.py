@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import heapq
 import json
+import os
 from typing import Optional
 
 import numpy as np
@@ -51,6 +52,18 @@ class IndexReader:
         self._dataset = ds.dataset(
             f"{index_dir}/segments", format="parquet", partitioning="hive"
         )
+        # Lucene-style merge-on-read deletes: tombstoned docs are excluded
+        # from every serving path but stay in the segments (and in N/avgdl/df
+        # — the classic live-until-merge approximation) until compact_index
+        # folds them out. The demo holds the set in memory; at 100 TB this is
+        # a roaring bitmap / doc-id-sorted store sharing the segment layout.
+        self.deleted: frozenset = frozenset()
+        tomb = f"{index_dir}/tombstones"
+        if os.path.isdir(tomb) and any(
+            f.endswith(".parquet") for f in os.listdir(tomb)
+        ):
+            t = ds.dataset(tomb, format="parquet").to_table(columns=["doc_id"])
+            self.deleted = frozenset(t["doc_id"].to_pylist())
 
     def query_terms(self, query: str, cfg: TokenizerConfig = DEFAULT_CONFIG) -> list[str]:
         from .tokenizer import tokenize_batch
@@ -329,12 +342,17 @@ def taat_topk(reader: IndexReader, query: str, k: int = 10,
     if not postings:
         return []
     acc: dict[int, float] = {}
+    dead = reader.deleted
     for term in sorted(postings):  # sorted term order => deterministic sums
         ids, tfs, lens_, df, _, _ = postings[term]
         scores = scoring.bm25(tfs, lens_, df, reader.N, reader.avgdl)
         ids_i = u64_to_i64(ids)
         for d, s in zip(ids_i.tolist(), scores.tolist()):
+            if d in dead:
+                continue
             acc[d] = acc.get(d, 0.0) + s
+    if not acc:
+        return []
     doc_ids = np.fromiter(acc.keys(), dtype=np.int64, count=len(acc))
     scores = np.fromiter(acc.values(), dtype=np.float64, count=len(acc))
     top = scoring.topk_indices(scores, doc_ids, k)
@@ -365,12 +383,14 @@ def wand_topk_terms(reader: IndexReader, terms: list[str], k: int = 10,
                     allowed: Optional[set] = None) -> list[tuple[int, float]]:
     """Block-max WAND over an explicit (already-tokenized) term set — the
     shared scorer behind `wand_topk`, the typo/prefix expanded queries, and
-    (via `allowed`) attribute-filtered search. A pivot outside `allowed`
-    advances without scoring or heap updates, so the threshold only ever
-    comes from admissible documents and bounds stay conservative."""
+    (via `allowed`) attribute-filtered search. A pivot outside `allowed` —
+    or inside the reader's tombstone set — advances without scoring or heap
+    updates, so the threshold only ever comes from admissible documents and
+    bounds stay conservative."""
     rows = reader.load_segment_rows(terms)
     if not rows:
         return []
+    dead = reader.deleted
     N, avgdl = reader.N, reader.avgdl
     lists = [
         LazyPostingList(term, parts, float(scoring.idf(N, int(parts[0]["df"]))))
@@ -405,7 +425,9 @@ def wand_topk_terms(reader: IndexReader, terms: list[str], k: int = 10,
             break
         pivot_doc = live[pivot_idx].cur_doc()
         if live[0].cur_doc() == pivot_doc:
-            skip = allowed is not None and pivot_doc not in allowed
+            skip = pivot_doc in dead or (
+                allowed is not None and pivot_doc not in allowed
+            )
             if not skip and len(heap) >= k:
                 # bound over every list currently positioned at pivot_doc
                 # (lists beyond the pivot may also equal it), which is the
@@ -500,10 +522,13 @@ def phrase_match_counts(reader: IndexReader, phrase: str,
         cand = d if cand is None else np.intersect1d(cand, d, assume_unique=False)
     if cand is None or len(cand) == 0:
         return {}
-    # positional adjacency per candidate doc
+    # positional adjacency per candidate doc (tombstoned docs never match)
     idx = {t: {int(d): p for d, p in zip(pos[t][0], pos[t][1])} for t in uniq}
     counts: dict[int, int] = {}
+    dead = reader.deleted
     for d in cand.tolist():
+        if d in dead:
+            continue
         starts = idx[seq[0]][d]
         for i, t in enumerate(seq[1:], start=1):
             if len(starts) == 0:
@@ -611,9 +636,10 @@ def conjunctive_topk(reader: IndexReader, query: str, k: int = 10,
     others = [lists[i] for i in order[1:]]
 
     heap: list[tuple[float, int]] = []  # min-heap of (score, -doc_id)
+    dead = reader.deleted
     while not driver.exhausted():
         doc = driver.cur_doc()
-        ok = True
+        ok = doc not in dead
         for li in others:
             li.seek(doc)
             if li.exhausted() or li.cur_doc() != doc:
@@ -622,6 +648,8 @@ def conjunctive_topk(reader: IndexReader, query: str, k: int = 10,
                     # no further matches possible anywhere
                     driver.block = driver.nblocks
                 break
+            # (a tombstoned driver doc still seeks the others forward —
+            # their cursors never need to revisit anything earlier)
         if ok:
             sc = 0.0
             for li in lists:  # sorted-term order -> deterministic float sum
@@ -716,10 +744,13 @@ def words_ranked_topk(reader: IndexReader, query: str, k: int = 10,
         return []
     acc: dict[int, float] = {}
     cnt: dict[int, int] = {}
+    dead = reader.deleted
     for term in sorted(postings):
         ids, tfs, lens_, df, _, _ = postings[term]
         sc = scoring.bm25(tfs, lens_, df, reader.N, reader.avgdl)
         for d, s in zip(u64_to_i64(ids).tolist(), sc.tolist()):
+            if d in dead:
+                continue
             acc[d] = acc.get(d, 0.0) + s
             cnt[d] = cnt.get(d, 0) + 1
     order = sorted(acc, key=lambda d: (-cnt[d], -acc[d], d))[:k]

@@ -1,0 +1,137 @@
+"""Attribute store, facet distribution, and the `sort` ranking rule:
+engine results vs a pandas/numpy recomputation over the raw corpus, plus
+tombstone interplay (deleted docs leave the facet counts and the sorted
+ranking immediately)."""
+
+import numpy as np
+import pytest
+
+from sparkft.corpus import generate_corpus
+from sparkft.facets import (
+    AttributeStore,
+    facet_counts,
+    matching_docs,
+    sort_topk,
+    write_attribute_store,
+)
+from sparkft.index_build import build_index, delete_docs
+from sparkft.search import IndexReader
+from sparkft.tokenizer import tokenize_batch
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .appName("sparkft-facets")
+        .getOrCreate()
+    )
+    yield s
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    corpus = generate_corpus(300, seed=31)
+    out = str(tmp_path_factory.mktemp("aidx"))
+    df = spark.createDataFrame(corpus).repartition(4)
+    build_index(spark, df, out, num_shards=2, num_buckets=8)
+
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.createDataFrame(corpus)
+        .withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
+        .withColumn("n_chars", F.length("content"))
+    )
+    write_attribute_store(spark, docs, out, cols=("repo", "n_chars"))
+    rows = docs.select("doc_id", "content", "repo", "n_chars").collect()
+    return out, rows
+
+
+def _expected_matches(rows, terms):
+    out = {}
+    for r in rows:
+        _, lemmas = tokenize_batch([r["content"]], words_only=True)
+        toks = set(lemmas)
+        if toks & set(terms):
+            out[int(r["doc_id"])] = r
+    return out
+
+
+QUERY = "merge sort table"
+
+
+def test_matching_docs_is_disjunctive_union(spark, built):
+    out, rows = built
+    reader = IndexReader(spark, out)
+    terms = reader.query_terms(QUERY)
+    got = set(matching_docs(reader, terms).tolist())
+    assert got == set(_expected_matches(rows, terms))
+
+
+def test_facet_counts_match_pandas(spark, built):
+    out, rows = built
+    reader = IndexReader(spark, out)
+    want = {}
+    for r in _expected_matches(rows, reader.query_terms(QUERY)).values():
+        want[r["repo"]] = want.get(r["repo"], 0) + 1
+    got = facet_counts(reader, AttributeStore(out), QUERY, "repo")
+    assert got == want
+
+
+def test_sort_topk_matches_pandas(spark, built):
+    out, rows = built
+    reader = IndexReader(spark, out)
+    m = _expected_matches(rows, reader.query_terms(QUERY))
+    want = sorted(((int(r["doc_id"]), int(r["n_chars"])) for r in m.values()),
+                  key=lambda t: (-t[1], t[0]))[:10]
+    got = sort_topk(reader, AttributeStore(out), QUERY, "n_chars", 10)
+    assert got == want
+    # ascending too
+    want_asc = sorted(((int(r["doc_id"]), int(r["n_chars"])) for r in m.values()),
+                      key=lambda t: (t[1], t[0]))[:10]
+    assert sort_topk(reader, AttributeStore(out), QUERY, "n_chars", 10,
+                     descending=False) == want_asc
+
+
+def test_string_descending_raises(spark, built):
+    out, _ = built
+    reader = IndexReader(spark, out)
+    with pytest.raises(NotImplementedError):
+        sort_topk(reader, AttributeStore(out), QUERY, "repo", 5,
+                  descending=True)
+
+
+def test_missing_store_raises(spark, built, tmp_path):
+    with pytest.raises(ValueError, match="no attribute store"):
+        AttributeStore(str(tmp_path))
+
+
+def test_tombstones_leave_facets_and_sort(spark, built, tmp_path):
+    """Deletes apply to facets/sort immediately (merge-on-read)."""
+    import shutil
+
+    out, rows = built
+    reader0 = IndexReader(spark, out)
+    m = _expected_matches(rows, reader0.query_terms(QUERY))
+    dead = set(list(m)[::2])
+
+    cp = str(tmp_path / "cp")
+    shutil.copytree(out, cp)
+    delete_docs(cp, dead)
+    reader = IndexReader(spark, cp)
+    store = AttributeStore(cp)
+
+    live = {d: r for d, r in m.items() if d not in dead}
+    want_counts = {}
+    for r in live.values():
+        want_counts[r["repo"]] = want_counts.get(r["repo"], 0) + 1
+    assert facet_counts(reader, store, QUERY, "repo") == want_counts
+
+    want_sorted = sorted(((d, int(r["n_chars"])) for d, r in live.items()),
+                         key=lambda t: (-t[1], t[0]))[:10]
+    assert sort_topk(reader, store, QUERY, "n_chars", 10) == want_sorted
