@@ -941,6 +941,108 @@ def _sorted_engine_topk(spark, sf_dir):
     )
 
 
+def _proximity_search_topk(spark, sf_dir):
+    """Meilisearch `proximity` ranking rule, DataFrame path: docs containing
+    BOTH phrase terms ranked by the minimum pair cost (forward distance, or
+    reverse distance + 1), doc_id tie-break. Positional self-join on the
+    posexploded word stream — the DataFrame mirror of the positional-index
+    path."""
+    docs = _docs(spark, sf_dir)
+    w = docs.select(
+        "doc_id",
+        F.posexplode(F.filter(F.split("text", " "), lambda x: x != "")).alias(
+            "pos", "token"
+        ),
+    )
+    a = w.filter(F.col("token") == PHRASE[0]).select("doc_id", F.col("pos").alias("pa"))
+    b = w.filter(F.col("token") == PHRASE[1]).select(
+        F.col("doc_id").alias("d2"), F.col("pos").alias("pb")
+    )
+    return (
+        a.join(b, a.doc_id == b.d2)
+        .withColumn(
+            "cost",
+            F.when(F.col("pb") > F.col("pa"), F.col("pb") - F.col("pa"))
+            .otherwise(F.col("pa") - F.col("pb") + 1),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("cost").alias("proximity"))
+        .orderBy(F.asc("proximity"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+_PROXIMITY_SQL = f"""
+WITH w AS (
+  SELECT doc_id, i AS pos, arr[i] AS token
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS arr
+        FROM documents), unnest(range(1, len(arr) + 1)) AS t(i)),
+a AS (SELECT doc_id, pos FROM w WHERE token = '{PHRASE[0]}'),
+b AS (SELECT doc_id, pos FROM w WHERE token = '{PHRASE[1]}'),
+costs AS (
+  SELECT a.doc_id,
+         min(CASE WHEN b.pos > a.pos THEN b.pos - a.pos
+                  ELSE a.pos - b.pos + 1 END)::BIGINT AS proximity
+  FROM a JOIN b USING (doc_id) GROUP BY a.doc_id)
+SELECT doc_id, proximity FROM costs ORDER BY proximity, doc_id LIMIT 10
+"""
+
+
+def _proximity_engine_topk(spark, sf_dir):
+    """Engine path for the proximity rule: positional index (bucket-pruned
+    reads) + one vectorized searchsorted per candidate doc."""
+    from sparkft.search import IndexReader, proximity_topk
+
+    reader = IndexReader(spark, _engine_index(spark, sf_dir))
+    hits = proximity_topk(reader, " ".join(PHRASE), 10)
+    return spark.createDataFrame(
+        [(int(d), int(c)) for d, c in hits], "doc_id long, proximity long"
+    )
+
+
+MATCH_LAST_QUERY = "merge sort zzzzunmatchable"  # last word absent -> dropped
+
+
+def _matching_last_topk(spark, sf_dir):
+    """Meilisearch's default matching strategy ("last"): require all query
+    words, dropping words from the END until something matches. The third
+    word is absent from the corpus, so the engine serves the conjunction of
+    the first two — the oracle asserts exactly that relaxation."""
+    from sparkft.search import IndexReader, matching_last_topk
+
+    reader = IndexReader(spark, _engine_index(spark, sf_dir))
+    hits = matching_last_topk(reader, MATCH_LAST_QUERY, 10)
+    return spark.createDataFrame(
+        [(int(d), round(s, 4)) for d, s in hits], "doc_id long, score double"
+    )
+
+
+def _matching_last_sql(sf: str) -> str:
+    kept = MATCH_LAST_QUERY.split()[:2]
+    terms = ", ".join(f"('{t}')" for t in kept)
+    return f"""
+WITH postings AS ({_SQL_POSTINGS}),
+doclen AS ({_SQL_DOCLEN}),
+stats AS (SELECT count(*) AS n, sum(dl) AS tt FROM doclen),
+q(token) AS (VALUES {terms}),
+term_df AS (SELECT token, count(*) AS df FROM postings
+            WHERE token IN (SELECT token FROM q) GROUP BY token),
+scored AS (
+  SELECT p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * ({K1} + 1.0)
+                 / (p.tf + {K1} * (1.0 - {B} + {B} * l.dl / (s.tt * 1.0 / s.n)))) ) AS sc,
+         count(DISTINCT p.token) AS nt
+  FROM postings p
+  JOIN term_df d USING (token)
+  JOIN doclen l ON p.doc_id = l.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id)
+SELECT doc_id, round(sc, 4) AS score FROM scored WHERE nt = {len(kept)}
+ORDER BY round(sc, 4) DESC, doc_id LIMIT 10
+"""
+
+
 def _distinct_search_topk(spark, sf_dir):
     """Meilisearch `distinctAttribute`, DataFrame path: the BM25 ranking
     keeping at most one doc per lang (best-scored wins). One window over
@@ -1533,6 +1635,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_search_topk": _distinct_search_topk,
         "distinct_engine_topk": _distinct_engine_topk,
         "highlight_topk": _highlight_topk,
+        "proximity_search_topk": _proximity_search_topk,
+        "proximity_engine_topk": _proximity_engine_topk,
+        "matching_last_topk": _matching_last_topk,
     }
 
 
@@ -1581,4 +1686,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_search_topk": _distinct_sql(""),
         "distinct_engine_topk": _distinct_sql(""),
         "highlight_topk": _highlight_sql(""),
+        "proximity_search_topk": _PROXIMITY_SQL,
+        "proximity_engine_topk": _PROXIMITY_SQL,
+        "matching_last_topk": _matching_last_sql(""),
     }

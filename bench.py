@@ -86,6 +86,8 @@ def main() -> int:
         "sorted_search_topk", "sorted_engine_topk",
         "distinct_search_topk", "distinct_engine_topk",
         "highlight_topk",
+        "proximity_search_topk", "proximity_engine_topk",
+        "matching_last_topk",
     ]
     for name in headline:
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())

@@ -570,6 +570,93 @@ def phrase_topk(reader: IndexReader, phrase: str, k: int = 10,
     return [(int(doc_ids[i]), float(scores[i])) for i in top]
 
 
+def _min_pair_cost(A: np.ndarray, B: np.ndarray) -> int:
+    """Meilisearch-style proximity cost between two occurrence-position
+    arrays (both sorted): min over (a, b) of (b - a) when the second term
+    follows the first, else (a - b + 1) — reversed order costs one extra.
+    Vectorized: for every b only its flanking a's can be optimal."""
+    idx = np.searchsorted(A, B)
+    best = np.iinfo(np.int64).max
+    left = idx > 0
+    if left.any():
+        best = min(best, int((B[left] - A[idx[left] - 1]).min()))
+    right = idx < len(A)
+    if right.any():
+        best = min(best, int((A[idx[right]] - B[right]).min()) + 1)
+    return best
+
+
+def proximity_topk(reader: IndexReader, query: str, k: int = 10,
+                   cfg: TokenizerConfig = DEFAULT_CONFIG
+                   ) -> list[tuple[int, int]]:
+    """Meilisearch's `proximity` ranking rule: documents whose query terms
+    occur closer together (in query order) rank first. Per doc the cost is
+    the sum over CONSECUTIVE query-term pairs of the minimum pair cost
+    (b - a forward, a - b + 1 reversed); docs must contain every term.
+    Returns [(doc_id, proximity)] ordered by (proximity ASC, doc_id ASC).
+
+    Positional-index path: doc-level intersection of the terms then one
+    vectorized searchsorted per (doc, pair) — O(query postings), and the
+    positions store is bucket-pruned exactly like phrase search."""
+    from .tokenizer import tokenize_batch
+
+    _, lemmas = tokenize_batch([query], cfg, words_only=True)
+    seq = [t for t in lemmas if t]
+    # consecutive distinct pairs in query order
+    seq = [t for i, t in enumerate(seq) if i == 0 or t != seq[i - 1]]
+    if len(seq) < 2:
+        return []
+    uniq = sorted(set(seq))
+    pos = _load_positions(reader, uniq)
+    if any(t not in pos for t in uniq):
+        return []
+    cand = None
+    for t in uniq:
+        d = pos[t][0]
+        cand = d if cand is None else np.intersect1d(cand, d)
+    if cand is None or len(cand) == 0:
+        return []
+    idx = {t: {int(d): p for d, p in zip(pos[t][0], pos[t][1])} for t in uniq}
+    dead = reader.deleted
+    out = []
+    for d in cand.tolist():
+        if d in dead:
+            continue
+        cost = 0
+        for a, b in zip(seq, seq[1:]):
+            cost += _min_pair_cost(idx[a][d], idx[b][d])
+        out.append((int(d), int(cost)))
+    out.sort(key=lambda t: (t[1], t[0]))
+    return out[:k]
+
+
+def matching_last_topk(reader: IndexReader, query: str, k: int = 10,
+                       cfg: TokenizerConfig = DEFAULT_CONFIG,
+                       stats: Optional[dict] = None
+                       ) -> list[tuple[int, float]]:
+    """Meilisearch's default matching strategy ("last"): require ALL query
+    words, and if nothing matches, drop words from the END of the query
+    until something does. Each attempt is one conjunctive (galloping
+    intersection) pass; the final term set is BM25-ranked. Pass `stats` to
+    receive {"terms_used": [...]}. At most len(terms) attempts, each
+    O(rarest posting list) — the relaxation never rescans the corpus."""
+    from .tokenizer import tokenize_batch
+
+    _, lemmas = tokenize_batch([query], cfg, words_only=True)
+    # QUERY order (first occurrence wins): "last" drops from the end
+    terms = list(dict.fromkeys(t for t in lemmas if t))
+    while terms:
+        hits = conjunctive_topk_terms(reader, terms, k)
+        if hits:
+            if stats is not None:
+                stats["terms_used"] = terms
+            return hits
+        terms = terms[:-1]
+    if stats is not None:
+        stats["terms_used"] = []
+    return []
+
+
 def distributed_topk(spark, index_dir: str, queries: list[str], k: int = 10,
                      cfg: TokenizerConfig = DEFAULT_CONFIG,
                      parallelism: Optional[int] = None):
@@ -620,7 +707,14 @@ def conjunctive_topk(reader: IndexReader, query: str, k: int = 10,
     decode stays proportional to visited blocks — the classic intersection
     the north star pairs with block-max WAND.
     """
-    terms = reader.query_terms(query, cfg)
+    return conjunctive_topk_terms(reader, reader.query_terms(query, cfg), k)
+
+
+def conjunctive_topk_terms(reader: IndexReader, terms: list[str],
+                           k: int = 10) -> list[tuple[int, float]]:
+    """Conjunctive top-k over an explicit term set (order-insensitive) —
+    the shared core behind `conjunctive_topk` and `matching_last_topk`."""
+    terms = sorted(set(terms))
     rows = reader.load_segment_rows(terms)
     if not rows or len(rows) < len(terms):
         return []  # a term with no postings empties the conjunction

@@ -1,0 +1,122 @@
+"""Proximity ranking rule + matching strategy "last".
+
+Proximity: engine (positional index + vectorized pair cost) vs a pure-Python
+brute force over the tokenized corpus; pair-cost kernel vs an O(n*m) scan.
+Matching "last": term-dropping relaxation equals the conjunctive ranking of
+the longest matching prefix."""
+
+import numpy as np
+import pytest
+
+from sparkft.corpus import generate_corpus
+from sparkft.index_build import build_index
+from sparkft.search import (
+    IndexReader,
+    _min_pair_cost,
+    conjunctive_topk,
+    matching_last_topk,
+    proximity_topk,
+)
+from sparkft.tokenizer import tokenize_batch
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .appName("sparkft-prox")
+        .getOrCreate()
+    )
+    yield s
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    corpus = generate_corpus(300, seed=51)
+    out = str(tmp_path_factory.mktemp("pidx"))
+    df = spark.createDataFrame(corpus).repartition(4)
+    build_index(spark, df, out, num_shards=2, num_buckets=8,
+                index_positions=True)
+
+    from pyspark.sql import functions as F
+
+    rows = (
+        spark.createDataFrame(corpus)
+        .withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
+        .select("doc_id", "content")
+        .collect()
+    )
+    return IndexReader(spark, out), rows
+
+
+def _brute_cost(A, B):
+    return min(
+        (b - a) if b > a else (a - b + 1) for a in A for b in B
+    )
+
+
+def test_pair_cost_matches_brute_force():
+    rng = np.random.default_rng(3)
+    for _ in range(200):
+        A = np.unique(rng.integers(0, 100, size=rng.integers(1, 12)))
+        B = np.unique(rng.integers(0, 100, size=rng.integers(1, 12)))
+        assert _min_pair_cost(A, B) == _brute_cost(A, B)
+
+
+def _brute_proximity(rows, seq):
+    out = {}
+    for r in rows:
+        _, lemmas = tokenize_batch([r["content"]], words_only=True)
+        pos = {}
+        for i, t in enumerate(lemmas):
+            pos.setdefault(t, []).append(i)
+        if not all(t in pos for t in set(seq)):
+            continue
+        cost = sum(
+            _brute_cost(pos[a], pos[b]) for a, b in zip(seq, seq[1:])
+        )
+        out[int(r["doc_id"])] = cost
+    return out
+
+
+@pytest.mark.parametrize("query", ["merge sort", "parse config", "sort merge",
+                                   "parse config token"])
+def test_proximity_matches_brute_force(built, query):
+    reader, rows = built
+    seq = query.split()
+    want_map = _brute_proximity(rows, seq)
+    want = sorted(((d, c) for d, c in want_map.items()),
+                  key=lambda t: (t[1], t[0]))[:10]
+    assert proximity_topk(reader, query, 10) == want
+
+
+def test_proximity_degenerate(built):
+    reader, _ = built
+    assert proximity_topk(reader, "merge", 10) == []  # single term
+    assert proximity_topk(reader, "merge zzzmissing", 10) == []
+    # repeated term collapses to single -> no pair
+    assert proximity_topk(reader, "merge merge", 10) == []
+
+
+def test_matching_last_drops_tail(built):
+    reader, _ = built
+    stats = {}
+    got = matching_last_topk(reader, "merge sort zzzmissing", 10, stats=stats)
+    assert stats["terms_used"] == ["merge", "sort"]
+    assert got == conjunctive_topk(reader, "merge sort", 10)
+    assert got, "prefix conjunction should match"
+
+
+def test_matching_last_all_match_is_plain_conjunction(built):
+    reader, _ = built
+    got = matching_last_topk(reader, "merge sort", 10)
+    assert got == conjunctive_topk(reader, "merge sort", 10)
+
+
+def test_matching_last_nothing_matches(built):
+    reader, _ = built
+    assert matching_last_topk(reader, "zzza zzzb", 10) == []
