@@ -1000,6 +1000,55 @@ def _proximity_engine_topk(spark, sf_dir):
     )
 
 
+def _exactness_engine_topk(spark, sf_dir):
+    """Meilisearch `exactness` rule: docs containing the query as an exact
+    adjacent sequence rank first, then BM25, then doc_id. One positional
+    phrase pass marks the exact set; TAAT ranks (composite key, no WAND)."""
+    from sparkft.search import IndexReader, exactness_topk
+
+    reader = IndexReader(spark, _engine_index(spark, sf_dir))
+    hits = exactness_topk(reader, " ".join(PHRASE), 10)
+    return spark.createDataFrame(
+        [(int(d), int(e), round(s, 4)) for d, e, s in hits],
+        "doc_id long, exact long, score double",
+    )
+
+
+def _exactness_sql(sf: str) -> str:
+    terms = ", ".join(f"('{t}')" for t in PHRASE)
+    return f"""
+WITH postings AS ({_SQL_POSTINGS}),
+doclen AS ({_SQL_DOCLEN}),
+stats AS (SELECT count(*) AS n, sum(dl) AS tt FROM doclen),
+q(token) AS (VALUES {terms}),
+term_df AS (SELECT token, count(*) AS df FROM postings
+            WHERE token IN (SELECT token FROM q) GROUP BY token),
+scored AS (
+  SELECT p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * ({K1} + 1.0)
+                 / (p.tf + {K1} * (1.0 - {B} + {B} * l.dl / (s.tt * 1.0 / s.n)))) ) AS sc
+  FROM postings p
+  JOIN term_df d USING (token)
+  JOIN doclen l ON p.doc_id = l.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id),
+w AS (
+  SELECT doc_id, i AS pos, arr[i] AS token
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS arr
+        FROM documents), unnest(range(1, len(arr) + 1)) AS t(i)),
+exact AS (
+  SELECT DISTINCT a.doc_id FROM w a JOIN w b
+  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.token = '{PHRASE[0]}' AND b.token = '{PHRASE[1]}')
+SELECT s.doc_id,
+       (CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS exact,
+       round(s.sc, 4) AS score
+FROM scored s LEFT JOIN exact e USING (doc_id)
+ORDER BY exact DESC, round(s.sc, 4) DESC, s.doc_id LIMIT 10
+"""
+
+
 MATCH_LAST_QUERY = "merge sort zzzzunmatchable"  # last word absent -> dropped
 
 
@@ -1638,6 +1687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_search_topk": _proximity_search_topk,
         "proximity_engine_topk": _proximity_engine_topk,
         "matching_last_topk": _matching_last_topk,
+        "exactness_engine_topk": _exactness_engine_topk,
     }
 
 
@@ -1689,4 +1739,5 @@ def oracle_sql() -> dict[str, str]:
         "proximity_search_topk": _PROXIMITY_SQL,
         "proximity_engine_topk": _PROXIMITY_SQL,
         "matching_last_topk": _matching_last_sql(""),
+        "exactness_engine_topk": _exactness_sql(""),
     }

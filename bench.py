@@ -87,7 +87,7 @@ def main() -> int:
         "distinct_search_topk", "distinct_engine_topk",
         "highlight_topk",
         "proximity_search_topk", "proximity_engine_topk",
-        "matching_last_topk",
+        "matching_last_topk", "exactness_engine_topk",
     ]
     for name in headline:
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())

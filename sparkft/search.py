@@ -630,6 +630,35 @@ def proximity_topk(reader: IndexReader, query: str, k: int = 10,
     return out[:k]
 
 
+def exactness_topk(reader: IndexReader, query: str, k: int = 10,
+                   cfg: TokenizerConfig = DEFAULT_CONFIG
+                   ) -> list[tuple[int, int, float]]:
+    """Meilisearch's `exactness` ranking rule (re-based on BM25): documents
+    containing the query as an EXACT adjacent sequence rank above documents
+    that merely contain the terms, tie-broken by the BM25 sum then doc_id.
+    Returns [(doc_id, exact, score)] with exact 1/0.
+
+    One positional-index phrase pass (O(query postings)) marks the exact
+    set; the ranking itself is the same exhaustive TAAT as the words rule —
+    the composite key defeats WAND's single bound."""
+    exact = set(phrase_match_counts(reader, query, cfg))
+    terms = reader.query_terms(query, cfg)
+    postings = reader.load_postings(terms)
+    if not postings:
+        return []
+    dead = reader.deleted
+    acc: dict[int, float] = {}
+    for term in sorted(postings):
+        ids, tfs, lens_, df, _, _ = postings[term]
+        sc = scoring.bm25(tfs, lens_, df, reader.N, reader.avgdl)
+        for d, s in zip(u64_to_i64(ids).tolist(), sc.tolist()):
+            if d in dead:
+                continue
+            acc[d] = acc.get(d, 0.0) + s
+    order = sorted(acc, key=lambda d: (-(d in exact), -acc[d], d))[:k]
+    return [(d, int(d in exact), acc[d]) for d in order]
+
+
 def matching_last_topk(reader: IndexReader, query: str, k: int = 10,
                        cfg: TokenizerConfig = DEFAULT_CONFIG,
                        stats: Optional[dict] = None

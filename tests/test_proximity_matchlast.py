@@ -120,3 +120,23 @@ def test_matching_last_all_match_is_plain_conjunction(built):
 def test_matching_last_nothing_matches(built):
     reader, _ = built
     assert matching_last_topk(reader, "zzza zzzb", 10) == []
+
+
+def test_exactness_rule(built):
+    from sparkft.search import exactness_topk, phrase_match_counts, taat_topk
+
+    reader, _ = built
+    q = "merge sort"
+    got = exactness_topk(reader, q, 10)
+    exact_docs = set(phrase_match_counts(reader, q))
+    full = dict(taat_topk(reader, q, reader.N))
+    # flags match the phrase index; scores match plain BM25
+    for d, e, s in got:
+        assert e == (1 if d in exact_docs else 0)
+        assert s == full[d]
+    # ordering: exact block first, BM25 desc within blocks
+    keys = [(-e, -s, d) for d, e, s in got]
+    assert keys == sorted(keys)
+    # the ranking is the sorted full candidate set, truncated
+    want = sorted(full, key=lambda d: (-(d in exact_docs), -full[d], d))[:10]
+    assert [d for d, _, _ in got] == want
