@@ -146,3 +146,66 @@ def test_embedding_near_dup_candidate_gated(spark):
         # any join on embeddings columns must involve the candidate ids
         if "Join" in line and "bucket" not in line and " e" in line:
             assert "d1" in line or "d2" in line or "vid" in line, line
+
+
+def test_filtered_search_broadcast_semi_join(spark):
+    """The attribute filter must be a broadcast semi-join on the pruned
+    postings, never a shuffle join or a corpus-wide pass."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["filtered_search_topk"](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan[:800]
+    assert "SortMergeJoin" not in plan
+
+
+def test_facet_counts_pushdown_and_broadcast(spark):
+    """Facet candidates broadcast; the documents scan reads only the facet
+    columns it needs (column pruning visible in ReadSchema)."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["facet_counts"](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    # the documents-side scan must not read the text column
+    for line in plan.splitlines():
+        if "ReadSchema" in line and "lang" in line:
+            assert "text" not in line, line
+
+
+def test_sorted_search_take_ordered(spark):
+    """The sort rule must TakeOrdered over candidates, not global-sort the
+    corpus."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["sorted_search_topk"](spark, SF)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_proximity_positional_join_pruned(spark):
+    """The proximity DataFrame mirror must filter tokens BEFORE the
+    positional self-join (a token-pruned join, not all-pairs positions)."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["proximity_search_topk"](spark, SF)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    # both join inputs are filtered on a token literal
+    assert plan.count("merge") >= 1 and plan.count("sort") >= 1
+
+
+def test_distinct_rule_single_window(spark):
+    """distinctAttribute = ONE window over scored candidates (no second
+    shuffle beyond the score agg + window partition)."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["distinct_search_topk"](spark, SF)
+    plan = plan_of(df)
+    assert plan.count("+- Window ") == 1, plan
+    # the rn=1 filter must push into a group-limit (map-side top-1 per
+    # attribute value), so the window never materializes whole groups
+    assert "WindowGroupLimit" in plan
+    assert "TakeOrderedAndProject" in plan
