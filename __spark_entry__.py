@@ -1000,6 +1000,37 @@ def _proximity_engine_topk(spark, sf_dir):
     )
 
 
+SYNONYMS = {"merge": ["join"], "sort": ["order"]}
+
+
+def _synonym_search_topk(spark, sf_dir):
+    """Synonym-expanded BM25, DataFrame path: the query terms plus their
+    configured synonyms ranked with the shared expanded-BM25 pipeline."""
+    expanded = sorted(
+        set(SYNONYMS) | {s for v in SYNONYMS.values() for s in v}
+    )
+    exp = spark.createDataFrame([(t,) for t in expanded], "token string")
+    return _bm25_over_terms(spark, sf_dir, exp)
+
+
+def _synonym_sql(sf: str) -> str:
+    expanded = sorted(set(SYNONYMS) | {s for v in SYNONYMS.values() for s in v})
+    vals = ", ".join(f"('{t}')" for t in expanded)
+    return _expanded_bm25_sql(f"exp(token) AS (VALUES {vals})")
+
+
+def _synonym_engine_topk(spark, sf_dir):
+    """Engine path: per-term dictionary expansion + shared block-max WAND
+    over the expanded set."""
+    from sparkft.search import IndexReader, synonym_topk
+
+    reader = IndexReader(spark, _engine_index(spark, sf_dir))
+    hits = synonym_topk(reader, " ".join(SYNONYMS), SYNONYMS, 10)
+    return spark.createDataFrame(
+        [(int(d), round(s, 4)) for d, s in hits], "doc_id long, score double"
+    )
+
+
 def _exactness_engine_topk(spark, sf_dir):
     """Meilisearch `exactness` rule: docs containing the query as an exact
     adjacent sequence rank first, then BM25, then doc_id. One positional
@@ -1688,6 +1719,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_engine_topk": _proximity_engine_topk,
         "matching_last_topk": _matching_last_topk,
         "exactness_engine_topk": _exactness_engine_topk,
+        "synonym_search_topk": _synonym_search_topk,
+        "synonym_engine_topk": _synonym_engine_topk,
     }
 
 
@@ -1740,4 +1773,6 @@ def oracle_sql() -> dict[str, str]:
         "proximity_engine_topk": _PROXIMITY_SQL,
         "matching_last_topk": _matching_last_sql(""),
         "exactness_engine_topk": _exactness_sql(""),
+        "synonym_search_topk": _synonym_sql(""),
+        "synonym_engine_topk": _synonym_sql(""),
     }

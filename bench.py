@@ -88,6 +88,7 @@ def main() -> int:
         "highlight_topk",
         "proximity_search_topk", "proximity_engine_topk",
         "matching_last_topk", "exactness_engine_topk",
+        "synonym_search_topk", "synonym_engine_topk",
     ]
     for name in headline:
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())

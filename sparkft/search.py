@@ -630,6 +630,27 @@ def proximity_topk(reader: IndexReader, query: str, k: int = 10,
     return out[:k]
 
 
+def synonym_topk(reader: IndexReader, query: str,
+                 synonyms: dict[str, list[str]], k: int = 10,
+                 cfg: TokenizerConfig = DEFAULT_CONFIG,
+                 stats: Optional[dict] = None) -> list[tuple[int, float]]:
+    """Meilisearch `synonyms` setting: each query term is OR-expanded with
+    its configured synonyms (each synonym normalized through the SAME
+    tokenizer pipeline, so 'Café' configured as a synonym matches the
+    indexed 'cafe'), then the expanded set is served by the shared
+    block-max WAND. Expansion is per-query dictionary lookup — O(terms),
+    independent of corpus size."""
+    terms = reader.query_terms(query, cfg)
+    expanded = set(terms)
+    for t in terms:
+        for s in synonyms.get(t, ()):
+            expanded.update(reader.query_terms(s, cfg))
+    expanded = sorted(expanded)
+    if stats is not None:
+        stats["expanded_terms"] = expanded
+    return wand_topk_terms(reader, expanded, k)
+
+
 def exactness_topk(reader: IndexReader, query: str, k: int = 10,
                    cfg: TokenizerConfig = DEFAULT_CONFIG
                    ) -> list[tuple[int, int, float]]:

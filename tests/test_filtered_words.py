@@ -116,6 +116,22 @@ def test_words_ranking_counts_dominate(built):
             assert s1 > s2 or (s1 == s2 and d1 < d2)
 
 
+def test_synonym_expansion(built):
+    """Synonym OR-expansion == WAND over the hand-expanded term set; the
+    synonym string goes through the same tokenizer (Café -> cafe)."""
+    from sparkft.search import synonym_topk, wand_topk_terms
+
+    reader, _ = built
+    stats = {}
+    got = synonym_topk(reader, "merge", {"merge": ["sort", "Café"]}, 10,
+                       stats=stats)
+    assert stats["expanded_terms"] == ["cafe", "merge", "sort"]
+    assert got == wand_topk_terms(reader, ["cafe", "merge", "sort"], 10)
+    # no synonyms configured -> plain search
+    assert synonym_topk(reader, "merge sort", {}, 10) == \
+        wand_topk(reader, "merge sort", 10)
+
+
 def test_words_single_term_equals_bm25(built):
     """With one query term the words rule degenerates to plain BM25."""
     reader, _ = built
