@@ -47,12 +47,14 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, token, tf, doc_len) via the vectorized tokenizer UDF —
-    the engine's stage-1 operator (SURVEY.md §2.6)."""
+    the engine's stage-1 operator (SURVEY.md §2.6). The guarded repartition
+    spreads the single-row-group demo parquet across the worker pool; on a
+    real multi-split scan it is a no-op."""
+    from sparkft.spark_util import ensure_parallelism
+
     return (
-        _docs(spark, sf_dir)
-        .select("doc_id", "text")
+        ensure_parallelism(_docs(spark, sf_dir).select("doc_id", "text"))
         .mapInArrow(_TOKENIZE_FN, POSTINGS_SCHEMA)
-        .withColumnRenamed("doc_id", "doc_id")
     )
 
 
@@ -76,19 +78,24 @@ def _shingles(spark: SparkSession, sf_dir: str, n: int = 3,
     """(doc_id, shingle) n-token shingles. distinct=True is required by the
     Jaccard set semantics; min-aggregating consumers (MinHash) pass False to
     skip that whole extra shuffle — min() is idempotent to duplicates."""
-    docs = _docs(spark, sf_dir)
+    from sparkft.spark_util import ensure_parallelism
+
+    docs = ensure_parallelism(_docs(spark, sf_dir).select("doc_id", "text"))
     words = docs.select(
         "doc_id",
         F.filter(F.split(F.col("text"), " "), lambda x: x != "").alias("w"),
     ).filter(F.size("w") >= 3)
+    # index-explode form (see sparkft.dedup.shingles): exploding a
+    # transform()-built array makes Catalyst's inferred size()>0 filter
+    # re-inline the whole construction below the exchange — ~16x slower
     idx = words.select(
-        "doc_id",
-        F.expr(
-            "transform(sequence(0, size(w) - 3), i -> "
-            "concat_ws(' ', w[i], w[i+1], w[i+2]))"
-        ).alias("shingles"),
+        "doc_id", "w",
+        F.explode(F.expr("sequence(0, size(w) - 3)")).alias("i"),
     )
-    out = idx.select("doc_id", F.explode("shingles").alias("shingle"))
+    out = idx.select(
+        "doc_id",
+        F.expr("concat_ws(' ', w[i], w[i+1], w[i+2])").alias("shingle"),
+    )
     return out.distinct() if distinct else out
 
 

@@ -57,17 +57,24 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     (doc_id, shingle) shuffle) is required by Jaccard set semantics;
     min-aggregating consumers (MinHash) can pass False and skip it — min()
     is idempotent to duplicates."""
+    from .spark_util import ensure_parallelism
+
+    df = ensure_parallelism(df)
     words = df.select(
         F.col(id_col).alias("doc_id"),
         F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias("w"),
     ).filter(F.size("w") >= n)
+    # explode the START-INDEX sequence and index the words array, rather
+    # than exploding a transform()-built shingle array: Catalyst infers a
+    # `size(generated) > 0` pre-filter for every explode, and for the
+    # transform form that filter re-inlines the whole shingle construction
+    # (split+filter re-evaluated per element) below the exchange — ~16x
+    # slower. The index form's inferred filter is pure arithmetic.
     terms = ", ".join(f"w[i+{k}]" for k in range(n))
     out = words.select(
-        "doc_id",
-        F.expr(
-            f"transform(sequence(0, size(w) - {n}), i -> concat_ws(' ', {terms}))"
-        ).alias("sh"),
-    ).select("doc_id", F.explode("sh").alias("shingle"))
+        "doc_id", "w",
+        F.explode(F.expr(f"sequence(0, size(w) - {n})")).alias("i"),
+    ).select("doc_id", F.expr(f"concat_ws(' ', {terms})").alias("shingle"))
     return out.distinct() if distinct else out
 
 
@@ -263,19 +270,28 @@ def winnow_fingerprints(df: DataFrame, k: int = 8, w: int = 4,
     is needed."""
     from pyspark.sql import Window
 
+    from .spark_util import ensure_parallelism
+
+    df = ensure_parallelism(df)
     text = F.col(text_col)
     n = F.length(text)
-    # hash array computed ONCE per row, then exploded to (doc_id, pos, h)
-    # rows; expressing the window-min over the array with nested
-    # transform+slice instead would let Catalyst re-inline the array
-    # expression into every window position (O(n^2) hashes per doc).
-    grams = F.transform(
-        F.sequence(F.lit(1), n - k + 1),
-        lambda i: h32(text.substr(i, F.lit(k))),
-    )
+    # explode the gram START INDEX and hash the substring per exploded row:
+    # each gram is hashed exactly once, and no per-row hash ARRAY exists for
+    # Catalyst to re-inline (exploding a transform()-built array triggers an
+    # inferred size()>0 filter that rebuilds the whole array a second time;
+    # nested transform+slice window-mins would even make it O(n^2)/doc).
     rows = (
         df.filter(n >= k + w - 1)
-        .select(F.col(id_col).alias("doc_id"), F.posexplode(grams).alias("pos", "h"))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            text.alias("_t"),
+            F.explode(F.sequence(F.lit(1), n - k + 1)).alias("_i"),
+        )
+        .select(
+            "doc_id",
+            (F.col("_i") - 1).alias("pos"),
+            h32(F.col("_t").substr(F.col("_i"), F.lit(k))).alias("h"),
+        )
     )
     win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
     n_grams = Window.partitionBy("doc_id")
@@ -313,6 +329,9 @@ def lang_id_ngram(df: DataFrame, text_col: str = "text",
     total occurrences of that language's characteristic trigrams; winner by
     score with a fixed language-order tie-break. One projection, all JVM
     codegen (replace/length), no Python."""
+    from .spark_util import ensure_parallelism
+
+    df = ensure_parallelism(df)
     text = F.lower(F.col(text_col))
     scores = {
         lang: sum(

@@ -32,3 +32,18 @@ def ensure_shipped(spark) -> None:
                     rel = os.path.relpath(full, os.path.dirname(pkg_dir))
                     z.write(full, rel)
     spark.sparkContext.addPyFile(zpath)
+
+
+def ensure_parallelism(df, min_fraction: float = 0.5):
+    """Repartition `df` up to the session's default parallelism ONLY when
+    its scan produced too few splits to use the cluster.
+
+    Small demo inputs (one parquet row group) read as a single partition and
+    would run every downstream per-row expression on one core of N. A real
+    100 TB scan has thousands of natural splits, so this guard is a no-op
+    there — the repartition never fires where it would be a wasteful extra
+    shuffle; it only fires where the alternative is (N-1) idle cores."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(1, int(target * min_fraction)):
+        return df
+    return df.repartition(target)
