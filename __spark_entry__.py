@@ -1087,6 +1087,65 @@ ORDER BY exact DESC, round(s.sc, 4) DESC, s.doc_id LIMIT 10
 """
 
 
+def _ranking_pipeline_topk(spark, sf_dir):
+    """Meilisearch's default ranking pipeline as one composite bucket sort:
+    words > proximity > exactness > BM25 > doc_id, composed from the
+    already-verified single-rule passes over the same index."""
+    from sparkft.search import IndexReader, ranking_pipeline_topk
+
+    reader = IndexReader(spark, _engine_index(spark, sf_dir))
+    hits = ranking_pipeline_topk(reader, " ".join(PHRASE), 10)
+    return spark.createDataFrame(
+        [(int(d), int(n), int(p), int(e), round(s, 4)) for d, n, p, e, s in hits],
+        "doc_id long, n_words long, proximity long, exact long, score double",
+    )
+
+
+def _pipeline_sql(sf: str) -> str:
+    terms = ", ".join(f"('{t}')" for t in PHRASE)
+    return f"""
+WITH postings AS ({_SQL_POSTINGS}),
+doclen AS ({_SQL_DOCLEN}),
+stats AS (SELECT count(*) AS n, sum(dl) AS tt FROM doclen),
+q(token) AS (VALUES {terms}),
+term_df AS (SELECT token, count(*) AS df FROM postings
+            WHERE token IN (SELECT token FROM q) GROUP BY token),
+scored AS (
+  SELECT p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * ({K1} + 1.0)
+                 / (p.tf + {K1} * (1.0 - {B} + {B} * l.dl / (s.tt * 1.0 / s.n)))) ) AS sc,
+         count(DISTINCT p.token)::BIGINT AS nw
+  FROM postings p
+  JOIN term_df d USING (token)
+  JOIN doclen l ON p.doc_id = l.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id),
+w AS (
+  SELECT doc_id, i AS pos, arr[i] AS token
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS arr
+        FROM documents), unnest(range(1, len(arr) + 1)) AS t(i)),
+pa AS (SELECT doc_id, pos FROM w WHERE token = '{PHRASE[0]}'),
+pb AS (SELECT doc_id, pos FROM w WHERE token = '{PHRASE[1]}'),
+prox AS (
+  SELECT pa.doc_id,
+         min(CASE WHEN pb.pos > pa.pos THEN pb.pos - pa.pos
+                  ELSE pa.pos - pb.pos + 1 END)::BIGINT AS p
+  FROM pa JOIN pb USING (doc_id) GROUP BY pa.doc_id),
+exact AS (
+  SELECT DISTINCT a.doc_id FROM w a JOIN w b
+  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.token = '{PHRASE[0]}' AND b.token = '{PHRASE[1]}')
+SELECT s.doc_id, s.nw AS n_words,
+       coalesce(p.p, {2**31}) AS proximity,
+       (CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS exact,
+       round(s.sc, 4) AS score
+FROM scored s LEFT JOIN prox p USING (doc_id) LEFT JOIN exact e USING (doc_id)
+ORDER BY n_words DESC, proximity ASC, exact DESC, round(s.sc, 4) DESC, s.doc_id
+LIMIT 10
+"""
+
+
 MATCH_LAST_QUERY = "merge sort zzzzunmatchable"  # last word absent -> dropped
 
 
@@ -1728,6 +1787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exactness_engine_topk": _exactness_engine_topk,
         "synonym_search_topk": _synonym_search_topk,
         "synonym_engine_topk": _synonym_engine_topk,
+        "ranking_pipeline_topk": _ranking_pipeline_topk,
     }
 
 
@@ -1782,4 +1842,5 @@ def oracle_sql() -> dict[str, str]:
         "exactness_engine_topk": _exactness_sql(""),
         "synonym_search_topk": _synonym_sql(""),
         "synonym_engine_topk": _synonym_sql(""),
+        "ranking_pipeline_topk": _pipeline_sql(""),
     }

@@ -94,6 +94,7 @@ def main() -> int:
         "proximity_search_topk", "proximity_engine_topk",
         "matching_last_topk", "exactness_engine_topk",
         "synonym_search_topk", "synonym_engine_topk",
+        "ranking_pipeline_topk",
     ]
     for name in headline:
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())

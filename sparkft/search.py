@@ -680,6 +680,52 @@ def exactness_topk(reader: IndexReader, query: str, k: int = 10,
     return [(d, int(d in exact), acc[d]) for d in order]
 
 
+_NO_PROXIMITY = 2**31  # sentinel: docs missing a term sort after any real cost
+
+
+def ranking_pipeline_topk(reader: IndexReader, query: str, k: int = 10,
+                          cfg: TokenizerConfig = DEFAULT_CONFIG
+                          ) -> list[tuple[int, int, int, int, float]]:
+    """Meilisearch's default ranking pipeline as one composite bucket sort:
+    words (more distinct query terms first) > proximity (terms closer
+    together; docs missing a term sort last within their words bucket) >
+    exactness (exact adjacent sequence first) > BM25 sum > doc_id.
+    Returns [(doc_id, n_words, proximity, exact, score)].
+
+    Composed from the already-verified single-rule passes over the same
+    index reads: one TAAT accumulation (scores + distinct-term counts), one
+    positional proximity pass, one positional phrase pass — all
+    O(query postings), never O(index)."""
+    terms = reader.query_terms(query, cfg)
+    postings = reader.load_postings(terms)
+    if not postings:
+        return []
+    dead = reader.deleted
+    acc: dict[int, float] = {}
+    cnt: dict[int, int] = {}
+    for term in sorted(postings):
+        ids, tfs, lens_, df, _, _ = postings[term]
+        sc = scoring.bm25(tfs, lens_, df, reader.N, reader.avgdl)
+        for d, s in zip(u64_to_i64(ids).tolist(), sc.tolist()):
+            if d in dead:
+                continue
+            acc[d] = acc.get(d, 0.0) + s
+            cnt[d] = cnt.get(d, 0) + 1
+    if not acc:
+        return []
+    prox = dict(proximity_topk(reader, query, k=len(acc), cfg=cfg))
+    exact = set(phrase_match_counts(reader, query, cfg))
+    order = sorted(
+        acc,
+        key=lambda d: (-cnt[d], prox.get(d, _NO_PROXIMITY),
+                       -(d in exact), -acc[d], d),
+    )[:k]
+    return [
+        (d, cnt[d], prox.get(d, _NO_PROXIMITY), int(d in exact), acc[d])
+        for d in order
+    ]
+
+
 def matching_last_topk(reader: IndexReader, query: str, k: int = 10,
                        cfg: TokenizerConfig = DEFAULT_CONFIG,
                        stats: Optional[dict] = None

@@ -122,6 +122,40 @@ def test_matching_last_nothing_matches(built):
     assert matching_last_topk(reader, "zzza zzzb", 10) == []
 
 
+def test_ranking_pipeline_composes_verified_rules(built):
+    """The composite pipeline's columns must equal the single-rule passes it
+    composes, and its ordering must be the lexicographic bucket sort
+    words > proximity > exactness > BM25 > doc_id."""
+    from sparkft.search import (
+        _NO_PROXIMITY,
+        phrase_match_counts,
+        proximity_topk,
+        ranking_pipeline_topk,
+        taat_topk,
+        words_ranked_topk,
+    )
+
+    reader, _ = built
+    q = "merge sort"
+    got = ranking_pipeline_topk(reader, q, 10)
+    assert got, "query should hit"
+    words = {d: c for d, c, _ in words_ranked_topk(reader, q, reader.N)}
+    prox = dict(proximity_topk(reader, q, reader.N))
+    exact = set(phrase_match_counts(reader, q))
+    scores = dict(taat_topk(reader, q, reader.N))
+    for d, n, p, e, s in got:
+        assert n == words[d] and s == scores[d]
+        assert p == prox.get(d, _NO_PROXIMITY)
+        assert e == (1 if d in exact else 0)
+    keys = [(-n, p, -e, -s, d) for d, n, p, e, s in got]
+    assert keys == sorted(keys)
+    # the truncation is the global best-k under the composite key
+    want = sorted(scores, key=lambda d: (-words[d],
+                                         prox.get(d, _NO_PROXIMITY),
+                                         -(d in exact), -scores[d], d))[:10]
+    assert [d for d, *_ in got] == want
+
+
 def test_exactness_rule(built):
     from sparkft.search import exactness_topk, phrase_match_counts, taat_topk
 
