@@ -1,0 +1,150 @@
+"""SearchService facade: composition-only — every response must equal the
+direct calls of the individually oracle-gated components it composes."""
+
+import numpy as np
+import pytest
+
+from sparkft.corpus import generate_corpus
+from sparkft.facets import AttributeStore, write_attribute_store
+from sparkft.index_build import build_index
+from sparkft.service import IndexSettings, SearchService
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .appName("sparkft-service")
+        .getOrCreate()
+    )
+    yield s
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    corpus = generate_corpus(300, seed=61)
+    out = str(tmp_path_factory.mktemp("sidx"))
+    df = spark.createDataFrame(corpus).repartition(4)
+    build_index(spark, df, out, num_shards=2, num_buckets=8)
+
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.createDataFrame(corpus)
+        .withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
+        .withColumn("n_chars", F.length("content"))
+        .withColumnRenamed("content", "text")
+    )
+    write_attribute_store(spark, docs, out, cols=("repo", "n_chars"))
+    store_path = str(tmp_path_factory.mktemp("dstore") / "docs.parquet")
+    docs.select("doc_id", "text").write.parquet(store_path)
+    rows = docs.select("doc_id", "text", "repo", "n_chars").collect()
+    return out, store_path, rows
+
+
+SETTINGS = IndexSettings(
+    filterable_attributes=("repo",),
+    sortable_attributes=("n_chars",),
+)
+
+
+def test_plain_search_equals_wand(built):
+    from sparkft.search import IndexReader, wand_topk
+
+    out, _, _ = built
+    svc = SearchService(out, SETTINGS)
+    res = svc.search("merge sort", 10)
+    want = wand_topk(IndexReader(None, out), "merge sort", 10)
+    assert [(h["doc_id"], h["score"]) for h in res["hits"]] == want
+
+
+def test_filtered_search_equals_filtered_topk(built):
+    from sparkft.search import IndexReader, filtered_topk
+
+    out, _, rows = built
+    repo0 = rows[0]["repo"]
+    svc = SearchService(out, SETTINGS)
+    res = svc.search("merge sort", 10, filter=("repo", repo0))
+    allowed = {int(r["doc_id"]) for r in rows if r["repo"] == repo0}
+    want = filtered_topk(IndexReader(None, out), "merge sort", 10,
+                         allowed_docs=allowed)
+    assert [(h["doc_id"], h["score"]) for h in res["hits"]] == want
+    assert all(h["doc_id"] in allowed for h in res["hits"])
+
+
+def test_unfilterable_attribute_rejected(built):
+    out, _, _ = built
+    svc = SearchService(out, SETTINGS)
+    with pytest.raises(ValueError, match="not filterable"):
+        svc.search("merge", filter=("n_chars", 10))
+    with pytest.raises(ValueError, match="not sortable"):
+        svc.search("merge", sort=("repo", False))
+
+
+def test_sorted_search_equals_sort_topk(built):
+    from sparkft.facets import sort_topk
+    from sparkft.search import IndexReader
+
+    out, _, _ = built
+    svc = SearchService(out, SETTINGS)
+    res = svc.search("merge sort", 10, sort=("n_chars", True))
+    reader = IndexReader(None, out)
+    want = sort_topk(reader, AttributeStore(out), "merge sort", "n_chars", 10)
+    assert [(h["doc_id"], h["n_chars"]) for h in res["hits"]] == want
+
+
+def test_facets_match_pandas(built):
+    out, _, rows = built
+    from sparkft.tokenizer import tokenize_batch
+
+    svc = SearchService(out, SETTINGS)
+    res = svc.search("merge sort", 10, facets=["repo"])
+    want = {}
+    for r in rows:
+        _, lemmas = tokenize_batch([r["text"]], words_only=True)
+        if {"merge", "sort"} & set(lemmas):
+            want[r["repo"]] = want.get(r["repo"], 0) + 1
+    assert res["facetDistribution"]["repo"] == want
+
+
+def test_synonyms_and_typo_settings(built):
+    from sparkft.search import IndexReader, synonym_topk, typo_topk
+
+    out, _, _ = built
+    reader = IndexReader(None, out)
+    syn = {"merge": ["sort"]}
+    svc = SearchService(out, IndexSettings(synonyms=syn))
+    res = svc.search("merge", 10)
+    assert [(h["doc_id"], h["score"]) for h in res["hits"]] == \
+        synonym_topk(reader, "merge", syn, 10)
+
+    svc_t = SearchService(out, IndexSettings(typo_tolerance=True))
+    res_t = svc_t.search("merje", 10)
+    assert [(h["doc_id"], h["score"]) for h in res_t["hits"]] == \
+        typo_topk(reader, "merje", 10)
+
+
+def test_matching_strategy_last(built):
+    from sparkft.search import IndexReader, matching_last_topk
+
+    out, _, _ = built
+    svc = SearchService(out, IndexSettings(matching_strategy="last"))
+    res = svc.search("merge sort zzzmissing", 10)
+    want = matching_last_topk(IndexReader(None, out), "merge sort zzzmissing", 10)
+    assert [(h["doc_id"], h["score"]) for h in res["hits"]] == want
+
+
+def test_highlighting_needs_store_and_wraps(built):
+    out, store, _ = built
+    svc = SearchService(out, SETTINGS)
+    with pytest.raises(ValueError, match="document_store"):
+        svc.search("merge", 3, highlight=True)
+    svc = SearchService(out, SETTINGS, document_store=store)
+    res = svc.search("merge", 3, highlight=True)
+    assert res["hits"]
+    for h in res["hits"]:
+        assert "<em>" in h["_formatted"]
