@@ -136,10 +136,14 @@ def embedding_near_dup_pairs(df, n_planes: int = 64, band_size: int = 16,
     100 TB."""
     from pyspark.sql import functions as F
 
+    from .spark_util import ensure_parallelism
+
     dim = len(df.select(emb_col).first()[0])
     planes = hyperplane_planes(n_planes, dim, seed)
     e = F.transform(F.col(emb_col), lambda x: x.cast("double"))
-    v = df.select(F.col(id_col).alias("vid"), e.alias("e"))
+    # 64 hyperplane dot products per row: spread a single-split demo scan
+    # across the pool (no-op on a real multi-split scan)
+    v = ensure_parallelism(df.select(F.col(id_col).alias("vid"), e.alias("e")))
 
     def dot_with(plane):
         arr = F.array(*[F.lit(float(p)) for p in plane])
