@@ -73,6 +73,12 @@ def main() -> int:
     # SERVING cost (the build cost is also measured fresh by index_build
     # below). Cached across runs in tmp — a warm run records ~0.
     timed("entry_index_build", lambda: entry._engine_index(spark, sf_dir))
+    # derived delete/compaction artifacts under their own metrics, so the
+    # deleted/compacted serving queries measure serving, not copy+compact
+    timed("deleted_index_prep",
+          lambda: entry._deleted_index(spark, sf_dir, compacted=False))
+    timed("compacted_index_prep",
+          lambda: entry._deleted_index(spark, sf_dir, compacted=True))
     headline = [
         "tokenize_doc_lengths", "term_frequencies", "bm25_topk",
         "bm25_engine_topk", "phrase_match",

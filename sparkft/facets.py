@@ -27,6 +27,7 @@ demo keeps one sorted run per store, which is the in-bucket layout."""
 from __future__ import annotations
 
 import os
+from typing import Optional
 
 import numpy as np
 
@@ -102,10 +103,13 @@ def matching_docs(reader, terms: list[str]) -> np.ndarray:
 
 
 def facet_counts(reader, store: AttributeStore, query: str, col: str,
-                 cfg: TokenizerConfig = DEFAULT_CONFIG) -> dict:
+                 cfg: TokenizerConfig = DEFAULT_CONFIG,
+                 terms: Optional[list] = None) -> dict:
     """Meilisearch `facetDistribution`: {facet value: n matching docs} over
-    the docs matching >= 1 query term."""
-    ids = matching_docs(reader, reader.query_terms(query, cfg))
+    the docs matching >= 1 query term. Pass `terms` to count over an
+    EXPANDED term set (typo/synonyms), as the service layer does."""
+    ids = matching_docs(reader, terms if terms is not None
+                        else reader.query_terms(query, cfg))
     if len(ids) == 0:
         return {}
     vals, counts = np.unique(store.lookup(ids, col), return_counts=True)
@@ -115,12 +119,14 @@ def facet_counts(reader, store: AttributeStore, query: str, col: str,
 
 def sort_topk(reader, store: AttributeStore, query: str, col: str,
               k: int = 10, descending: bool = True,
-              cfg: TokenizerConfig = DEFAULT_CONFIG) -> list[tuple[int, object]]:
+              cfg: TokenizerConfig = DEFAULT_CONFIG,
+              terms: Optional[list] = None) -> list[tuple[int, object]]:
     """The `sort` ranking rule: docs matching >= 1 query term, ordered by
     the attribute (DESC by default), doc_id ASC tie-break. Returns
     [(doc_id, attr_value)]. One lexsort over the candidate set — never over
-    the corpus."""
-    ids = matching_docs(reader, reader.query_terms(query, cfg))
+    the corpus. Pass `terms` to sort an EXPANDED candidate set."""
+    ids = matching_docs(reader, terms if terms is not None
+                        else reader.query_terms(query, cfg))
     if len(ids) == 0:
         return []
     vals = store.lookup(ids, col)
@@ -149,21 +155,13 @@ def distinct_topk(reader, store: AttributeStore, query: str, attr: str,
     WAND's bound does not apply), then one pass down the sorted candidates
     keeping first-per-value. O(query postings + candidates log candidates),
     never O(index)."""
-    from . import scoring
+    from .search import taat_accumulate
 
     terms = reader.query_terms(query, cfg)
     postings = reader.load_postings(terms)
     if not postings:
         return []
-    dead = reader.deleted
-    acc: dict[int, float] = {}
-    for term in sorted(postings):  # sorted-term order: deterministic sums
-        p_ids, tfs, lens_, df, _, _ = postings[term]
-        sc = scoring.bm25(tfs, lens_, df, reader.N, reader.avgdl)
-        for d, s in zip(u64_to_i64(p_ids).tolist(), sc.tolist()):
-            if d in dead:
-                continue
-            acc[d] = acc.get(d, 0.0) + s
+    acc, _ = taat_accumulate(reader, postings)
     if not acc:
         return []
     ids = np.fromiter(acc.keys(), dtype=np.int64, count=len(acc))

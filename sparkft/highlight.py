@@ -22,10 +22,13 @@ def highlight_spans(text: str, query_terms, cfg: TokenizerConfig = DEFAULT_CONFI
     """Char-offset spans [(start, end)) of every word token whose normalized
     lemma is in `query_terms`. Offsets index the ORIGINAL text."""
     qset = set(query_terms)
+    # word AND stopword kinds: charabia marks stop words but does not drop
+    # them, so the index (tokenize_batch words_only=True) contains both and
+    # a stop-word query term must still highlight its occurrences
     return [
         (t.char_start, t.char_end)
         for t in tokenize_str(text, cfg)
-        if t.kind == "word" and t.lemma in qset
+        if t.kind in ("word", "stopword") and t.lemma in qset
     ]
 
 
@@ -52,7 +55,8 @@ def crop_around_match(text: str, query_terms, crop_length: int = 10,
     on the first match (or the leading window if nothing matches), delimited
     by `marker` where text was cut."""
     qset = set(query_terms)
-    words = [t for t in tokenize_str(text, cfg) if t.kind == "word"]
+    words = [t for t in tokenize_str(text, cfg)
+             if t.kind in ("word", "stopword")]
     if not words:
         return text
     hit = next((i for i, t in enumerate(words) if t.lemma in qset), 0)

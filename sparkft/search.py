@@ -334,6 +334,25 @@ class LazyPostingList:
         return 0.0
 
 
+def taat_accumulate(reader: IndexReader, postings: dict
+                    ) -> tuple[dict, dict]:
+    """The one exhaustive TAAT accumulation every composite ranking shares:
+    ({doc: BM25 sum}, {doc: distinct terms matched}), terms visited in
+    sorted order (deterministic float sums), tombstoned docs excluded."""
+    acc: dict[int, float] = {}
+    cnt: dict[int, int] = {}
+    dead = reader.deleted
+    for term in sorted(postings):
+        ids, tfs, lens_, df, _, _ = postings[term]
+        scores = scoring.bm25(tfs, lens_, df, reader.N, reader.avgdl)
+        for d, s in zip(u64_to_i64(ids).tolist(), scores.tolist()):
+            if d in dead:
+                continue
+            acc[d] = acc.get(d, 0.0) + s
+            cnt[d] = cnt.get(d, 0) + 1
+    return acc, cnt
+
+
 def taat_topk(reader: IndexReader, query: str, k: int = 10,
               cfg: TokenizerConfig = DEFAULT_CONFIG) -> list[tuple[int, float]]:
     """Exhaustive term-at-a-time scoring; returns [(doc_id, score)]."""
@@ -341,16 +360,7 @@ def taat_topk(reader: IndexReader, query: str, k: int = 10,
     postings = reader.load_postings(terms)
     if not postings:
         return []
-    acc: dict[int, float] = {}
-    dead = reader.deleted
-    for term in sorted(postings):  # sorted term order => deterministic sums
-        ids, tfs, lens_, df, _, _ = postings[term]
-        scores = scoring.bm25(tfs, lens_, df, reader.N, reader.avgdl)
-        ids_i = u64_to_i64(ids)
-        for d, s in zip(ids_i.tolist(), scores.tolist()):
-            if d in dead:
-                continue
-            acc[d] = acc.get(d, 0.0) + s
+    acc, _ = taat_accumulate(reader, postings)
     if not acc:
         return []
     doc_ids = np.fromiter(acc.keys(), dtype=np.int64, count=len(acc))
@@ -499,8 +509,22 @@ def _load_positions(reader: IndexReader, terms: list[str]):
     }
 
 
+def _query_positions(reader: IndexReader, query: str,
+                     cfg: TokenizerConfig = DEFAULT_CONFIG) -> dict:
+    """Positional rows for a query's unique word terms — shareable across
+    the phrase/proximity/exactness passes of one serving call."""
+    from .tokenizer import tokenize_batch
+
+    _, lemmas = tokenize_batch([query], cfg, words_only=True)
+    uniq = sorted({t for t in lemmas if t})
+    if not uniq:
+        return {}
+    return _load_positions(reader, uniq)
+
+
 def phrase_match_counts(reader: IndexReader, phrase: str,
-                        cfg: TokenizerConfig = DEFAULT_CONFIG) -> dict[int, int]:
+                        cfg: TokenizerConfig = DEFAULT_CONFIG,
+                        pos: Optional[dict] = None) -> dict[int, int]:
     """{doc_id: number of exact-phrase occurrences} from the positional
     index: doc-level intersection of the phrase's terms, then positional
     adjacency (start positions whose i-th successor holds the i-th term).
@@ -512,7 +536,8 @@ def phrase_match_counts(reader: IndexReader, phrase: str,
     if not seq:
         return {}
     uniq = sorted(set(seq))
-    pos = _load_positions(reader, uniq)
+    if pos is None:
+        pos = _load_positions(reader, uniq)
     if any(t not in pos for t in uniq):
         return {}
     # doc-level intersection across the phrase's unique terms
@@ -587,8 +612,8 @@ def _min_pair_cost(A: np.ndarray, B: np.ndarray) -> int:
 
 
 def proximity_topk(reader: IndexReader, query: str, k: int = 10,
-                   cfg: TokenizerConfig = DEFAULT_CONFIG
-                   ) -> list[tuple[int, int]]:
+                   cfg: TokenizerConfig = DEFAULT_CONFIG,
+                   pos: Optional[dict] = None) -> list[tuple[int, int]]:
     """Meilisearch's `proximity` ranking rule: documents whose query terms
     occur closer together (in query order) rank first. Per doc the cost is
     the sum over CONSECUTIVE query-term pairs of the minimum pair cost
@@ -607,7 +632,8 @@ def proximity_topk(reader: IndexReader, query: str, k: int = 10,
     if len(seq) < 2:
         return []
     uniq = sorted(set(seq))
-    pos = _load_positions(reader, uniq)
+    if pos is None:
+        pos = _load_positions(reader, uniq)
     if any(t not in pos for t in uniq):
         return []
     cand = None
@@ -633,7 +659,8 @@ def proximity_topk(reader: IndexReader, query: str, k: int = 10,
 def synonym_topk(reader: IndexReader, query: str,
                  synonyms: dict[str, list[str]], k: int = 10,
                  cfg: TokenizerConfig = DEFAULT_CONFIG,
-                 stats: Optional[dict] = None) -> list[tuple[int, float]]:
+                 stats: Optional[dict] = None,
+                 allowed: Optional[set] = None) -> list[tuple[int, float]]:
     """Meilisearch `synonyms` setting: each query term is OR-expanded with
     its configured synonyms (each synonym normalized through the SAME
     tokenizer pipeline, so 'Café' configured as a synonym matches the
@@ -648,7 +675,7 @@ def synonym_topk(reader: IndexReader, query: str,
     expanded = sorted(expanded)
     if stats is not None:
         stats["expanded_terms"] = expanded
-    return wand_topk_terms(reader, expanded, k)
+    return wand_topk_terms(reader, expanded, k, allowed=allowed)
 
 
 def exactness_topk(reader: IndexReader, query: str, k: int = 10,
@@ -667,15 +694,7 @@ def exactness_topk(reader: IndexReader, query: str, k: int = 10,
     postings = reader.load_postings(terms)
     if not postings:
         return []
-    dead = reader.deleted
-    acc: dict[int, float] = {}
-    for term in sorted(postings):
-        ids, tfs, lens_, df, _, _ = postings[term]
-        sc = scoring.bm25(tfs, lens_, df, reader.N, reader.avgdl)
-        for d, s in zip(u64_to_i64(ids).tolist(), sc.tolist()):
-            if d in dead:
-                continue
-            acc[d] = acc.get(d, 0.0) + s
+    acc, _ = taat_accumulate(reader, postings)
     order = sorted(acc, key=lambda d: (-(d in exact), -acc[d], d))[:k]
     return [(d, int(d in exact), acc[d]) for d in order]
 
@@ -700,21 +719,13 @@ def ranking_pipeline_topk(reader: IndexReader, query: str, k: int = 10,
     postings = reader.load_postings(terms)
     if not postings:
         return []
-    dead = reader.deleted
-    acc: dict[int, float] = {}
-    cnt: dict[int, int] = {}
-    for term in sorted(postings):
-        ids, tfs, lens_, df, _, _ = postings[term]
-        sc = scoring.bm25(tfs, lens_, df, reader.N, reader.avgdl)
-        for d, s in zip(u64_to_i64(ids).tolist(), sc.tolist()):
-            if d in dead:
-                continue
-            acc[d] = acc.get(d, 0.0) + s
-            cnt[d] = cnt.get(d, 0) + 1
+    acc, cnt = taat_accumulate(reader, postings)
     if not acc:
         return []
-    prox = dict(proximity_topk(reader, query, k=len(acc), cfg=cfg))
-    exact = set(phrase_match_counts(reader, query, cfg))
+    # ONE positional read feeds both the proximity and the exactness pass
+    pos = _query_positions(reader, query, cfg)
+    prox = dict(proximity_topk(reader, query, k=len(acc), cfg=cfg, pos=pos))
+    exact = set(phrase_match_counts(reader, query, cfg, pos=pos))
     order = sorted(
         acc,
         key=lambda d: (-cnt[d], prox.get(d, _NO_PROXIMITY),
@@ -728,21 +739,25 @@ def ranking_pipeline_topk(reader: IndexReader, query: str, k: int = 10,
 
 def matching_last_topk(reader: IndexReader, query: str, k: int = 10,
                        cfg: TokenizerConfig = DEFAULT_CONFIG,
-                       stats: Optional[dict] = None
+                       stats: Optional[dict] = None,
+                       allowed: Optional[set] = None
                        ) -> list[tuple[int, float]]:
     """Meilisearch's default matching strategy ("last"): require ALL query
     words, and if nothing matches, drop words from the END of the query
     until something does. Each attempt is one conjunctive (galloping
     intersection) pass; the final term set is BM25-ranked. Pass `stats` to
-    receive {"terms_used": [...]}. At most len(terms) attempts, each
-    O(rarest posting list) — the relaxation never rescans the corpus."""
+    receive {"terms_used": [...]}. With `allowed`, the attribute filter
+    gates each conjunctive attempt, so the relaxation SEES the filter: a
+    conjunction empty within the allowed set (but nonempty globally) keeps
+    dropping words. At most len(terms) attempts, each O(rarest posting
+    list) — the relaxation never rescans the corpus."""
     from .tokenizer import tokenize_batch
 
     _, lemmas = tokenize_batch([query], cfg, words_only=True)
     # QUERY order (first occurrence wins): "last" drops from the end
     terms = list(dict.fromkeys(t for t in lemmas if t))
     while terms:
-        hits = conjunctive_topk_terms(reader, terms, k)
+        hits = conjunctive_topk_terms(reader, terms, k, allowed=allowed)
         if hits:
             if stats is not None:
                 stats["terms_used"] = terms
@@ -807,9 +822,13 @@ def conjunctive_topk(reader: IndexReader, query: str, k: int = 10,
 
 
 def conjunctive_topk_terms(reader: IndexReader, terms: list[str],
-                           k: int = 10) -> list[tuple[int, float]]:
+                           k: int = 10,
+                           allowed: Optional[set] = None
+                           ) -> list[tuple[int, float]]:
     """Conjunctive top-k over an explicit term set (order-insensitive) —
-    the shared core behind `conjunctive_topk` and `matching_last_topk`."""
+    the shared core behind `conjunctive_topk` and `matching_last_topk`.
+    `allowed` gates the scoring branch like the WAND path (rejected docs
+    still drive the galloping intersection forward)."""
     terms = sorted(set(terms))
     rows = reader.load_segment_rows(terms)
     if not rows or len(rows) < len(terms):
@@ -829,7 +848,7 @@ def conjunctive_topk_terms(reader: IndexReader, terms: list[str],
     dead = reader.deleted
     while not driver.exhausted():
         doc = driver.cur_doc()
-        ok = doc not in dead
+        ok = doc not in dead and (allowed is None or doc in allowed)
         for li in others:
             li.seek(doc)
             if li.exhausted() or li.cur_doc() != doc:
@@ -863,7 +882,8 @@ def conjunctive_topk_terms(reader: IndexReader, terms: list[str],
 
 def typo_topk(reader: IndexReader, query: str, k: int = 10,
               cfg: TokenizerConfig = DEFAULT_CONFIG,
-              stats: Optional[dict] = None) -> list[tuple[int, float]]:
+              stats: Optional[dict] = None,
+              allowed: Optional[set] = None) -> list[tuple[int, float]]:
     """Typo-tolerant top-k: each query word expands to every dictionary word
     within its allowed edit distance (Meilisearch default rule: <5 chars 0
     typos, 5-8 one, 9+ two); the union of expanded words is ranked with the
@@ -875,7 +895,7 @@ def typo_topk(reader: IndexReader, query: str, k: int = 10,
                        for w in sym.expand(t)})
     if stats is not None:
         stats["expanded_terms"] = expanded
-    return wand_topk_terms(reader, expanded, k)
+    return wand_topk_terms(reader, expanded, k, allowed=allowed)
 
 
 def prefix_topk(reader: IndexReader, prefix: str, k: int = 10,
@@ -932,16 +952,6 @@ def words_ranked_topk(reader: IndexReader, query: str, k: int = 10,
     postings = reader.load_postings(terms)
     if not postings:
         return []
-    acc: dict[int, float] = {}
-    cnt: dict[int, int] = {}
-    dead = reader.deleted
-    for term in sorted(postings):
-        ids, tfs, lens_, df, _, _ = postings[term]
-        sc = scoring.bm25(tfs, lens_, df, reader.N, reader.avgdl)
-        for d, s in zip(u64_to_i64(ids).tolist(), sc.tolist()):
-            if d in dead:
-                continue
-            acc[d] = acc.get(d, 0.0) + s
-            cnt[d] = cnt.get(d, 0) + 1
+    acc, cnt = taat_accumulate(reader, postings)
     order = sorted(acc, key=lambda d: (-cnt[d], -acc[d], d))[:k]
     return [(d, cnt[d], acc[d]) for d in order]

@@ -29,7 +29,6 @@ from .facets import AttributeStore, matching_docs, sort_topk
 from .search import (
     IndexReader,
     matching_last_topk,
-    synonym_topk,
     wand_topk_terms,
 )
 
@@ -78,36 +77,39 @@ class SearchService:
         ids = self.attrs.doc_ids[np.asarray(vals) == value]
         return set(ids.tolist())
 
-    def _ranked(self, query: str, k: int, allowed: Optional[set]):
+    def _expanded_terms(self, query: str) -> list[str]:
+        """The ONE term-expansion point: typo expansion (SymSpell — the same
+        index typo_topk uses) subsumes the exact terms; synonym expansions
+        (normalized through the same tokenizer, as synonym_topk does) OR in
+        on top. Facets and highlighting reuse exactly this set, so the
+        response is internally consistent with the hits."""
+        s = self.settings
+        base = self.reader.query_terms(query, self.cfg)
+        if s.typo_tolerance:
+            sym = self.reader.symspell()
+            terms = {w for t in base for w in sym.expand(t)}
+        else:
+            terms = set(base)
+        for t in base:
+            for syn in s.synonyms.get(t, ()):
+                terms.update(self.reader.query_terms(syn, self.cfg))
+        return sorted(terms)
+
+    def _ranked(self, query: str, k: int,
+                allowed: Optional[set]) -> tuple[list, list]:
+        """-> (hits, terms_used). The filter gates candidates INSIDE each
+        strategy (WAND scoring branch / conjunctive intersection), never a
+        post-truncation filter — so k admissible results surface whenever
+        they exist, and matching 'last' relaxes against the filtered
+        conjunction."""
         s = self.settings
         if s.matching_strategy == "last":
-            hits = matching_last_topk(self.reader, query, k, self.cfg)
-            if allowed is not None:  # conjunctive core has no allowed-gate
-                hits = [(d, sc) for d, sc in hits if d in allowed][:k]
-            return hits
-        if s.typo_tolerance:
-            # typo expansion subsumes the exact terms; synonyms OR in on top
-            sym = self.reader.symspell()
-            terms = {w for t in self.reader.query_terms(query, self.cfg)
-                     for w in sym.expand(t)}
-            for t in self.reader.query_terms(query, self.cfg):
-                for syn in s.synonyms.get(t, ()):
-                    terms.update(self.reader.query_terms(syn, self.cfg))
-            return wand_topk_terms(self.reader, sorted(terms), k,
-                                   allowed=allowed)
-        if s.synonyms:
-            if allowed is None:
-                return synonym_topk(self.reader, query, s.synonyms, k, self.cfg)
-            terms = set(self.reader.query_terms(query, self.cfg))
-            for t in list(terms):
-                for syn in s.synonyms.get(t, ()):
-                    terms.update(self.reader.query_terms(syn, self.cfg))
-            return wand_topk_terms(self.reader, sorted(terms), k,
-                                   allowed=allowed)
-        return wand_topk_terms(
-            self.reader, self.reader.query_terms(query, self.cfg), k,
-            allowed=allowed,
-        )
+            stats: dict = {}
+            hits = matching_last_topk(self.reader, query, k, self.cfg,
+                                      stats=stats, allowed=allowed)
+            return hits, stats.get("terms_used", [])
+        terms = self._expanded_terms(query)
+        return wand_topk_terms(self.reader, terms, k, allowed=allowed), terms
 
     def _texts(self, ids: list) -> dict:
         if self.document_store is None:
@@ -140,21 +142,22 @@ class SearchService:
             col, desc = sort
             if col not in self.settings.sortable_attributes:
                 raise ValueError(f"attribute {col!r} is not sortable")
+            terms_used = self._expanded_terms(query)
             pairs = sort_topk(self.reader, self.attrs, query, col,
-                              k=self.reader.N, descending=desc, cfg=self.cfg)
+                              k=self.reader.N, descending=desc, cfg=self.cfg,
+                              terms=terms_used)
             if allowed is not None:
                 pairs = [(d, v) for d, v in pairs if d in allowed]
             hits = [{"doc_id": d, col: v} for d, v in pairs[:k]]
         else:
-            hits = [{"doc_id": d, "score": s}
-                    for d, s in self._ranked(query, k, allowed)]
+            ranked, terms_used = self._ranked(query, k, allowed)
+            hits = [{"doc_id": d, "score": s} for d, s in ranked]
 
         out: dict = {"hits": hits}
 
         if facets:
             fd: dict = {}
-            ids = matching_docs(self.reader,
-                                self.reader.query_terms(query, self.cfg))
+            ids = matching_docs(self.reader, terms_used)
             if allowed is not None:
                 ids = ids[np.isin(ids, np.fromiter(allowed, dtype=np.int64,
                                                    count=len(allowed)))]
@@ -172,7 +175,9 @@ class SearchService:
         if highlight and hits:
             from .highlight import format_highlight
 
-            terms = self.reader.query_terms(query, self.cfg)
+            # highlight the terms that actually produced the hits (typo/
+            # synonym expansions included), not just the raw query words
+            terms = terms_used
             texts = self._texts([h["doc_id"] for h in hits])
             for h in hits:
                 t = texts.get(h["doc_id"])

@@ -128,6 +128,63 @@ def test_synonyms_and_typo_settings(built):
         typo_topk(reader, "merje", 10)
 
 
+def test_last_with_filter_relaxes_against_filter(built):
+    """The attribute filter gates each conjunctive attempt INSIDE the
+    strategy — admissible results beyond the global top-k still surface,
+    and the relaxation sees the filter."""
+    from sparkft.search import IndexReader, matching_last_topk
+
+    out, _, rows = built
+    reader = IndexReader(None, out)
+    # global conjunctive matches for "merge sort"
+    global_hits = matching_last_topk(reader, "merge sort", reader.N)
+    assert len(global_hits) > 10
+    # restrict to docs OUTSIDE the global top-10: they must still be served
+    tail = {d for d, _ in global_hits[10:]}
+    svc = SearchService(out, IndexSettings(matching_strategy="last",
+                                           filterable_attributes=("repo",)))
+    hits = svc._ranked("merge sort", 10, tail)[0]
+    assert hits, "admissible docs beyond the global top-k must surface"
+    assert all(d in tail for d, _ in hits)
+    assert hits == [(d, s) for d, s in global_hits if d in tail][:10]
+    # a filter that empties the full conjunction lets the relaxation drop
+    # terms rather than returning nothing a shorter prefix could serve
+    only_merge = matching_last_topk(reader, "merge", reader.N)
+    merge_only_docs = {d for d, _ in only_merge} - {d for d, _ in global_hits}
+    if merge_only_docs:
+        stats = {}
+        got = matching_last_topk(reader, "merge sort", 10, stats=stats,
+                                 allowed=merge_only_docs)
+        assert stats["terms_used"] == ["merge"]
+        assert got and all(d in merge_only_docs for d, _ in got)
+
+
+def test_facets_and_highlight_use_expanded_terms(built):
+    """Facets/highlights are computed over the SAME expanded term set that
+    produced the hits (typo/synonyms), never the raw query words."""
+    out, store, rows = built
+    syn = {"merge": ["sort"]}
+    svc = SearchService(
+        out,
+        IndexSettings(synonyms=syn, filterable_attributes=("repo",)),
+        document_store=store,
+    )
+    res = svc.search("merge", 10, facets=["repo"])
+    # facet totals must count docs matching EITHER merge or sort
+    from sparkft.facets import matching_docs
+    from sparkft.search import IndexReader
+
+    ids = matching_docs(IndexReader(None, out), ["merge", "sort"])
+    assert sum(res["facetDistribution"]["repo"].values()) == len(ids)
+
+    # typo search must highlight the CORRECTED word
+    svc_t = SearchService(out, IndexSettings(typo_tolerance=True),
+                          document_store=store)
+    res_t = svc_t.search("merje", 3, highlight=True)
+    assert res_t["hits"]
+    assert all("<em>" in h["_formatted"] for h in res_t["hits"])
+
+
 def test_matching_strategy_last(built):
     from sparkft.search import IndexReader, matching_last_topk
 
