@@ -19,21 +19,16 @@ import numpy as np
 BLOCK = 128
 
 
-def encode_varints(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array, fully vectorized."""
+def encode_varints(values: np.ndarray,
+                   lengths: np.ndarray | None = None) -> bytes:
+    """LEB128-encode a uint64 array, fully vectorized. Pass `lengths`
+    (from varint_byte_lengths) to skip recomputing the per-value widths —
+    encode_varints_segmented already has them."""
     v = np.asarray(values, dtype=np.uint64)
     n = len(v)
     if n == 0:
         return b""
-    # bytes needed per value: ceil(bitlen/7), min 1
-    bits = np.zeros(n, dtype=np.int64)
-    tmp = v.copy()
-    nonzero = tmp > 0
-    while nonzero.any():
-        bits[nonzero] += 1
-        tmp >>= np.uint64(1)
-        nonzero = tmp > 0
-    nbytes = np.maximum((bits + 6) // 7, 1)
+    nbytes = varint_byte_lengths(v) if lengths is None else lengths
     total = int(nbytes.sum())
     out = np.zeros(total, dtype=np.uint8)
     starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
@@ -72,7 +67,7 @@ def encode_varints_segmented(values: np.ndarray, group_starts: np.ndarray):
     ranges zero-copy (e.g. via Arrow BinaryArray offsets)."""
     lens = varint_byte_lengths(values)
     cum = np.concatenate(([0], np.cumsum(lens)))
-    blob = encode_varints(values)
+    blob = encode_varints(values, lengths=lens)
     bounds = np.append(group_starts, len(values))
     return blob, cum[bounds]
 

@@ -640,10 +640,19 @@ def compact_index(spark, out_dir: str, num_buckets: int = 32,
     # readers double-filter harmlessly). Broadcast: the delete set is tiny
     # relative to postings — at scale Spark AQE would pick this anyway.
     tomb_dir = f"{out_dir}/tombstones"
+    n_removed = 0
     if os.path.isdir(tomb_dir) and any(
         f.endswith(".parquet") for f in os.listdir(tomb_dir)
     ):
         tombs = spark.read.parquet(tomb_dir).select("doc_id").distinct()
+        # removed-doc count BEFORE filtering, so N can be carried forward
+        # from the prior stats (see below) instead of re-derived
+        n_removed = (
+            all_postings.select("doc_id")
+            .join(F.broadcast(tombs), "doc_id", "left_semi")
+            .agg(F.countDistinct("doc_id"))
+            .collect()[0][0]
+        )
         all_postings = all_postings.join(
             F.broadcast(tombs), "doc_id", "left_anti"
         )
@@ -653,7 +662,23 @@ def compact_index(spark, out_dir: str, num_buckets: int = 32,
         F.countDistinct("doc_id").alias("n"),
         F.count("*").alias("p"),
     ).collect()[0]
-    n_docs = int(stats["n"]) or 1
+    # N: carry the build's own doc count forward (minus docs the tombstones
+    # actually removed) rather than re-deriving it from postings — docs that
+    # tokenize to ZERO tokens have no posting rows, and countDistinct would
+    # silently drop them from N on an otherwise no-op compaction, shifting
+    # every idf. The subtraction anchors on n_docs_base (the pre-delete
+    # build count) and n_removed is recomputed over the FULL tombstone set
+    # each time, so re-running compaction is idempotent. Fallback to the
+    # postings-derived count when no prior stats.json exists (pure
+    # streaming ingest). Known approximation: a tombstoned zero-token doc
+    # is invisible to postings and keeps counting toward N until a fresh
+    # build.
+    n_docs_base = prior.get("n_docs_base", prior.get("n_docs"))
+    if n_docs_base is not None:
+        n_docs = max(int(n_docs_base) - int(n_removed), 1)
+    else:
+        n_docs_base = int(stats["n"]) or 1
+        n_docs = n_docs_base
     n_postings = int(stats["p"])
     avgdl = float(stats["tt"] or 0) / n_docs
     hot = _hot_tokens(postings, n_postings, hot_token_count)
@@ -673,6 +698,7 @@ def compact_index(spark, out_dir: str, num_buckets: int = 32,
     ).collect()[0]
     out = {
         "n_docs": n_docs,
+        "n_docs_base": int(n_docs_base),
         "avgdl": avgdl,
         "n_tokens": int(seg_stats["n_tokens"]),
         "n_postings": n_postings,
@@ -779,6 +805,27 @@ def build_index(
         postings_schema = POSTINGS_SCHEMA
 
     # ---- stage 1 (checkpoint + resume; shard = pmod(xxhash64(doc_id), K)) ----
+    # resume is only sound against shards written with the SAME shard count:
+    # a different num_shards re-partitions docs, so 'missing' shards would
+    # duplicate docs already inside existing shard dirs (or, shrinking, the
+    # manifest sum would silently undercount). Fail loudly instead.
+    if resume:
+        import re as _re
+
+        for fname in sorted(os.listdir(f"{out_dir}/manifests")):
+            if not fname.startswith("shard-"):
+                continue
+            with open(f"{out_dir}/manifests/{fname}") as f:
+                flt = json.load(f).get("input_filter", "")
+            m = _re.search(r"xxhash64\(doc_id\), (\d+)\)", flt)
+            if m and int(m.group(1)) != num_shards:
+                raise ValueError(
+                    f"resume with num_shards={num_shards} but existing "
+                    f"manifests were written with num_shards={m.group(1)}; "
+                    "pass resume=False (full rebuild) or the original "
+                    "shard count"
+                )
+            break  # all manifests share one build config
     missing = [
         k for k in range(num_shards)
         if not (resume and os.path.exists(f"{out_dir}/manifests/shard-{k}.json"))

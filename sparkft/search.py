@@ -111,18 +111,21 @@ class IndexReader:
 
         if not prefix:
             return []
-        hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
-        tbl = self._dataset.to_table(
-            columns=["token", "df", "part"],
-            filter=(ds.field("token") >= prefix) & (ds.field("token") < hi),
-        )
+        hi = _prefix_upper(prefix)
+        expr = ds.field("token") >= prefix
+        if hi is not None:
+            expr = expr & (ds.field("token") < hi)
+        tbl = self._dataset.to_table(columns=["token", "df", "part"],
+                                     filter=expr)
         seen: dict[str, int] = {}
         for t, df, part in zip(
             tbl.column("token").to_pylist(),
             tbl.column("df").to_pylist(),
             tbl.column("part").to_pylist(),
         ):
-            if part == 0:
+            # the range is a SUPERSET when hi is None or was carry-rounded
+            # past a surrogate gap; startswith is the exact predicate
+            if part == 0 and t.startswith(prefix):
                 seen[t] = int(df)
         ranked = sorted(seen.items(), key=lambda kv: (-kv[1], kv[0]))
         return sorted(t for t, _ in ranked[:max_expansions])
@@ -166,6 +169,23 @@ class IndexReader:
             )
             out[tok] = (ids, tfs, lens_, int(parts[0]["df"]), bmax, blast)
         return out
+
+
+def _prefix_upper(prefix: str) -> Optional[str]:
+    """Smallest string > every string with this prefix, for range pruning.
+    Increments the last codepoint, hopping the UTF-16 surrogate gap (a lone
+    surrogate cannot reach parquet) and carrying past U+10FFFF; returns
+    None when every position carries out (prefix of all U+10FFFF) — the
+    caller then scans >= prefix with a startswith re-check."""
+    s = prefix
+    while s:
+        nxt = ord(s[-1]) + 1
+        if 0xD800 <= nxt <= 0xDFFF:
+            nxt = 0xE000
+        if nxt <= 0x10FFFF:
+            return s[:-1] + chr(nxt)
+        s = s[:-1]  # carry
+    return None
 
 
 def _varint_ends(blob: bytes) -> np.ndarray:
@@ -397,6 +417,8 @@ def wand_topk_terms(reader: IndexReader, terms: list[str], k: int = 10,
     or inside the reader's tombstone set — advances without scoring or heap
     updates, so the threshold only ever comes from admissible documents and
     bounds stay conservative."""
+    if k <= 0:
+        return []  # facets-only searches pass limit=0; TAAT parity demands []
     rows = reader.load_segment_rows(terms)
     if not rows:
         return []
@@ -829,6 +851,8 @@ def conjunctive_topk_terms(reader: IndexReader, terms: list[str],
     the shared core behind `conjunctive_topk` and `matching_last_topk`.
     `allowed` gates the scoring branch like the WAND path (rejected docs
     still drive the galloping intersection forward)."""
+    if k <= 0:
+        return []
     terms = sorted(set(terms))
     rows = reader.load_segment_rows(terms)
     if not rows or len(rows) < len(terms):
@@ -900,12 +924,24 @@ def typo_topk(reader: IndexReader, query: str, k: int = 10,
 
 def prefix_topk(reader: IndexReader, prefix: str, k: int = 10,
                 max_expansions: int = 64,
-                stats: Optional[dict] = None) -> list[tuple[int, float]]:
+                stats: Optional[dict] = None,
+                cfg: TokenizerConfig = DEFAULT_CONFIG) -> list[tuple[int, float]]:
     """Prefix top-k (search-as-you-type): the prefix expands to dictionary
     words via a token-range scan of the segment store (row-group min/max
     pruning; highest-df words win past max_expansions), then the expanded
-    set is ranked by the shared WAND + BM25 sum."""
-    expanded = reader.prefix_terms(prefix.strip().lower(), max_expansions)
+    set is ranked by the shared WAND + BM25 sum.
+
+    The prefix is normalized through the SAME tokenizer pipeline as indexed
+    text (the dictionary stores normalized lemmas: 'Café' must scan the
+    'cafe' range, exactly like synonym entries); a multi-word input keeps
+    only its LAST word as the live prefix, matching search-as-you-type."""
+    from .tokenizer import tokenize_batch
+
+    _, lemmas = tokenize_batch([prefix], cfg, words_only=True)
+    words = [t for t in lemmas if t]
+    if not words:
+        return []
+    expanded = reader.prefix_terms(words[-1], max_expansions)
     if stats is not None:
         stats["expanded_terms"] = expanded
     return wand_topk_terms(reader, expanded, k)

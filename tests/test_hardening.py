@@ -1,0 +1,122 @@
+"""Hardening fixes from the whole-package review: k<=0 limits, prefix
+normalization + codepoint-boundary range bounds, resume shard-count guard,
+and compaction N stability for zero-token docs."""
+
+import json
+
+import numpy as np
+import pytest
+
+from sparkft.corpus import generate_corpus
+from sparkft.index_build import build_index, compact_index, delete_docs
+from sparkft.search import (
+    IndexReader,
+    _prefix_upper,
+    conjunctive_topk,
+    matching_last_topk,
+    prefix_topk,
+    taat_topk,
+    wand_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .appName("sparkft-hardening")
+        .getOrCreate()
+    )
+    yield s
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    corpus = generate_corpus(200, seed=71)
+    corpus.loc[0, "content"] += "\n# café résumé"
+    out = str(tmp_path_factory.mktemp("hidx"))
+    df = spark.createDataFrame(corpus).repartition(4)
+    build_index(spark, df, out, num_shards=2, num_buckets=8)
+    return IndexReader(spark, out)
+
+
+def test_k_zero_returns_empty_everywhere(built):
+    """limit=0 (facets-only searches) must return [], like TAAT, never
+    crash on an empty heap."""
+    r = built
+    assert taat_topk(r, "merge sort", 0) == []
+    assert wand_topk(r, "merge sort", 0) == []
+    assert conjunctive_topk(r, "merge sort", 0) == []
+    assert matching_last_topk(r, "merge sort", 0) == []
+    assert wand_topk(r, "merge sort", -3) == []
+
+
+def test_prefix_upper_codepoint_boundaries():
+    assert _prefix_upper("abc") == "abd"
+    # surrogate gap hop: U+D7FF + 1 must not be a lone surrogate
+    assert _prefix_upper("a퟿") == "a"
+    # max codepoint carries into the previous position
+    assert _prefix_upper("a\U0010ffff") == "b"
+    # all-max prefix has no upper bound
+    assert _prefix_upper("\U0010ffff\U0010ffff") is None
+    # both bounds must encode (parquet filter materialization)
+    for p in ("a퟿", "z"):
+        _prefix_upper(p).encode("utf-8")
+
+
+def test_prefix_topk_handles_extreme_prefixes(built):
+    # must not raise, must return [] or valid hits
+    assert prefix_topk(built, "\U0010ffff", 5) == []
+    assert isinstance(prefix_topk(built, "me", 5), list)
+
+
+def test_prefix_normalized_like_indexed_text(built):
+    """'Café' must scan the normalized 'cafe' range — the dictionary holds
+    normalized lemmas."""
+    got = prefix_topk(built, "Café", 5)
+    assert got == prefix_topk(built, "cafe", 5)
+    assert got, "the salted café doc should match"
+    # multi-word input: the LAST word is the live prefix
+    assert prefix_topk(built, "import me", 5) == prefix_topk(built, "me", 5)
+
+
+def test_resume_shard_count_mismatch_rejected(spark, tmp_path):
+    corpus = generate_corpus(50, seed=72)
+    out = str(tmp_path / "ridx")
+    df = spark.createDataFrame(corpus).repartition(2)
+    build_index(spark, df, out, num_shards=2, num_buckets=8)
+    with pytest.raises(ValueError, match="num_shards"):
+        build_index(spark, df, out, num_shards=4, num_buckets=8, resume=True)
+    # same shard count resumes fine (no-op)
+    build_index(spark, df, out, num_shards=2, num_buckets=8, resume=True)
+
+
+def test_compaction_preserves_n_for_zero_token_docs(spark, tmp_path):
+    """A no-op compaction must not change N (zero-token docs have no
+    posting rows but still count), and re-compaction is idempotent."""
+    corpus = generate_corpus(60, seed=73)
+    corpus.loc[0, "content"] = "   "   # tokenizes to nothing
+    corpus.loc[1, "content"] = ""
+    out = str(tmp_path / "zidx")
+    df = spark.createDataFrame(corpus).repartition(2)
+    build_index(spark, df, out, num_shards=2, num_buckets=8, verify_sha=False)
+    r0 = IndexReader(spark, out)
+    assert r0.N == 60
+
+    compact_index(spark, out, num_buckets=8)  # no tombstones: true no-op
+    r1 = IndexReader(spark, out)
+    assert r1.N == 60 and r1.avgdl == r0.avgdl
+
+    # delete 5 docs with postings, compact twice: N stable at 55
+    ids = sorted(
+        x[0] for x in taat_topk(r1, "merge sort import return self", 10**6)
+    )[:5]
+    delete_docs(out, ids)
+    compact_index(spark, out, num_buckets=8)
+    assert IndexReader(spark, out).N == 55
+    compact_index(spark, out, num_buckets=8)
+    assert IndexReader(spark, out).N == 55
