@@ -53,6 +53,8 @@ def ivf_build(spark, df, n_centroids: int = 16, iters: int = 5, seed: int = 42,
     # and unstable under repartitioning). One narrow count scan sizes the
     # modulus; xxhash64(id) % m == 0 picks ~4096 rows uniformly by content.
     n_rows = df.count()
+    if n_rows == 0:
+        raise ValueError("ivf_build: input dataframe is empty")
     m = max(1, n_rows // 4096)
     sample_df = (
         df.filter(F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(m)) == 0)
@@ -138,7 +140,10 @@ def embedding_near_dup_pairs(df, n_planes: int = 64, band_size: int = 16,
 
     from .spark_util import ensure_parallelism
 
-    dim = len(df.select(emb_col).first()[0])
+    first = df.select(emb_col).first()
+    if first is None:
+        raise ValueError("embedding_near_dup_pairs: input dataframe is empty")
+    dim = len(first[0])
     planes = hyperplane_planes(n_planes, dim, seed)
     e = F.transform(F.col(emb_col), lambda x: x.cast("double"))
     # 64 hyperplane dot products per row: spread a single-split demo scan

@@ -60,9 +60,11 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     from .spark_util import ensure_parallelism
 
     df = ensure_parallelism(df)
+    # split on ANY whitespace run: hard-wrapped text must shingle the same
+    # as single-line text, or near-dup recall silently drops across wrapping
     words = df.select(
         F.col(id_col).alias("doc_id"),
-        F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias("w"),
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "").alias("w"),
     ).filter(F.size("w") >= n)
     # explode the START-INDEX sequence and index the words array, rather
     # than exploding a transform()-built shingle array: Catalyst infers a

@@ -11,8 +11,9 @@ the sparkft segment store:
   doc_id-SORTED columnar attribute table under `{index_dir}/attrs/` (one
   Spark sort, written once at build time). Sorted order makes every lookup
   a vectorized numpy `searchsorted` — no per-doc hashing, no Python loops.
-- `AttributeStore` memory-maps the columns via pyarrow and serves
-  `lookup(ids, col)` for arbitrary id sets.
+- `AttributeStore` loads the columns once per worker (pyarrow read) and
+  serves `lookup(ids, col)` for arbitrary id sets; at scale a worker loads
+  only its buckets (see the scale note below), not the whole store.
 - `facet_counts(reader, store, query, col)` = counts of each facet value
   over the docs matching >= 1 query term (the same disjunctive candidate
   set BM25 ranks), tombstones excluded.
@@ -102,14 +103,26 @@ def matching_docs(reader, terms: list[str]) -> np.ndarray:
     return ids
 
 
+def _mask_allowed(ids: np.ndarray, allowed) -> np.ndarray:
+    if allowed is None or len(ids) == 0:
+        return ids
+    arr = np.fromiter(allowed, dtype=np.int64, count=len(allowed))
+    return ids[np.isin(ids, arr)]
+
+
 def facet_counts(reader, store: AttributeStore, query: str, col: str,
                  cfg: TokenizerConfig = DEFAULT_CONFIG,
-                 terms: Optional[list] = None) -> dict:
+                 terms: Optional[list] = None,
+                 allowed=None) -> dict:
     """Meilisearch `facetDistribution`: {facet value: n matching docs} over
     the docs matching >= 1 query term. Pass `terms` to count over an
-    EXPANDED term set (typo/synonyms), as the service layer does."""
-    ids = matching_docs(reader, terms if terms is not None
-                        else reader.query_terms(query, cfg))
+    EXPANDED term set (typo/synonyms), as the service layer does; `allowed`
+    restricts to a filtered candidate set (vectorized isin mask)."""
+    ids = _mask_allowed(
+        matching_docs(reader, terms if terms is not None
+                      else reader.query_terms(query, cfg)),
+        allowed,
+    )
     if len(ids) == 0:
         return {}
     vals, counts = np.unique(store.lookup(ids, col), return_counts=True)
@@ -120,13 +133,19 @@ def facet_counts(reader, store: AttributeStore, query: str, col: str,
 def sort_topk(reader, store: AttributeStore, query: str, col: str,
               k: int = 10, descending: bool = True,
               cfg: TokenizerConfig = DEFAULT_CONFIG,
-              terms: Optional[list] = None) -> list[tuple[int, object]]:
+              terms: Optional[list] = None,
+              allowed=None) -> list[tuple[int, object]]:
     """The `sort` ranking rule: docs matching >= 1 query term, ordered by
     the attribute (DESC by default), doc_id ASC tie-break. Returns
     [(doc_id, attr_value)]. One lexsort over the candidate set — never over
-    the corpus. Pass `terms` to sort an EXPANDED candidate set."""
-    ids = matching_docs(reader, terms if terms is not None
-                        else reader.query_terms(query, cfg))
+    the corpus. Pass `terms` to sort an EXPANDED candidate set; `allowed`
+    restricts candidates BEFORE the sort (vectorized isin mask), so k stays
+    the caller's k."""
+    ids = _mask_allowed(
+        matching_docs(reader, terms if terms is not None
+                      else reader.query_terms(query, cfg)),
+        allowed,
+    )
     if len(ids) == 0:
         return []
     vals = store.lookup(ids, col)

@@ -759,6 +759,73 @@ def ranking_pipeline_topk(reader: IndexReader, query: str, k: int = 10,
     ]
 
 
+def grouped_conjunctive_topk(reader: IndexReader, groups: list[list[str]],
+                             k: int = 10,
+                             allowed: Optional[set] = None
+                             ) -> list[tuple[int, float]]:
+    """Conjunction of DISJUNCTIONS (OR-within-AND): a document matches when
+    it contains at least one variant from EVERY group — the semantics of a
+    matching strategy composed with typo/synonym expansion (each query word
+    is a variant group). Ranked by the BM25 sum over every matched variant,
+    (score desc, doc_id asc) tie-break.
+
+    One load of the union's postings, then numpy set algebra per group
+    (union) and across groups (intersection) — O(query postings), never
+    O(index)."""
+    if k <= 0 or not groups:
+        return []
+    union_terms = sorted({t for g in groups for t in g})
+    postings = reader.load_postings(union_terms)
+    if not postings:
+        return []
+    # per-group doc-id unions; a group with no postings empties the AND
+    cand = None
+    for g in groups:
+        arrs = [u64_to_i64(postings[t][0]) for t in g if t in postings]
+        if not arrs:
+            return []
+        docs = np.unique(np.concatenate(arrs))
+        cand = docs if cand is None else np.intersect1d(cand, docs,
+                                                        assume_unique=True)
+        if len(cand) == 0:
+            return []
+    cset = set(cand.tolist())
+    acc, _ = taat_accumulate(reader, postings)  # tombstones excluded here
+    out = [
+        (d, acc[d]) for d in acc
+        if d in cset and (allowed is None or d in allowed)
+    ]
+    out.sort(key=lambda t: (-t[1], t[0]))
+    return out[:k]
+
+
+def grouped_matching_last_topk(reader: IndexReader, groups: list[list[str]],
+                               k: int = 10,
+                               stats: Optional[dict] = None,
+                               allowed: Optional[set] = None
+                               ) -> list[tuple[int, float]]:
+    """Matching strategy "last" over variant groups: require every word
+    group, dropping groups from the END of the query until something
+    matches. Group order must be QUERY order. k=0 still resolves which
+    groups match (a 1-probe per attempt) so facets-only searches learn the
+    terms_used, but returns no hits."""
+    probe_k = k if k > 0 else 1
+    n = len(groups)
+    while n:
+        hits = grouped_conjunctive_topk(reader, groups[:n], probe_k,
+                                        allowed=allowed)
+        if hits:
+            if stats is not None:
+                stats["groups_used"] = groups[:n]
+                stats["terms_used"] = sorted({t for g in groups[:n] for t in g})
+            return hits if k > 0 else []
+        n -= 1
+    if stats is not None:
+        stats["groups_used"] = []
+        stats["terms_used"] = []
+    return []
+
+
 def matching_last_topk(reader: IndexReader, query: str, k: int = 10,
                        cfg: TokenizerConfig = DEFAULT_CONFIG,
                        stats: Optional[dict] = None,
@@ -778,16 +845,8 @@ def matching_last_topk(reader: IndexReader, query: str, k: int = 10,
     _, lemmas = tokenize_batch([query], cfg, words_only=True)
     # QUERY order (first occurrence wins): "last" drops from the end
     terms = list(dict.fromkeys(t for t in lemmas if t))
-    while terms:
-        hits = conjunctive_topk_terms(reader, terms, k, allowed=allowed)
-        if hits:
-            if stats is not None:
-                stats["terms_used"] = terms
-            return hits
-        terms = terms[:-1]
-    if stats is not None:
-        stats["terms_used"] = []
-    return []
+    return grouped_matching_last_topk(reader, [[t] for t in terms], k,
+                                      stats=stats, allowed=allowed)
 
 
 def distributed_topk(spark, index_dir: str, queries: list[str], k: int = 10,

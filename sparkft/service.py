@@ -25,12 +25,8 @@ from typing import Optional
 import numpy as np
 
 from .config import DEFAULT_CONFIG, TokenizerConfig
-from .facets import AttributeStore, matching_docs, sort_topk
-from .search import (
-    IndexReader,
-    matching_last_topk,
-    wand_topk_terms,
-)
+from .facets import AttributeStore, facet_counts, sort_topk
+from .search import IndexReader, wand_topk_terms
 
 
 @dataclass(frozen=True)
@@ -39,13 +35,20 @@ class IndexSettings:
 
     ranking_rules is fixed to the verified default pipeline; synonyms are
     OR-expansions; typo_tolerance applies the Meilisearch length rule via
-    SymSpell; matching_strategy 'last' drops query words from the end until
-    the conjunction matches ('all' requires every word but ranks
-    disjunctively, like the plain WAND path)."""
+    SymSpell. matching_strategy:
+    - 'any'  (default): engine-native disjunctive BM25 over the expanded
+      term set — NOT a Meilisearch strategy (Meilisearch's default is
+      'last'); it is the plain WAND ranking.
+    - 'all'  : every query word required (Meilisearch 'all'), where a word
+      counts as matched by ANY of its typo/synonym variants.
+    - 'last' : like 'all', but words drop from the END of the query until
+      something matches (Meilisearch's default strategy).
+    Typo and synonym expansion compose with every strategy: each query word
+    becomes a variant GROUP; 'all'/'last' intersect the groups' unions."""
 
     synonyms: dict = field(default_factory=dict)
     typo_tolerance: bool = False
-    matching_strategy: str = "all"  # 'all' | 'last'
+    matching_strategy: str = "any"  # 'any' | 'all' | 'last'
     filterable_attributes: tuple = ()
     sortable_attributes: tuple = ()
 
@@ -77,38 +80,49 @@ class SearchService:
         ids = self.attrs.doc_ids[np.asarray(vals) == value]
         return set(ids.tolist())
 
-    def _expanded_terms(self, query: str) -> list[str]:
-        """The ONE term-expansion point: typo expansion (SymSpell — the same
-        index typo_topk uses) subsumes the exact terms; synonym expansions
-        (normalized through the same tokenizer, as synonym_topk does) OR in
-        on top. Facets and highlighting reuse exactly this set, so the
-        response is internally consistent with the hits."""
+    def _word_groups(self, query: str) -> list[list[str]]:
+        """The ONE term-expansion point: each query word (QUERY order, first
+        occurrence wins) becomes its variant group — the word itself, its
+        SymSpell typo expansions (when typo_tolerance), and its configured
+        synonyms, every variant normalized through the same tokenizer.
+        Hits, facets, and highlighting all derive from these groups, so the
+        response is internally consistent."""
+        from .tokenizer import tokenize_batch
+
         s = self.settings
-        base = self.reader.query_terms(query, self.cfg)
-        if s.typo_tolerance:
-            sym = self.reader.symspell()
-            terms = {w for t in base for w in sym.expand(t)}
-        else:
-            terms = set(base)
-        for t in base:
-            for syn in s.synonyms.get(t, ()):
-                terms.update(self.reader.query_terms(syn, self.cfg))
-        return sorted(terms)
+        _, lemmas = tokenize_batch([query], self.cfg, words_only=True)
+        words = list(dict.fromkeys(t for t in lemmas if t))
+        sym = self.reader.symspell() if s.typo_tolerance else None
+        groups = []
+        for w in words:
+            g = {w}
+            if sym is not None:
+                g.update(sym.expand(w))
+            for syn in s.synonyms.get(w, ()):
+                g.update(self.reader.query_terms(syn, self.cfg))
+            groups.append(sorted(g))
+        return groups
 
     def _ranked(self, query: str, k: int,
                 allowed: Optional[set]) -> tuple[list, list]:
         """-> (hits, terms_used). The filter gates candidates INSIDE each
-        strategy (WAND scoring branch / conjunctive intersection), never a
+        strategy (WAND scoring branch / grouped intersection), never a
         post-truncation filter — so k admissible results surface whenever
         they exist, and matching 'last' relaxes against the filtered
         conjunction."""
+        from .search import grouped_conjunctive_topk, grouped_matching_last_topk
+
         s = self.settings
+        groups = self._word_groups(query)
+        terms = sorted({t for g in groups for t in g})
         if s.matching_strategy == "last":
             stats: dict = {}
-            hits = matching_last_topk(self.reader, query, k, self.cfg,
-                                      stats=stats, allowed=allowed)
+            hits = grouped_matching_last_topk(self.reader, groups, k,
+                                              stats=stats, allowed=allowed)
             return hits, stats.get("terms_used", [])
-        terms = self._expanded_terms(query)
+        if s.matching_strategy == "all":
+            return grouped_conjunctive_topk(self.reader, groups, k,
+                                            allowed=allowed), terms
         return wand_topk_terms(self.reader, terms, k, allowed=allowed), terms
 
     def _texts(self, ids: list) -> dict:
@@ -142,13 +156,12 @@ class SearchService:
             col, desc = sort
             if col not in self.settings.sortable_attributes:
                 raise ValueError(f"attribute {col!r} is not sortable")
-            terms_used = self._expanded_terms(query)
-            pairs = sort_topk(self.reader, self.attrs, query, col,
-                              k=self.reader.N, descending=desc, cfg=self.cfg,
-                              terms=terms_used)
-            if allowed is not None:
-                pairs = [(d, v) for d, v in pairs if d in allowed]
-            hits = [{"doc_id": d, col: v} for d, v in pairs[:k]]
+            terms_used = sorted({t for g in self._word_groups(query)
+                                 for t in g})
+            pairs = sort_topk(self.reader, self.attrs, query, col, k=k,
+                              descending=desc, cfg=self.cfg,
+                              terms=terms_used, allowed=allowed)
+            hits = [{"doc_id": d, col: v} for d, v in pairs]
         else:
             ranked, terms_used = self._ranked(query, k, allowed)
             hits = [{"doc_id": d, "score": s} for d, s in ranked]
@@ -157,19 +170,12 @@ class SearchService:
 
         if facets:
             fd: dict = {}
-            ids = matching_docs(self.reader, terms_used)
-            if allowed is not None:
-                ids = ids[np.isin(ids, np.fromiter(allowed, dtype=np.int64,
-                                                   count=len(allowed)))]
             for col in facets:
                 if col not in self.settings.filterable_attributes:
                     raise ValueError(f"attribute {col!r} is not filterable")
-                vals, counts = np.unique(self.attrs.lookup(ids, col),
-                                         return_counts=True)
-                fd[col] = {
-                    (v.item() if hasattr(v, "item") else v): int(c)
-                    for v, c in zip(vals, counts)
-                }
+                fd[col] = facet_counts(self.reader, self.attrs, query, col,
+                                       cfg=self.cfg, terms=terms_used,
+                                       allowed=allowed)
             out["facetDistribution"] = fd
 
         if highlight and hits:

@@ -38,10 +38,7 @@ def stream_postings(
 
     from .spark_util import ensure_shipped
 
-    try:
-        ensure_shipped(stream_df.sparkSession)
-    except Exception:
-        pass
+    ensure_shipped(stream_df.sparkSession)
     fn = make_tokenize_arrow_fn(cfg, text_col, emit_sha=False)
     return (
         stream_df.select(F.col(id_col).alias("doc_id"), text_col)
@@ -67,6 +64,10 @@ def windowed_token_counts(
     mapInArrow but preserves arbitrary carry-through columns)."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import ArrayType, StringType
+
+    from .spark_util import ensure_shipped
+
+    ensure_shipped(stream_df.sparkSession)
 
     @F.pandas_udf(ArrayType(StringType()))
     def words_udf(texts):
@@ -109,7 +110,9 @@ def incremental_index(
         t0 = time.time()
         path = f"{out_dir}/postings_raw/shard=stream-{batch_id}"
         batch_df.write.mode("overwrite").parquet(path)
-        rows = batch_df.count()
+        # count the WRITTEN files (parquet footer metadata, no recompute) —
+        # batch_df.count() would replay the whole tokenize pipeline
+        rows = batch_df.sparkSession.read.parquet(path).count()
         manifest = {
             "shard": f"stream-{batch_id}",
             "rows": rows,

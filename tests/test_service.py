@@ -185,6 +185,61 @@ def test_facets_and_highlight_use_expanded_terms(built):
     assert all("<em>" in h["_formatted"] for h in res_t["hits"])
 
 
+def test_matching_strategy_all_requires_every_word(built):
+    """'all' = conjunction of the words' variant groups."""
+    from sparkft.search import IndexReader, conjunctive_topk
+
+    out, _, _ = built
+    reader = IndexReader(None, out)
+    svc = SearchService(out, IndexSettings(matching_strategy="all"))
+    got = svc.search("merge sort", 10)["hits"]
+    want = conjunctive_topk(reader, "merge sort", 10)
+    assert [(h["doc_id"], h["score"]) for h in got] == want
+
+    # with a synonym, a word counts as matched by any variant:
+    # docs containing (merge OR join) AND sort
+    from sparkft.search import grouped_conjunctive_topk
+
+    svc_s = SearchService(out, IndexSettings(matching_strategy="all",
+                                             synonyms={"merge": ["join"]}))
+    got_s = svc_s.search("merge sort", 10)["hits"]
+    want_s = grouped_conjunctive_topk(reader, [["join", "merge"], ["sort"]], 10)
+    assert [(h["doc_id"], h["score"]) for h in got_s] == want_s
+
+
+def test_typo_composes_with_last(built):
+    """typo_tolerance must keep working under matching_strategy='last':
+    a misspelled word is matched through its corrected variants instead of
+    being dropped by the relaxation."""
+    from sparkft.search import IndexReader, matching_last_topk
+
+    out, _, _ = built
+    reader = IndexReader(None, out)
+    svc = SearchService(out, IndexSettings(typo_tolerance=True,
+                                           matching_strategy="last"))
+    got = svc.search("merje sort", 10)["hits"]
+    assert got, "the corrected conjunction should match"
+    groups = svc._word_groups("merje sort")
+    assert "merge" in groups[0]  # the typo expanded to the indexed word
+    from sparkft.search import grouped_matching_last_topk
+
+    want = grouped_matching_last_topk(reader, groups, 10)
+    assert [(h["doc_id"], h["score"]) for h in got] == want
+    # the plain relaxation (no typo) would have dropped 'merje' entirely
+    dropped = matching_last_topk(reader, "merje sort", 10)
+    assert got != dropped or not dropped
+
+
+def test_facets_only_limit_zero_under_last(built):
+    """k=0 (facets-only) under 'last' must still resolve terms and count."""
+    out, _, _ = built
+    svc = SearchService(out, IndexSettings(matching_strategy="last",
+                                           filterable_attributes=("repo",)))
+    res = svc.search("merge sort", 0, facets=["repo"])
+    assert res["hits"] == []
+    assert sum(res["facetDistribution"]["repo"].values()) > 0
+
+
 def test_matching_strategy_last(built):
     from sparkft.search import IndexReader, matching_last_topk
 
