@@ -90,26 +90,30 @@ for _latin_lang in (
 
 # Cyrillic language discrimination by alphabet-exclusive letters (whatlang
 # uses trigram profiles; exclusive letters decide the same cases
-# deterministically). Order matters: Russian-exclusive letters first, since
-# e.g. ъ exists in Russian but is a frequent vowel only in Bulgarian.
-_CYR_RUS = set("ыэё")
+# deterministically). Order matters: TRULY exclusive letters first — ў only
+# exists in Belarusian, є/ї only in Ukrainian — while ы/э/ё are shared by
+# Russian AND Belarusian (and Kazakh), so they only mean Russian after the
+# exclusive markers have had their chance.
 _CYR_MARKERS = [
     ("bel", set("ў")),
-    ("ukr", set("їєґі")),
+    ("ukr", set("їєґ")),  # і excluded: also Belarusian/Kazakh
+    ("kaz", set("әғқңөұүһ")),
     ("srp", set("ђћџ")),  # љ/њ excluded: shared with Macedonian
     ("mkd", set("ѓќѕ")),
-    ("bul", set("ъ")),
 ]
+# ъ is NOT exclusive (the Russian hard sign): it means Bulgarian only when
+# the Russian-only vowels ы/э/ё are absent — Bulgarian lacks all three
+_CYR_RUS_VOWELS = set("ыэё")
 
 
 def _cyrillic_language(text: str) -> str:
     lower = text.lower()
     chars = set(lower)
-    if chars & _CYR_RUS:
-        return "rus"
     for lang, markers in _CYR_MARKERS:
         if chars & markers:
             return lang
+    if not (chars & _CYR_RUS_VOWELS) and "ъ" in chars:
+        return "bul"
     return "rus"
 
 
@@ -195,10 +199,9 @@ class RunDetection:
         script = self.script()
         lang: Optional[str]
         if script == T.CJ:
-            kana = ((self.sids != 0)
-                    & np.isin(self.sids, [T.SCRIPT_ID[T.CJ]])).any() and any(
-                0x3040 <= ord(c) <= 0x30FF for c in self.text
-            )
+            # script()==CJ already implies CJ runs exist; the codepoint
+            # range scan alone decides kana presence
+            kana = any(0x3040 <= ord(c) <= 0x30FF for c in self.text)
             lang = "jpn" if kana else "cmn"
         elif script == T.ARABIC:
             lang = (

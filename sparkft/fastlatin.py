@@ -134,6 +134,14 @@ def tokenize_ascii_arrow(texts: Sequence[str], cfg: TokenizerConfig):
     if n_tok == 0:
         return np.empty(0, dtype=np.int64), pa.array([], type=pa.string())
     data = lower_big.encode("ascii")
+    if len(data) >= 2**31:
+        # int32 Arrow offsets would silently wrap; fail loudly — callers
+        # control the Arrow batch size (spark.sql.execution.arrow.
+        # maxRecordsPerBatch) and must keep batches under 2 GiB
+        raise ValueError(
+            f"ASCII fast-path batch is {len(data)} bytes (>= 2 GiB): "
+            "reduce the Arrow batch size"
+        )
     offsets = np.empty(n_tok + 1, dtype=np.int32)
     offsets[:-1] = starts
     offsets[-1] = len(data)

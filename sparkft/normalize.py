@@ -288,11 +288,10 @@ def normalize_lemma(
     if cfg.swedish_recomposition and language == "swe" and _swedish_trigger(lemma):
         lemma = swedish_recompose(lemma)
     lemma = strip_control(lemma)
+    # classify before the lossy stages; the reference classifier returns
+    # early for stop words but later normalizers still run on the token,
+    # and kind stays StopWord
     kind = classify(lemma, cfg.stop_words, cfg.separators)
-    if kind == STOP_WORD:
-        # the reference classifier returns early for stop words but later
-        # normalizers still run on the token; kind stays StopWord.
-        pass
     if (
         script == T.ARABIC
         and language == "pes"
@@ -361,6 +360,17 @@ def normalize_lemma_charmap(
             s = swedish_recompose(s)
         s = strip_control(s)
         groups.append(s)
+    if cfg.swedish_recomposition and language == "swe":
+        # a DECOMPOSED source (base letter + combining mark as two source
+        # chars) recomposes ACROSS groups: merge the mark into the previous
+        # group so å/ä/ö survive the Latin mark-stripping table exactly
+        # like the plain path; the mark's group keeps 0 normalized bytes
+        for i in range(1, len(groups)):
+            g = groups[i]
+            if g and groups[i - 1] and all(ch in "\u0308\u030a" for ch in g):
+                merged = swedish_recompose(groups[i - 1] + g)
+                if merged != groups[i - 1] + g:
+                    groups[i - 1], groups[i] = merged, ""
     mid = "".join(groups)
     kind = classify(mid, cfg.stop_words, cfg.separators)
     if (
@@ -380,7 +390,12 @@ def normalize_lemma_charmap(
             groups = [g.translate(table) for g in groups]
         elif script == T.CJ:
             if cfg.chinese_normalization and language in (None, "cmn", "zho"):
-                groups = [g.translate(_kvariants_table()) for g in groups]
+                if cfg.chinese_normalization_pinyin:
+                    # per-char fold, so the char_map records each source
+                    # char's pinyin byte length (multi-byte groups)
+                    groups = [_pinyin_fold(g) for g in groups]
+                else:
+                    groups = [g.translate(_kvariants_table()) for g in groups]
             if cfg.japanese_transliteration and language in (None, "jpn"):
                 # sequential fold so ー sees the previous group's output
                 prev = ""

@@ -87,8 +87,18 @@ def build_scanner(
 
 
 def maybe_number(text: str) -> bool:
-    """charabia/src/segmenter/mod.rs:265-267."""
-    return all(c.isnumeric() or c in _ASCII_PUNCT for c in text)
+    """charabia/src/segmenter/mod.rs:265-267.
+
+    Rust's char::is_numeric is true only for general categories Nd/Nl/No;
+    Python's str.isnumeric additionally accepts Numeric_Type=Numeric
+    ideographs (三/十/五, category Lo), which must NOT be protected as
+    numbers — charabia routes them through the Chinese segmenter."""
+    import unicodedata
+
+    return all(
+        c in _ASCII_PUNCT or unicodedata.category(c) in ("Nd", "Nl", "No")
+        for c in text
+    )
 
 
 def presegment(text: str, scanner: SeparatorScanner) -> Iterator[tuple[str, bool]]:

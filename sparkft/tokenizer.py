@@ -267,7 +267,13 @@ def tokenize_batch(
             fast_texts.append(t)
         else:
             for tok in tokenize_str(t, cfg):
-                if not words_only or tok.kind in (WORD, STOP_WORD):
+                # words_only also drops fully-deleted lemmas (e.g. a lone
+                # combining mark normalizes to ''): the index path
+                # (tokenize_words_arrow) never emits them, and the oracle
+                # must count the same tokens per doc
+                if not words_only or (
+                    tok.kind in (WORD, STOP_WORD) and tok.lemma
+                ):
                     row_idx.append(i)
                     lemmas.append(tok.lemma)
     if fast_texts:

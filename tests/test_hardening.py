@@ -120,3 +120,60 @@ def test_compaction_preserves_n_for_zero_token_docs(spark, tmp_path):
     assert IndexReader(spark, out).N == 55
     compact_index(spark, out, num_buckets=8)
     assert IndexReader(spark, out).N == 55
+
+
+def test_han_numerals_not_number_protected():
+    """Rust char::is_numeric covers Nd/Nl/No only: Han numeral ideographs
+    (category Lo) must route through the Chinese segmenter, not the number
+    protection (charabia/src/segmenter/mod.rs:265-267)."""
+    from sparkft import tokenize_str
+    from sparkft.segment import maybe_number
+
+    assert maybe_number("35") and maybe_number("3.5") and maybe_number("1,2")
+    assert not maybe_number("三十五")  # 三十五
+    assert [t.lemma for t in tokenize_str("三十五")] == [
+        "三", "十", "五"
+    ]
+
+
+def test_charmap_mode_matches_plain_lemmas():
+    """The charmap pipeline must produce the SAME lemma as the plain one
+    for pinyin folding and for DECOMPOSED Swedish sources (base + combining
+    mark as two chars)."""
+    from sparkft.config import DEFAULT_CONFIG
+    from sparkft.normalize import normalize_lemma, normalize_lemma_charmap
+
+    nfd = "åäö"  # å ä ö decomposed
+    plain = normalize_lemma(nfd, "Latin", "swe", DEFAULT_CONFIG)[0]
+    lemma, _, cmap = normalize_lemma_charmap(nfd, "Latin", "swe", DEFAULT_CONFIG)
+    assert lemma == plain == "\xe5\xe4\xf6"
+    assert sum(o for o, _ in cmap) == len(nfd.encode("utf-8"))
+    assert sum(n for _, n in cmap) == len(lemma.encode("utf-8"))
+
+    cfg = DEFAULT_CONFIG.with_(chinese_normalization_pinyin=True)
+    plain_py = normalize_lemma("中文", "Cj", "cmn", cfg)[0]
+    lemma_py, _, cmap_py = normalize_lemma_charmap("中文", "Cj", "cmn", cfg)
+    assert lemma_py == plain_py
+    assert sum(n for _, n in cmap_py) == len(lemma_py.encode("utf-8"))
+
+
+def test_empty_lemma_dropped_in_batch_words_only():
+    """tokenize_batch(words_only=True) must drop fully-deleted lemmas (a
+    lone Arabic diacritic normalizes to ''), matching the index path."""
+    from sparkft.tokenizer import tokenize_batch, tokenize_words_arrow
+
+    text = "foo ِ bar"
+    _, batch = tokenize_batch([text])
+    _, arrow = tokenize_words_arrow([text])
+    assert batch == arrow.to_pylist() == ["foo", "bar"]
+
+
+def test_cyrillic_exclusive_letter_order():
+    """ы/э/ё are shared with Belarusian/Kazakh — truly exclusive letters
+    must win first."""
+    from sparkft.detection import _cyrillic_language
+
+    assert _cyrillic_language("у вёсцы была ўsмешка".replace("s", "")) == "bel"
+    assert _cyrillic_language("это быстрый пример") == "rus"
+    assert _cyrillic_language("қазақ тілі") == "kaz"
+    assert _cyrillic_language("їє українська") == "ukr"
