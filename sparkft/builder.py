@@ -45,10 +45,21 @@ class Tokenizer:
         return segment_str(text, self.cfg, self._chinese)
 
     def segment(self, text: str):
-        """Segmentation-only token stream (offsets, no normalization)."""
-        from .tokenizer import tokenize_str
+        """Segmentation-only token stream: raw segment lemmas with offsets,
+        NO normalizer (not even the lossless stages) and no classifier —
+        parity with charabia Tokenizer::segment (tokenizer.rs:137-147),
+        where the token kind stays the default Unknown."""
+        from .tokenizer import Token, _segments
 
-        return tokenize_str(text, self.cfg.with_(lossy=False), self._chinese)
+        out = []
+        cpos = bpos = 0
+        for seg, script, lang, _ in _segments(text, self.cfg, self._chinese):
+            clen, blen = len(seg), len(seg.encode("utf-8"))
+            out.append(Token(seg, "unknown", cpos, cpos + clen,
+                             bpos, bpos + blen, script, lang))
+            cpos += clen
+            bpos += blen
+        return out
 
     def reconstruct(self, text: str):
         from .tokenizer import reconstruct

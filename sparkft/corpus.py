@@ -60,10 +60,13 @@ def _identifiers(rng: np.random.Generator, n: int) -> list[str]:
 
 def generate_corpus(n_rows: int, seed: int = 42, offset: int = 0):
     """Returns a pandas DataFrame with the corpus schema. `offset` shifts the
-    row indices so chunked generation yields globally unique (repo, path)."""
+    row indices (globally unique repo/path across chunks) AND the RNG stream
+    — without the latter, same-seed chunks would emit byte-identical content
+    (100% cross-chunk duplicates). offset=0 keeps the historical seed-only
+    stream, so all existing fixtures are unchanged."""
     import pandas as pd
 
-    rng = np.random.default_rng(seed)
+    rng = np.random.default_rng(seed if offset == 0 else (seed, offset))
     i = np.arange(offset, offset + n_rows)
     repos = [f"org{x % 7}/repo{x % 41}" for x in i]
     exts = rng.integers(0, len(_EXT_LANG), size=n_rows)

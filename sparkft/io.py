@@ -15,16 +15,22 @@ CORPUS_COLUMNS = ["repo", "path", "commit", "lang", "content"]
 def load_corpus(spark, source: str, fmt: str | None = None):
     """Load the corpus from an Iceberg table identifier or a parquet path.
 
-    - `fmt="iceberg"` or a catalog-style identifier (`cat.db.tbl`, no "/"):
-      `spark.read.format("iceberg").load(...)` (falls back to
-      `spark.table(...)` for plain registered tables).
-    - otherwise: parquet path.
+    - `fmt="iceberg"` or a catalog-style identifier (no "/" and no
+      .parquet suffix): `spark.read.format("iceberg").load(...)` (falls
+      back to `spark.table(...)` for plain registered tables; if BOTH
+      fail, the ORIGINAL Iceberg error surfaces — a table-lookup failure
+      must not mask an Iceberg connectivity/permission problem).
+    - otherwise: parquet path (a bare `file.parquet` counts).
     """
-    if fmt == "iceberg" or (fmt is None and "/" not in source):
+    looks_like_table = "/" not in source and not source.endswith(".parquet")
+    if fmt == "iceberg" or (fmt is None and looks_like_table):
         try:
             return spark.read.format("iceberg").load(source)
-        except Exception:
-            return spark.table(source)
+        except Exception as iceberg_err:
+            try:
+                return spark.table(source)
+            except Exception:
+                raise iceberg_err
     return spark.read.parquet(source)
 
 

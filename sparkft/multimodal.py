@@ -33,9 +33,11 @@ FEATURE_SCHEMA = (
 class FakeCodec:
     """Deterministic stand-in for a real media codec (STUB).
 
-    decode -> a pseudo-pixel array derived from the bytes; resize -> mean
-    pooling; frame sample -> strided slices. Real deployments inject a codec
-    backed by PIL/ffmpeg with the same interface.
+    decode -> a pseudo-pixel array derived from the bytes; resize ->
+    nearest-neighbor index sampling (NOT mean pooling — a real codec's
+    resampling will differ, so features validated against this stub do not
+    transfer); frame sample -> strided slices. Real deployments inject a
+    codec backed by PIL/ffmpeg with the same interface.
     """
 
     def decode(self, data: bytes, width: int, height: int) -> np.ndarray:
@@ -73,7 +75,7 @@ class RealCodecUnavailable:
 def extract_features(df, codec=None, out_w: int = 8, out_h: int = 8, n_frames: int = 4):
     """mapInPandas transform: media rows -> fixed-size feature vectors.
 
-    Feature = mean-pooled resized pseudo-pixels, flattened float32; plus the
+    Feature = channel-averaged nearest-neighbor-resized pseudo-pixels, flattened float32; plus the
     content sha256 (lineage / dedup key). Batch shape: each pandas batch maps
     1:1 to an output batch — no state, safe to repartition arbitrarily.
     """

@@ -95,8 +95,10 @@ class BruteForcePhraseIndex(BruteForceIndex):
     word indices in the ordered word-token stream, matching the engine)."""
 
     def __init__(self, doc_ids, texts, cfg: TokenizerConfig = DEFAULT_CONFIG):
+        texts = list(texts)  # a one-shot iterator would be consumed by the
+        # base __init__, silently leaving the phrase streams empty
         super().__init__(doc_ids, texts, cfg)
-        rows, lemmas = tokenize_batch(list(texts), cfg, words_only=True)
+        rows, lemmas = tokenize_batch(texts, cfg, words_only=True)
         keep = [i for i, l in enumerate(lemmas) if l]
         self._streams: dict[int, list[str]] = {}
         for i in keep:

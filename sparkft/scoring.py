@@ -43,7 +43,3 @@ def topk_indices(scores: np.ndarray, doc_ids: np.ndarray, k: int) -> np.ndarray:
     order = np.lexsort((doc_ids, -scores))
     return order[:k]
 
-
-# ANSI-SQL rendering of the same formula (used to build DuckDB oracles).
-SQL_IDF = "ln(1 + (({N}) - df + 0.5) / (df + 0.5))"
-SQL_TF = "(tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / ({avgdl}))))"

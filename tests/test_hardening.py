@@ -177,3 +177,38 @@ def test_cyrillic_exclusive_letter_order():
     assert _cyrillic_language("это быстрый пример") == "rus"
     assert _cyrillic_language("қазақ тілі") == "kaz"
     assert _cyrillic_language("їє українська") == "ukr"
+
+
+def test_segment_returns_raw_lemmas():
+    """Tokenizer.segment() = segmentation ONLY: raw lemmas (no NFKD, no
+    lossy folding), contiguous offsets, kind 'unknown' (charabia
+    Tokenizer::segment, tokenizer.rs:137-147)."""
+    from sparkft import TokenizerBuilder
+
+    tok = TokenizerBuilder().into_tokenizer()
+    segs = tok.segment("The ﬁle café")
+    assert [t.lemma for t in segs] == ["The", " ", "ﬁle", " ", "café"]
+    assert all(t.kind == "unknown" for t in segs)
+    assert segs[2].char_start == 4 and segs[2].char_end == 7
+    # tokenize() by contrast normalizes: fi ligature decomposes, case folds
+    assert [t.lemma for t in tok.tokenize("The ﬁle") if t.kind == "word"] == [
+        "the", "file"
+    ]
+
+
+def test_chunked_corpus_has_distinct_content():
+    from sparkft.corpus import generate_corpus
+
+    a = generate_corpus(10, seed=42, offset=0)
+    b = generate_corpus(10, seed=42, offset=10)
+    assert list(a.content) != list(b.content)
+    # offset=0 keeps the historical stream (fixtures unchanged)
+    assert list(a.content) == list(generate_corpus(10, seed=42).content)
+
+
+def test_phrase_oracle_accepts_iterator():
+    from sparkft.oracle import BruteForcePhraseIndex
+
+    o = BruteForcePhraseIndex([1, 2], (t for t in ["merge sort x",
+                                                   "sort merge y"]))
+    assert [d for d, _ in o.phrase_topk("merge sort")] == [1]
