@@ -826,6 +826,44 @@ def grouped_matching_last_topk(reader: IndexReader, groups: list[list[str]],
     return []
 
 
+def grouped_matching_frequency_topk(reader: IndexReader,
+                                    groups: list[list[str]],
+                                    k: int = 10,
+                                    stats: Optional[dict] = None,
+                                    allowed: Optional[set] = None
+                                    ) -> list[tuple[int, float]]:
+    """Matching strategy "frequency" (Meilisearch v1.8): require every word
+    group, and when nothing matches, remove the MOST FREQUENT word first
+    (the one whose variants cover the most documents) — rarer, more
+    discriminative words survive longest. Group frequency = sum of the
+    variants' df from the segment store's token/df columns (no posting
+    blobs read)."""
+    if not groups:
+        return []
+    dic = reader.term_dictionary()
+    freq = [sum(dic.get(t, 0) for t in g) for g in groups]
+    # drop order: highest total df first; ties drop the LATER group (stay
+    # consistent with "last" on equal-frequency words)
+    order = sorted(range(len(groups)), key=lambda i: (-freq[i], -i))
+    probe_k = k if k > 0 else 1
+    live = list(range(len(groups)))
+    drop_iter = iter(order)
+    while live:
+        sub = [groups[i] for i in live]
+        hits = grouped_conjunctive_topk(reader, sub, probe_k, allowed=allowed)
+        if hits:
+            if stats is not None:
+                stats["groups_used"] = sub
+                stats["terms_used"] = sorted({t for g in sub for t in g})
+            return hits if k > 0 else []
+        dropped = next(drop_iter)
+        live = [i for i in live if i != dropped]
+    if stats is not None:
+        stats["groups_used"] = []
+        stats["terms_used"] = []
+    return []
+
+
 def matching_last_topk(reader: IndexReader, query: str, k: int = 10,
                        cfg: TokenizerConfig = DEFAULT_CONFIG,
                        stats: Optional[dict] = None,

@@ -43,12 +43,15 @@ class IndexSettings:
       counts as matched by ANY of its typo/synonym variants.
     - 'last' : like 'all', but words drop from the END of the query until
       something matches (Meilisearch's default strategy).
+    - 'frequency' : like 'last', but the MOST FREQUENT word drops first
+      (Meilisearch v1.8) — rare, discriminative words survive longest.
     Typo and synonym expansion compose with every strategy: each query word
-    becomes a variant GROUP; 'all'/'last' intersect the groups' unions."""
+    becomes a variant GROUP; 'all'/'last'/'frequency' intersect the groups'
+    unions."""
 
     synonyms: dict = field(default_factory=dict)
     typo_tolerance: bool = False
-    matching_strategy: str = "any"  # 'any' | 'all' | 'last'
+    matching_strategy: str = "any"  # 'any' | 'all' | 'last' | 'frequency'
     filterable_attributes: tuple = ()
     sortable_attributes: tuple = ()
 
@@ -110,15 +113,20 @@ class SearchService:
         post-truncation filter — so k admissible results surface whenever
         they exist, and matching 'last' relaxes against the filtered
         conjunction."""
-        from .search import grouped_conjunctive_topk, grouped_matching_last_topk
+        from .search import (
+            grouped_conjunctive_topk,
+            grouped_matching_frequency_topk,
+            grouped_matching_last_topk,
+        )
 
         s = self.settings
         groups = self._word_groups(query)
         terms = sorted({t for g in groups for t in g})
-        if s.matching_strategy == "last":
+        if s.matching_strategy in ("last", "frequency"):
+            fn = (grouped_matching_last_topk if s.matching_strategy == "last"
+                  else grouped_matching_frequency_topk)
             stats: dict = {}
-            hits = grouped_matching_last_topk(self.reader, groups, k,
-                                              stats=stats, allowed=allowed)
+            hits = fn(self.reader, groups, k, stats=stats, allowed=allowed)
             return hits, stats.get("terms_used", [])
         if s.matching_strategy == "all":
             return grouped_conjunctive_topk(self.reader, groups, k,

@@ -156,6 +156,49 @@ def test_ranking_pipeline_composes_verified_rules(built):
     assert [d for d, *_ in got] == want
 
 
+def test_matching_frequency_drops_common_word_first(built):
+    """'frequency' removes the highest-df word first, so when the full
+    conjunction is empty the surviving set keeps the RARE word — unlike
+    'last', which keeps the query prefix."""
+    from sparkft.search import (
+        grouped_matching_frequency_topk,
+        grouped_matching_last_topk,
+    )
+
+    reader, _ = built
+    dic = reader.term_dictionary()
+    common = max(dic, key=dic.get)
+    # find two REAL rare words that never co-occur (disjoint doc sets) and
+    # have DIFFERENT df, so the full conjunction is empty and the two
+    # strategies must relax — and relax differently
+    singles = sorted(t for t in dic if dic[t] == 1)
+    multis = sorted((t for t in dic if dic[t] > 1), key=lambda t: (dic[t], t))
+    pair = None
+    for a in multis[:20]:
+        pa = set(reader.load_postings([a])[a][0].tolist())
+        for b in singles[:50]:
+            pb = set(reader.load_postings([b])[b][0].tolist())
+            if not (pa & pb):
+                pair = (a, b)  # a = more frequent
+                break
+        if pair:
+            break
+    assert pair, "corpus should contain disjoint rare terms"
+    hi, lo = pair  # hi = more frequent of the two rare words
+    groups = [[hi], [lo]]
+    s_f, s_l = {}, {}
+    got_f = grouped_matching_frequency_topk(reader, groups, 10, stats=s_f)
+    got_l = grouped_matching_last_topk(reader, groups, 10, stats=s_l)
+    # 'frequency' drops the more frequent word -> the rarer one survives
+    assert s_f["terms_used"] == [lo] and got_f
+    # 'last' drops from the END -> the first word survives
+    assert s_l["terms_used"] == [hi] and got_l
+    # when the full conjunction matches, both behave like 'all'
+    both = [[common]]
+    assert grouped_matching_frequency_topk(reader, both, 10) == \
+        grouped_matching_last_topk(reader, both, 10)
+
+
 def test_exactness_rule(built):
     from sparkft.search import exactness_topk, phrase_match_counts, taat_topk
 
