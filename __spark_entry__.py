@@ -655,6 +655,59 @@ def _typo_engine_topk(spark, sf_dir):
     )
 
 
+def _typo_ranked_engine(spark, sf_dir):
+    """Meilisearch "typo" RANKING RULE (pipeline rule #2, distinct from
+    typo-tolerant matching): candidates are the typo-expanded disjunction,
+    ranked by more query words matched first, then FEWER TOTAL TYPOS (a
+    word's cost in a doc = min edit distance among its matched variants),
+    then BM25, then doc_id. Engine path: SymSpell expansion with exact
+    distances + one TAAT pass over the expanded postings."""
+    from sparkft.search import IndexReader, typo_ranked_topk
+
+    reader = IndexReader(spark, _engine_index(spark, sf_dir))
+    hits = typo_ranked_topk(reader, " ".join(TYPO_QUERY_TERMS), 10)
+    return spark.createDataFrame(
+        [(int(d), int(nw), int(tp), round(s, 4)) for d, nw, tp, s in hits],
+        "doc_id long, n_words long, typos long, score double",
+    )
+
+
+def _typo_ranked_sql(sf: str) -> str:
+    from sparkft.typo import allowed_edits
+
+    vals = ", ".join(f"('{t}', {allowed_edits(t)})" for t in TYPO_QUERY_TERMS)
+    return f"""
+WITH postings AS ({_SQL_POSTINGS}),
+doclen AS ({_SQL_DOCLEN}),
+stats AS (SELECT count(*) AS n, sum(dl) AS tt FROM doclen),
+q(qword, maxe) AS (VALUES {vals}),
+exp AS (SELECT d.token, q.qword, levenshtein(d.token, q.qword) AS dist
+        FROM (SELECT DISTINCT token FROM postings) d
+        JOIN q ON levenshtein(d.token, q.qword) <= q.maxe),
+term_df AS (SELECT token, count(*) AS df FROM postings
+            WHERE token IN (SELECT DISTINCT token FROM exp) GROUP BY token),
+scored AS (
+  SELECT p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * ({K1} + 1.0)
+                 / (p.tf + {K1} * (1.0 - {B} + {B} * l.dl / (s.tt * 1.0 / s.n)))) ) AS sc
+  FROM postings p
+  JOIN term_df d USING (token)
+  JOIN doclen l ON p.doc_id = l.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id),
+md AS (SELECT p.doc_id, e.qword, min(e.dist) AS dist
+       FROM postings p JOIN exp e ON p.token = e.token
+       GROUP BY p.doc_id, e.qword),
+wt AS (SELECT doc_id, count(*) AS n_words, sum(dist)::BIGINT AS typos
+       FROM md GROUP BY doc_id)
+SELECT w.doc_id, w.n_words, w.typos, round(s.sc, 4) AS score
+FROM wt w JOIN scored s USING (doc_id)
+ORDER BY w.n_words DESC, w.typos ASC, round(s.sc, 4) DESC, w.doc_id
+LIMIT 10
+"""
+
+
 def _prefix_search_topk(spark, sf_dir):
     """Prefix (search-as-you-type) BM25 top-k, DataFrame path: the
     dictionary expansion is a startswith filter on the distinct-token
@@ -1185,6 +1238,101 @@ scored AS (
   CROSS JOIN stats s
   GROUP BY p.doc_id)
 SELECT doc_id, round(sc, 4) AS score FROM scored WHERE nt = {len(kept)}
+ORDER BY round(sc, 4) DESC, doc_id LIMIT 10
+"""
+
+
+# matching strategy "frequency" runs over the part-name corpus: p_name is
+# "<adjective> <noun>", so two adjectives NEVER co-occur — 'cold new' has an
+# empty conjunction and the strategies must relax. 'cold' is the more
+# frequent word at sf0.01, so frequency DROPS it and serves 'new'; "last"
+# would instead keep the query prefix 'cold'.
+MATCH_FREQ_QUERY = "cold new"
+
+_SQL_PART_TOKS = (
+    "SELECT p_partkey AS doc_id, w AS token FROM "
+    "(SELECT p_partkey, unnest(string_split(p_name, ' ')) AS w FROM part) "
+    "WHERE w <> ''"
+)
+_SQL_PART_POSTINGS = (
+    f"SELECT doc_id, token, count(*) AS tf FROM ({_SQL_PART_TOKS}) "
+    "GROUP BY doc_id, token"
+)
+_SQL_PART_DOCLEN = (
+    f"SELECT doc_id, count(*) AS dl FROM ({_SQL_PART_TOKS}) GROUP BY doc_id"
+)
+
+
+def _part_engine_index(spark: SparkSession, sf_dir: str) -> str:
+    """Cached engine index over part.p_name (doc_id = p_partkey) — a second
+    corpus whose two-slot names give naturally DISJOINT word pairs, which
+    the documents table (every word pair co-occurs) cannot provide."""
+    import hashlib
+    import os
+    import tempfile
+
+    from sparkft.index_build import build_index
+
+    key = hashlib.md5(f"{sf_dir}:part:v1".encode()).hexdigest()[:10]
+    idx_dir = os.path.join(tempfile.gettempdir(), f"sparkft_entry_pidx_{key}")
+    if not os.path.exists(f"{idx_dir}/stats.json"):
+        parts = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+            F.col("p_partkey").cast("long").alias("doc_id"),
+            F.col("p_name").alias("text"),
+        )
+        build_index(
+            spark, parts, idx_dir, text_col="text", doc_id_col="doc_id",
+            num_shards=2, num_buckets=8, verify_sha=False, resume=True,
+        )
+    return idx_dir
+
+
+def _matching_frequency_topk(spark, sf_dir):
+    """Matching strategy "frequency" (Meilisearch v1.8): require all query
+    words; when nothing matches, remove the MOST FREQUENT word first so
+    rare discriminative words survive. Engine path over the part-name
+    index; the oracle recomputes the same relaxation dynamically (full
+    conjunction if nonempty, else the lowest-df word — exact for this
+    two-word query, where one drop always leaves a single word)."""
+    from sparkft.search import IndexReader, matching_frequency_topk
+
+    reader = IndexReader(spark, _part_engine_index(spark, sf_dir))
+    hits = matching_frequency_topk(reader, MATCH_FREQ_QUERY, 10)
+    return spark.createDataFrame(
+        [(int(d), round(s, 4)) for d, s in hits], "doc_id long, score double"
+    )
+
+
+def _matching_frequency_sql(sf: str) -> str:
+    terms = MATCH_FREQ_QUERY.split()
+    vals = ", ".join(f"('{t}', {i})" for i, t in enumerate(terms))
+    return f"""
+WITH postings AS ({_SQL_PART_POSTINGS}),
+doclen AS ({_SQL_PART_DOCLEN}),
+stats AS (SELECT count(*) AS n, sum(dl) AS tt FROM doclen),
+q(token, pos) AS (VALUES {vals}),
+dfs AS (SELECT q.token, q.pos, count(DISTINCT p.doc_id) AS df
+        FROM q LEFT JOIN postings p USING (token) GROUP BY q.token, q.pos),
+conj AS (SELECT doc_id FROM postings WHERE token IN (SELECT token FROM q)
+         GROUP BY doc_id
+         HAVING count(DISTINCT token) = (SELECT count(*) FROM q)),
+keep AS (SELECT token FROM dfs
+         WHERE (SELECT count(*) FROM conj) > 0
+            OR token = (SELECT token FROM dfs ORDER BY df ASC, pos ASC LIMIT 1)),
+term_df AS (SELECT token, count(*) AS df FROM postings
+            WHERE token IN (SELECT token FROM keep) GROUP BY token),
+scored AS (
+  SELECT p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * ({K1} + 1.0)
+                 / (p.tf + {K1} * (1.0 - {B} + {B} * l.dl / (s.tt * 1.0 / s.n)))) ) AS sc,
+         count(DISTINCT p.token) AS nt
+  FROM postings p JOIN term_df d USING (token)
+  JOIN doclen l ON p.doc_id = l.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id)
+SELECT doc_id, round(sc, 4) AS score FROM scored
+WHERE nt = (SELECT count(*) FROM keep)
 ORDER BY round(sc, 4) DESC, doc_id LIMIT 10
 """
 
@@ -1766,6 +1914,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_engine_match": _phrase_engine_match,
         "typo_search_topk": _typo_search_topk,
         "typo_engine_topk": _typo_engine_topk,
+        "typo_ranked_topk": _typo_ranked_engine,
+        "matching_frequency_topk": _matching_frequency_topk,
         "prefix_search_topk": _prefix_search_topk,
         "prefix_engine_topk": _prefix_engine_topk,
         "filtered_search_topk": _filtered_search_topk,
@@ -1821,6 +1971,8 @@ def oracle_sql() -> dict[str, str]:
         "phrase_engine_match": _PHRASE_SQL,
         "typo_search_topk": _typo_sql(""),
         "typo_engine_topk": _typo_sql(""),
+        "typo_ranked_topk": _typo_ranked_sql(""),
+        "matching_frequency_topk": _matching_frequency_sql(""),
         "prefix_search_topk": _prefix_sql(""),
         "prefix_engine_topk": _prefix_sql(""),
         "filtered_search_topk": _filtered_sql(""),

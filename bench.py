@@ -79,6 +79,7 @@ def main() -> int:
           lambda: entry._deleted_index(spark, sf_dir, compacted=False))
     timed("compacted_index_prep",
           lambda: entry._deleted_index(spark, sf_dir, compacted=True))
+    timed("part_index_prep", lambda: entry._part_engine_index(spark, sf_dir))
     headline = [
         "tokenize_doc_lengths", "term_frequencies", "bm25_topk",
         "bm25_engine_topk", "phrase_match",
@@ -98,7 +99,8 @@ def main() -> int:
         "distinct_search_topk", "distinct_engine_topk",
         "highlight_topk",
         "proximity_search_topk", "proximity_engine_topk",
-        "matching_last_topk", "exactness_engine_topk",
+        "matching_last_topk", "matching_frequency_topk",
+        "typo_ranked_topk", "exactness_engine_topk",
         "synonym_search_topk", "synonym_engine_topk",
         "ranking_pipeline_topk",
     ]

@@ -887,6 +887,22 @@ def matching_last_topk(reader: IndexReader, query: str, k: int = 10,
                                       stats=stats, allowed=allowed)
 
 
+def matching_frequency_topk(reader: IndexReader, query: str, k: int = 10,
+                            cfg: TokenizerConfig = DEFAULT_CONFIG,
+                            stats: Optional[dict] = None,
+                            allowed: Optional[set] = None
+                            ) -> list[tuple[int, float]]:
+    """Matching strategy "frequency" over a raw query string: require ALL
+    query words, and if nothing matches, remove the MOST FREQUENT word
+    (highest df) first — see grouped_matching_frequency_topk."""
+    from .tokenizer import tokenize_batch
+
+    _, lemmas = tokenize_batch([query], cfg, words_only=True)
+    terms = list(dict.fromkeys(t for t in lemmas if t))
+    return grouped_matching_frequency_topk(reader, [[t] for t in terms], k,
+                                           stats=stats, allowed=allowed)
+
+
 def distributed_topk(spark, index_dir: str, queries: list[str], k: int = 10,
                      cfg: TokenizerConfig = DEFAULT_CONFIG,
                      parallelism: Optional[int] = None):
@@ -1017,6 +1033,50 @@ def typo_topk(reader: IndexReader, query: str, k: int = 10,
     if stats is not None:
         stats["expanded_terms"] = expanded
     return wand_topk_terms(reader, expanded, k, allowed=allowed)
+
+
+def typo_ranked_topk(reader: IndexReader, query: str, k: int = 10,
+                     cfg: TokenizerConfig = DEFAULT_CONFIG
+                     ) -> list[tuple[int, int, int, float]]:
+    """Meilisearch "typo" RANKING RULE (rule #2 of the default pipeline,
+    distinct from typo-tolerant matching): candidates are the typo-expanded
+    disjunction, ranked by more query words matched first, then FEWER TOTAL
+    TYPOS — a word's typo cost in a doc is the minimum edit distance among
+    its variants the doc contains, so exact matches beat 1-edit matches
+    beat 2-edit matches — then BM25 sum over the matched variants, then
+    doc_id. Returns [(doc_id, n_words, typos, score)].
+
+    Reads stay O(expanded terms) via bucket + token pruning; per-doc typo
+    costs come from the same postings arrays the scorer decodes (no extra
+    index reads)."""
+    if k <= 0:
+        return []
+    sym = reader.symspell()
+    groups = [sym.expand_with_distance(w)
+              for w in reader.query_terms(query, cfg)]
+    union = sorted({v for g in groups for v in g})
+    postings = reader.load_postings(union)
+    if not postings:
+        return []
+    acc, _ = taat_accumulate(reader, postings)
+    if not acc:
+        return []
+    docs_of = {t: set(u64_to_i64(postings[t][0]).tolist())
+               for t in postings}
+    n_words: dict[int, int] = {}
+    typos: dict[int, int] = {}
+    for g in groups:
+        best: dict[int, int] = {}
+        for v, dist in g.items():
+            for d in docs_of.get(v, ()):
+                if d not in best or dist < best[d]:
+                    best[d] = dist
+        for d, dist in best.items():
+            if d in acc:
+                n_words[d] = n_words.get(d, 0) + 1
+                typos[d] = typos.get(d, 0) + dist
+    order = sorted(acc, key=lambda d: (-n_words[d], typos[d], -acc[d], d))[:k]
+    return [(d, n_words[d], typos[d], acc[d]) for d in order]
 
 
 def prefix_topk(reader: IndexReader, prefix: str, k: int = 10,

@@ -110,6 +110,24 @@ class SymSpellIndex:
             cands.update(self.variants.get(v, ()))
         return sorted(w for w in cands if levenshtein(term, w, e) <= e)
 
+    def expand_with_distance(self, term: str) -> dict[str, int]:
+        """Like expand(), but returns {word: exact edit distance} — the
+        input the "typo" ranking rule needs (docs matched with fewer typos
+        rank higher). Same candidate generation + banded-DP verification."""
+        e = min(allowed_edits(term), self.max_edits)
+        if e == 0:
+            ok = term in self.variants and term in self.variants[term]
+            return {term: 0} if ok else {}
+        cands: set[str] = set()
+        for v in _deletes(term, e):
+            cands.update(self.variants.get(v, ()))
+        out = {}
+        for w in sorted(cands):
+            d = levenshtein(term, w, e)
+            if d <= e:
+                out[w] = d
+        return out
+
 
 def expand_terms_df(dictionary_df, terms: list[str]):
     """Spark-side expansion: (token) rows of `dictionary_df` within each

@@ -165,3 +165,51 @@ def test_expand_terms_df_matches_symspell(spark):
         {w for t in ["windoe", "custmer", "scam"] for w in sym.expand(t)}
     )
     assert got == want == ["customer", "window"]
+
+
+def test_expand_with_distance_matches_brute_force():
+    rng = random.Random(11)
+    vocab = sorted({"".join(rng.choice(string.ascii_lowercase[:6])
+                            for _ in range(rng.randrange(4, 11)))
+                    for _ in range(150)})
+    sym = SymSpellIndex(vocab)
+    queries = [rng.choice(vocab) for _ in range(20)]
+    for i in range(0, 20, 2):  # perturb half
+        q = list(queries[i])
+        q[rng.randrange(len(q))] = rng.choice(string.ascii_lowercase[:6])
+        queries[i] = "".join(q)
+    for q in queries:
+        got = sym.expand_with_distance(q)
+        e = allowed_edits(q)
+        want = {w: levenshtein(q, w, e) for w in vocab
+                if levenshtein(q, w, e) <= e}
+        assert got == want, q
+        assert sorted(got) == sym.expand(q), q
+
+
+def test_typo_ranked_rule_buckets(spark, tmp_path):
+    """Meilisearch "typo" ranking rule: more words matched first, then
+    fewer total typos (exact beats 1-edit beats 2-edit), then BM25."""
+    from sparkft.index_build import build_index
+    from sparkft.search import IndexReader, typo_ranked_topk
+
+    rows = [
+        (1, "merge alpha beta"),
+        (2, "merge marge alpha"),       # exact AND 1-edit variant: typos=0
+        (3, "marge beta beta"),         # only the 1-edit variant: typos=1
+        (4, "merge filter alpha"),      # both words -> wins despite 1 typo
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "trank")
+    build_index(spark, df, out, text_col="text", doc_id_col="doc_id",
+                num_shards=1, num_buckets=4, verify_sha=False)
+    reader = IndexReader(spark, out)
+    # query: 'merge' expands to {merge:0, marge:1}; 'filtr' to {filter:1}
+    got = typo_ranked_topk(reader, "merge filtr", 10)
+    by_doc = {d: (nw, tp) for d, nw, tp, _ in got}
+    assert by_doc == {1: (1, 0), 2: (1, 0), 3: (1, 1), 4: (2, 1)}
+    assert got[0][0] == 4          # words rule dominates typo count
+    assert got[-1][0] == 3         # typo'd-only doc sorts last
+    keys = [(-nw, tp) for _, nw, tp, _ in got]
+    assert keys == sorted(keys)    # bucket order is monotone
+    assert typo_ranked_topk(reader, "merge filtr", 0) == []
