@@ -1242,6 +1242,103 @@ ORDER BY round(sc, 4) DESC, doc_id LIMIT 10
 """
 
 
+# the "attribute" ranking rule runs over a two-attribute view of documents:
+# title = first 3 words, body = the rest — a deterministic derivation both
+# engines can compute, giving every doc a short important field and a long
+# less-important one (the classic title/body shape).
+ATTR_QUERY = "merge window"
+
+
+def _multi_engine_index(spark: SparkSession, sf_dir: str) -> str:
+    """Cached per-attribute segment stores (multiindex.build_multi_index)
+    over the derived title/body attributes."""
+    import hashlib
+    import os
+    import tempfile
+
+    from sparkft.multiindex import build_multi_index
+
+    key = hashlib.md5(f"{sf_dir}:multi:v1".encode()).hexdigest()[:10]
+    idx_dir = os.path.join(tempfile.gettempdir(), f"sparkft_entry_midx_{key}")
+    if not os.path.exists(f"{idx_dir}/multi.json"):
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.array_join(F.slice(F.split("text", " "), 1, 3), " ").alias("title"),
+            F.expr(
+                "array_join(slice(split(text, ' '), 4, "
+                "greatest(size(split(text, ' ')) - 3, 0)), ' ')"
+            ).alias("body"),
+        )
+        build_multi_index(
+            spark, docs, idx_dir, [("title", "title"), ("body", "body")],
+            num_shards=2, num_buckets=8, verify_sha=False, resume=True,
+        )
+    return idx_dir
+
+
+def _attribute_ranked_topk(spark, sf_dir):
+    """Meilisearch "attribute" RANKING RULE (pipeline rule #4): documents
+    whose query words appear in more important searchable attributes rank
+    higher — words matched DESC, then summed best-attribute rank ASC, then
+    summed per-attribute BM25 (each attribute scored against its own
+    df/avgdl, N = corpus size), then doc_id."""
+    from sparkft.multiindex import MultiIndexReader, attribute_ranked_topk
+
+    multi = MultiIndexReader(spark, _multi_engine_index(spark, sf_dir))
+    hits = attribute_ranked_topk(multi, ATTR_QUERY, 10)
+    return spark.createDataFrame(
+        [(int(d), int(nw), int(ar), round(s, 4)) for d, nw, ar, s in hits],
+        "doc_id long, n_words long, attr_rank long, score double",
+    )
+
+
+def _attribute_ranked_sql(sf: str) -> str:
+    vals = ", ".join(f"('{t}')" for t in ATTR_QUERY.split())
+
+    def bm25(p, dl, dfv, st):
+        return f"""SELECT p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * ({K1} + 1.0)
+                 / (p.tf + {K1} * (1.0 - {B} + {B} * l.dl / (s.tt * 1.0 / s.n)))) ) AS sc
+  FROM {p} p JOIN {dfv} d USING (token)
+  JOIN {dl} l ON p.doc_id = l.doc_id CROSS JOIN {st} s
+  GROUP BY p.doc_id"""
+
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+ndocs AS (SELECT count(*) AS n FROM documents),
+t_tok AS (SELECT doc_id, unnest(l[1:3]) AS token FROM w),
+b_tok AS (SELECT doc_id, unnest(l[4:]) AS token FROM w),
+tp AS (SELECT doc_id, token, count(*) AS tf FROM t_tok GROUP BY doc_id, token),
+bp AS (SELECT doc_id, token, count(*) AS tf FROM b_tok GROUP BY doc_id, token),
+tdl AS (SELECT doc_id, count(*) AS dl FROM t_tok GROUP BY doc_id),
+bdl AS (SELECT doc_id, count(*) AS dl FROM b_tok GROUP BY doc_id),
+tstats AS (SELECT (SELECT n FROM ndocs) AS n, sum(dl) AS tt FROM tdl),
+bstats AS (SELECT (SELECT n FROM ndocs) AS n, sum(dl) AS tt FROM bdl),
+q(token) AS (VALUES {vals}),
+tdf AS (SELECT token, count(*) AS df FROM tp
+        WHERE token IN (SELECT token FROM q) GROUP BY token),
+bdf AS (SELECT token, count(*) AS df FROM bp
+        WHERE token IN (SELECT token FROM q) GROUP BY token),
+ts AS ({bm25("tp", "tdl", "tdf", "tstats")}),
+bs AS ({bm25("bp", "bdl", "bdf", "bstats")}),
+sc AS (SELECT coalesce(t.doc_id, b.doc_id) AS doc_id,
+              coalesce(t.sc, 0) + coalesce(b.sc, 0) AS sc
+       FROM ts t FULL OUTER JOIN bs b ON t.doc_id = b.doc_id),
+m AS (SELECT doc_id, token, 0 AS ar FROM tp
+      WHERE token IN (SELECT token FROM q)
+      UNION ALL
+      SELECT doc_id, token, 1 FROM bp WHERE token IN (SELECT token FROM q)),
+best AS (SELECT doc_id, token, min(ar) AS ar FROM m GROUP BY doc_id, token),
+wt AS (SELECT doc_id, count(*) AS n_words, sum(ar)::BIGINT AS attr_rank
+       FROM best GROUP BY doc_id)
+SELECT wt.doc_id, wt.n_words, wt.attr_rank, round(sc.sc, 4) AS score
+FROM wt JOIN sc USING (doc_id)
+ORDER BY wt.n_words DESC, wt.attr_rank ASC, round(sc.sc, 4) DESC, wt.doc_id
+LIMIT 10
+"""
+
+
 # matching strategy "frequency" runs over the part-name corpus: p_name is
 # "<adjective> <noun>", so two adjectives NEVER co-occur — 'cold new' has an
 # empty conjunction and the strategies must relax. 'cold' is the more
@@ -1916,6 +2013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "typo_engine_topk": _typo_engine_topk,
         "typo_ranked_topk": _typo_ranked_engine,
         "matching_frequency_topk": _matching_frequency_topk,
+        "attribute_ranked_topk": _attribute_ranked_topk,
         "prefix_search_topk": _prefix_search_topk,
         "prefix_engine_topk": _prefix_engine_topk,
         "filtered_search_topk": _filtered_search_topk,
@@ -1973,6 +2071,7 @@ def oracle_sql() -> dict[str, str]:
         "typo_engine_topk": _typo_sql(""),
         "typo_ranked_topk": _typo_ranked_sql(""),
         "matching_frequency_topk": _matching_frequency_sql(""),
+        "attribute_ranked_topk": _attribute_ranked_sql(""),
         "prefix_search_topk": _prefix_sql(""),
         "prefix_engine_topk": _prefix_sql(""),
         "filtered_search_topk": _filtered_sql(""),

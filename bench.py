@@ -80,6 +80,7 @@ def main() -> int:
     timed("compacted_index_prep",
           lambda: entry._deleted_index(spark, sf_dir, compacted=True))
     timed("part_index_prep", lambda: entry._part_engine_index(spark, sf_dir))
+    timed("multi_index_prep", lambda: entry._multi_engine_index(spark, sf_dir))
     headline = [
         "tokenize_doc_lengths", "term_frequencies", "bm25_topk",
         "bm25_engine_topk", "phrase_match",
@@ -100,7 +101,8 @@ def main() -> int:
         "highlight_topk",
         "proximity_search_topk", "proximity_engine_topk",
         "matching_last_topk", "matching_frequency_topk",
-        "typo_ranked_topk", "exactness_engine_topk",
+        "typo_ranked_topk", "attribute_ranked_topk",
+        "exactness_engine_topk",
         "synonym_search_topk", "synonym_engine_topk",
         "ranking_pipeline_topk",
     ]

@@ -1,0 +1,138 @@
+"""Multi-attribute (searchableAttributes) indexing + the "attribute"
+ranking rule.
+
+Meilisearch indexes every searchable attribute of a document and ranks by
+the attribute in which query words are found — words in more important
+attributes rank higher (docs: ranking rule #4 "attribute"; settings:
+`searchableAttributes` order = importance). The reference tokenizer
+(charabia) is attribute-agnostic: Meilisearch calls it once per field
+(milli indexes (word, field-id, position) triples).
+
+Spark-first design: ONE SUBINDEX PER ATTRIBUTE, not an interleaved
+position space. Each searchable attribute gets its own complete segment
+store under `out_dir/attrs/<name>/`, built by the ordinary `build_index`
+(same salted two-phase merge, same codec, same resume/compaction
+machinery). This is the layout a 1000-executor cluster wants:
+
+- builds are independent jobs (per-attribute parallelism, independent
+  checkpoints/resume, no build is gated by the widest field);
+- an attribute is a *static* partition of the postings universe, so a
+  query that only searches some attributes prunes whole stores without
+  reading a byte (Meilisearch's `attributesToSearchOn`);
+- per-attribute BM25 statistics (N, avgdl, df) come out right by
+  construction — short title fields are not averaged against long bodies,
+  which is exactly what BM25F-style field scoring wants;
+- serving stays O(query terms) per searched attribute: k attributes cost
+  k bucket-pruned segment reads, each independently cacheable.
+
+The "attribute" rule then composes at query time: for every query word,
+the best (lowest) attribute index that contains it; docs ordered by
+words-matched DESC, then the summed best-attribute rank ASC, then the
+summed per-attribute BM25 DESC, then doc_id. Word position WITHIN the
+attribute is deliberately left to the proximity/exactness rules (same
+separation the default pipeline already makes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+from .config import DEFAULT_CONFIG, TokenizerConfig
+from .search import IndexReader, taat_accumulate, u64_to_i64
+
+MULTI_MANIFEST = "multi.json"
+
+
+def build_multi_index(spark, df, out_dir: str, attrs: list[tuple[str, str]],
+                      doc_id_col: str = "doc_id",
+                      cfg: TokenizerConfig = DEFAULT_CONFIG,
+                      **build_kwargs) -> dict:
+    """Build one subindex per searchable attribute.
+
+    `attrs` is [(attribute_name, source_column)] in IMPORTANCE order
+    (Meilisearch `searchableAttributes`). Each subindex is a full,
+    independently serveable index; `multi.json` records the order. Extra
+    kwargs (num_shards, num_buckets, index_positions, ...) pass through to
+    every `build_index` call."""
+    from .index_build import build_index
+
+    os.makedirs(out_dir, exist_ok=True)
+    results = {}
+    for name, col in attrs:
+        sub = os.path.join(out_dir, "attrs", name)
+        results[name] = build_index(
+            spark, df.select(doc_id_col, col), sub,
+            text_col=col, doc_id_col=doc_id_col, cfg=cfg, **build_kwargs,
+        )
+    with open(os.path.join(out_dir, MULTI_MANIFEST), "w") as f:
+        json.dump({"attrs": [name for name, _ in attrs]}, f)
+    return results
+
+
+class MultiIndexReader:
+    """Readers over the per-attribute subindexes, in importance order."""
+
+    def __init__(self, spark, multi_dir: str,
+                 attrs: Optional[list[str]] = None):
+        with open(os.path.join(multi_dir, MULTI_MANIFEST)) as f:
+            manifest = json.load(f)
+        order = manifest["attrs"]
+        if attrs is not None:  # attributesToSearchOn: subset, keep order
+            unknown = [a for a in attrs if a not in order]
+            if unknown:
+                raise ValueError(f"unknown searchable attributes: {unknown}")
+            order = [a for a in order if a in set(attrs)]
+        self.attr_names = order
+        self.readers = [
+            IndexReader(spark, os.path.join(multi_dir, "attrs", a))
+            for a in order
+        ]
+
+
+def attribute_ranked_topk(multi: MultiIndexReader, query: str, k: int = 10,
+                          cfg: TokenizerConfig = DEFAULT_CONFIG
+                          ) -> list[tuple[int, int, int, float]]:
+    """Meilisearch "attribute" RANKING RULE over the per-attribute
+    subindexes: documents whose query words appear in more important
+    attributes rank higher. Composite order: words matched (in ANY
+    attribute) DESC, then the sum over matched words of the best (lowest)
+    attribute rank ASC, then the summed per-attribute BM25 DESC, then
+    doc_id ASC. Returns [(doc_id, n_words, attr_rank_sum, score)].
+
+    Cost: one O(query terms) bucket-pruned read per searched attribute —
+    never O(index); the compose step is numpy/dict over candidate docs."""
+    if k <= 0:
+        return []
+    terms = multi.readers[0].query_terms(query, cfg) if multi.readers else []
+    if not terms:
+        return []
+    score: dict[int, float] = {}
+    best: list[dict[int, int]] = [dict() for _ in terms]  # per word: doc -> attr
+    for ai, reader in enumerate(multi.readers):
+        postings = reader.load_postings(terms)
+        if not postings:
+            continue
+        acc, _ = taat_accumulate(reader, postings)
+        for d, s in acc.items():
+            score[d] = score.get(d, 0.0) + s
+        for wi, t in enumerate(terms):
+            if t not in postings:
+                continue
+            b = best[wi]
+            for d in u64_to_i64(postings[t][0]).tolist():
+                if d not in b:  # attrs visited in importance order
+                    b[d] = ai
+    if not score:
+        return []
+    n_words: dict[int, int] = {}
+    rank_sum: dict[int, int] = {}
+    for b in best:
+        for d, ai in b.items():
+            if d in score:
+                n_words[d] = n_words.get(d, 0) + 1
+                rank_sum[d] = rank_sum.get(d, 0) + ai
+    order = sorted(score,
+                   key=lambda d: (-n_words[d], rank_sum[d], -score[d], d))[:k]
+    return [(d, n_words[d], rank_sum[d], score[d]) for d in order]

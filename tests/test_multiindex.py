@@ -1,0 +1,132 @@
+"""Multi-attribute indexing + the "attribute" ranking rule: engine vs a
+pure-Python brute force (independent BM25 + attribute-rank computation over
+the raw rows), plus attributesToSearchOn subsetting."""
+
+import math
+import random
+
+import pytest
+
+from sparkft.multiindex import (
+    MultiIndexReader,
+    attribute_ranked_topk,
+    build_multi_index,
+)
+
+K1, B = 1.2, 0.75
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .appName("sparkft-multi")
+        .getOrCreate()
+    )
+    yield s
+
+
+def _brute(rows, attrs, query_words, k=10):
+    """Independent reference: per-attribute BM25 (N = ALL corpus docs —
+    zero-token docs count toward N, the build_index convention — and
+    avgdl = attribute tokens / N) + best-attribute ranks."""
+    per_attr = []
+    for ai, attr in enumerate(attrs):
+        docs = {d: r[attr].split() for d, r in rows.items() if r[attr]}
+        n = len(rows)
+        avgdl = sum(len(t) for t in docs.values()) / n
+        df = {}
+        for toks in docs.values():
+            for t in set(toks):
+                df[t] = df.get(t, 0) + 1
+        per_attr.append((docs, n, avgdl, df))
+    score, n_words, rank_sum = {}, {}, {}
+    for d in rows:
+        s = 0.0
+        matched = {}
+        for ai, (docs, n, avgdl, df) in enumerate(per_attr):
+            toks = docs.get(d, [])
+            for w in query_words:
+                tf = toks.count(w)
+                if not tf:
+                    continue
+                idf = math.log1p((n - df[w] + 0.5) / (df[w] + 0.5))
+                s += idf * tf * (K1 + 1) / (tf + K1 * (1 - B + B * len(toks) / avgdl))
+                if w not in matched:
+                    matched[w] = ai
+        if matched:
+            score[d] = s
+            n_words[d] = len(matched)
+            rank_sum[d] = sum(matched.values())
+    order = sorted(score, key=lambda d: (-n_words[d], rank_sum[d],
+                                         -score[d], d))[:k]
+    return [(d, n_words[d], rank_sum[d], round(score[d], 6)) for d in order]
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    vocab = ["merge", "sort", "scan", "filter", "join", "window", "hash",
+             "table", "index", "query", "batch", "stream"]
+    rng = random.Random(17)
+    rows = {}
+    data = []
+    for d in range(80):
+        title = " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 4)))
+        body = " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 25)))
+        rows[d] = {"title": title, "body": body}
+        data.append((d, title, body))
+    out = str(tmp_path_factory.mktemp("midx"))
+    df = spark.createDataFrame(data, "doc_id long, title string, body string")
+    build_multi_index(spark, df, out, [("title", "title"), ("body", "body")],
+                      num_shards=1, num_buckets=4, verify_sha=False)
+    return out, rows
+
+
+def test_attribute_rule_matches_brute_force(spark, built):
+    out, rows = built
+    multi = MultiIndexReader(spark, out)
+    for q in ["merge", "merge window", "sort filter hash", "query stream"]:
+        got = attribute_ranked_topk(multi, q, 10)
+        got = [(d, nw, rs, round(s, 6)) for d, nw, rs, s in got]
+        assert got == _brute(rows, ["title", "body"], q.split()), q
+
+
+def test_title_match_outranks_body_match(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "merge tool", "alpha delta gamma"),
+         (2, "alpha tool", "merge beta gamma")],
+        "doc_id long, title string, body string",
+    )
+    out = str(tmp_path / "m2")
+    build_multi_index(spark, df, out, [("title", "title"), ("body", "body")],
+                      num_shards=1, num_buckets=4, verify_sha=False)
+    multi = MultiIndexReader(spark, out)
+    got = attribute_ranked_topk(multi, "merge", 10)
+    assert [d for d, *_ in got] == [1, 2]
+    assert got[0][2] == 0 and got[1][2] == 1  # attr_rank_sum
+    # words rule still dominates: two body words beat one title word
+    got = attribute_ranked_topk(multi, "merge beta", 10)
+    assert [d for d, *_ in got] == [2, 1]
+    assert got[0][1] == 2 and got[1][1] == 1
+
+
+def test_attributes_to_search_on(spark, built):
+    out, rows = built
+    only_title = MultiIndexReader(spark, out, attrs=["title"])
+    got = attribute_ranked_topk(only_title, "merge window", 10)
+    want = _brute(rows, ["title"], ["merge", "window"])
+    assert [(d, nw, rs, round(s, 6)) for d, nw, rs, s in got] == want
+    assert all(rs == 0 for _, _, rs, _ in got)  # only attribute 0 searched
+    with pytest.raises(ValueError):
+        MultiIndexReader(spark, out, attrs=["title", "nope"])
+
+
+def test_k_edge_cases(spark, built):
+    out, _ = built
+    multi = MultiIndexReader(spark, out)
+    assert attribute_ranked_topk(multi, "merge", 0) == []
+    assert attribute_ranked_topk(multi, "zzzznothere", 10) == []
