@@ -1307,8 +1307,10 @@ def _attribute_ranked_sql(sf: str) -> str:
     return f"""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
 ndocs AS (SELECT count(*) AS n FROM documents),
-t_tok AS (SELECT doc_id, unnest(l[1:3]) AS token FROM w),
-b_tok AS (SELECT doc_id, unnest(l[4:]) AS token FROM w),
+t_tok AS (SELECT doc_id, token FROM
+          (SELECT doc_id, unnest(l[1:3]) AS token FROM w) WHERE token <> ''),
+b_tok AS (SELECT doc_id, token FROM
+          (SELECT doc_id, unnest(l[4:]) AS token FROM w) WHERE token <> ''),
 tp AS (SELECT doc_id, token, count(*) AS tf FROM t_tok GROUP BY doc_id, token),
 bp AS (SELECT doc_id, token, count(*) AS tf FROM b_tok GROUP BY doc_id, token),
 tdl AS (SELECT doc_id, count(*) AS dl FROM t_tok GROUP BY doc_id),

@@ -117,12 +117,16 @@ def attribute_ranked_topk(multi: MultiIndexReader, query: str, k: int = 10,
         acc, _ = taat_accumulate(reader, postings)
         for d, s in acc.items():
             score[d] = score.get(d, 0.0) + s
+        dead = reader.deleted
         for wi, t in enumerate(terms):
             if t not in postings:
                 continue
             b = best[wi]
             for d in u64_to_i64(postings[t][0]).tolist():
-                if d not in b:  # attrs visited in importance order
+                # per-subindex tombstones: a doc deleted from THIS attribute
+                # must not be credited this attribute's rank (acc already
+                # excludes it from this attribute's score)
+                if d not in b and d not in dead:
                     b[d] = ai
     if not score:
         return []

@@ -799,6 +799,29 @@ def grouped_conjunctive_topk(reader: IndexReader, groups: list[list[str]],
     return out[:k]
 
 
+def _relax_matching(reader: IndexReader, groups: list[list[str]],
+                    attempts, k: int, stats: Optional[dict],
+                    allowed: Optional[set]) -> list[tuple[int, float]]:
+    """Shared relaxation loop for the word-dropping matching strategies:
+    probe each group-subset in `attempts` (an iterable of index lists)
+    until one matches. k=0 still resolves which groups match (a 1-probe
+    per attempt) so facets-only searches learn the terms_used, but
+    returns no hits."""
+    probe_k = k if k > 0 else 1
+    for live in attempts:
+        sub = [groups[i] for i in live]
+        hits = grouped_conjunctive_topk(reader, sub, probe_k, allowed=allowed)
+        if hits:
+            if stats is not None:
+                stats["groups_used"] = sub
+                stats["terms_used"] = sorted({t for g in sub for t in g})
+            return hits if k > 0 else []
+    if stats is not None:
+        stats["groups_used"] = []
+        stats["terms_used"] = []
+    return []
+
+
 def grouped_matching_last_topk(reader: IndexReader, groups: list[list[str]],
                                k: int = 10,
                                stats: Optional[dict] = None,
@@ -806,24 +829,9 @@ def grouped_matching_last_topk(reader: IndexReader, groups: list[list[str]],
                                ) -> list[tuple[int, float]]:
     """Matching strategy "last" over variant groups: require every word
     group, dropping groups from the END of the query until something
-    matches. Group order must be QUERY order. k=0 still resolves which
-    groups match (a 1-probe per attempt) so facets-only searches learn the
-    terms_used, but returns no hits."""
-    probe_k = k if k > 0 else 1
-    n = len(groups)
-    while n:
-        hits = grouped_conjunctive_topk(reader, groups[:n], probe_k,
-                                        allowed=allowed)
-        if hits:
-            if stats is not None:
-                stats["groups_used"] = groups[:n]
-                stats["terms_used"] = sorted({t for g in groups[:n] for t in g})
-            return hits if k > 0 else []
-        n -= 1
-    if stats is not None:
-        stats["groups_used"] = []
-        stats["terms_used"] = []
-    return []
+    matches. Group order must be QUERY order."""
+    attempts = (list(range(n)) for n in range(len(groups), 0, -1))
+    return _relax_matching(reader, groups, attempts, k, stats, allowed)
 
 
 def grouped_matching_frequency_topk(reader: IndexReader,
@@ -833,35 +841,52 @@ def grouped_matching_frequency_topk(reader: IndexReader,
                                     allowed: Optional[set] = None
                                     ) -> list[tuple[int, float]]:
     """Matching strategy "frequency" (Meilisearch v1.8): require every word
-    group, and when nothing matches, remove the MOST FREQUENT word first
-    (the one whose variants cover the most documents) — rarer, more
-    discriminative words survive longest. Group frequency = sum of the
-    variants' df from the segment store's token/df columns (no posting
-    blobs read)."""
+    group, and when nothing matches, remove the MOST FREQUENT word first —
+    rarer, more discriminative words survive longest. Group frequency =
+    the number of LIVE documents covered by the UNION of the group's
+    variant posting lists (summing per-variant dfs would double-count docs
+    matched by several variants and could invert the drop order under
+    typo/synonym expansion). One load of the union's postings, reused
+    conceptually by the probes' bucket-pruned reads.
+
+    A group whose variants match nothing (freq 0) is, by these semantics,
+    dropped LAST — so any query containing an unknown word yields no
+    results (the rare word is protected; that is the documented v1.8
+    contract, unlike "last" which happily drops a trailing unknown word).
+    That outcome is deterministic, so it is short-circuited without
+    probing."""
     if not groups:
         return []
-    dic = reader.term_dictionary()
-    freq = [sum(dic.get(t, 0) for t in g) for g in groups]
-    # drop order: highest total df first; ties drop the LATER group (stay
-    # consistent with "last" on equal-frequency words)
+    union_terms = sorted({t for g in groups for t in g})
+    postings = reader.load_postings(union_terms)
+    dead = reader.deleted
+    docs_of = {}
+    for t, p in postings.items():
+        ids = u64_to_i64(p[0])
+        if dead:
+            ids = ids[~np.isin(ids, np.fromiter(dead, dtype=np.int64))]
+        docs_of[t] = ids
+    freq = []
+    for g in groups:
+        arrs = [docs_of[t] for t in g if t in docs_of]
+        freq.append(int(len(np.unique(np.concatenate(arrs)))) if arrs else 0)
+    if min(freq) == 0:
+        # a zero-freq group survives every drop and can never match
+        if stats is not None:
+            stats["groups_used"] = []
+            stats["terms_used"] = []
+        return []
+    # drop order: highest union coverage first; ties drop the LATER group
+    # (stay consistent with "last" on equal-frequency words)
     order = sorted(range(len(groups)), key=lambda i: (-freq[i], -i))
-    probe_k = k if k > 0 else 1
-    live = list(range(len(groups)))
-    drop_iter = iter(order)
-    while live:
-        sub = [groups[i] for i in live]
-        hits = grouped_conjunctive_topk(reader, sub, probe_k, allowed=allowed)
-        if hits:
-            if stats is not None:
-                stats["groups_used"] = sub
-                stats["terms_used"] = sorted({t for g in sub for t in g})
-            return hits if k > 0 else []
-        dropped = next(drop_iter)
-        live = [i for i in live if i != dropped]
-    if stats is not None:
-        stats["groups_used"] = []
-        stats["terms_used"] = []
-    return []
+
+    def attempts():
+        live = list(range(len(groups)))
+        for dropped in order:
+            yield live
+            live = [i for i in live if i != dropped]
+
+    return _relax_matching(reader, groups, attempts(), k, stats, allowed)
 
 
 def matching_last_topk(reader: IndexReader, query: str, k: int = 10,

@@ -102,13 +102,7 @@ class SymSpellIndex:
                 self.variants.setdefault(v, []).append(w)
 
     def expand(self, term: str) -> list[str]:
-        e = min(allowed_edits(term), self.max_edits)
-        if e == 0:
-            return [term] if term in self.variants and term in self.variants[term] else []
-        cands: set[str] = set()
-        for v in _deletes(term, e):
-            cands.update(self.variants.get(v, ()))
-        return sorted(w for w in cands if levenshtein(term, w, e) <= e)
+        return sorted(self.expand_with_distance(term))
 
     def expand_with_distance(self, term: str) -> dict[str, int]:
         """Like expand(), but returns {word: exact edit distance} — the

@@ -130,3 +130,29 @@ def test_k_edge_cases(spark, built):
     multi = MultiIndexReader(spark, out)
     assert attribute_ranked_topk(multi, "merge", 0) == []
     assert attribute_ranked_topk(multi, "zzzznothere", 10) == []
+
+
+def test_deleted_attr_rank_not_credited(spark, tmp_path):
+    """A doc tombstoned in a more important attribute's subindex must not
+    be credited that attribute's rank (it may still match via others)."""
+    import os
+
+    from sparkft.index_build import delete_docs
+
+    df = spark.createDataFrame(
+        [(1, "merge tool", "merge beta gamma"),
+         (2, "alpha tool", "merge beta gamma")],
+        "doc_id long, title string, body string",
+    )
+    out = str(tmp_path / "m3")
+    build_multi_index(spark, df, out, [("title", "title"), ("body", "body")],
+                      num_shards=1, num_buckets=4, verify_sha=False)
+    multi = MultiIndexReader(spark, out)
+    got = attribute_ranked_topk(multi, "merge", 10)
+    assert [(d, rs) for d, _, rs, _ in got] == [(1, 0), (2, 1)]
+    # tombstone doc 1 in the TITLE subindex only
+    delete_docs(os.path.join(out, "attrs", "title"), [1])
+    multi = MultiIndexReader(spark, out)
+    got = attribute_ranked_topk(multi, "merge", 10)
+    # doc 1 still matches through its body, but at BODY rank now
+    assert {d: rs for d, _, rs, _ in got} == {1: 1, 2: 1}

@@ -217,3 +217,32 @@ def test_exactness_rule(built):
     # the ranking is the sorted full candidate set, truncated
     want = sorted(full, key=lambda d: (-(d in exact_docs), -full[d], d))[:10]
     assert [d for d, _, _ in got] == want
+
+
+def test_matching_frequency_uses_union_not_summed_df(spark, tmp_path):
+    """Group frequency is the UNION of the variants' live doc sets: a rare
+    word whose many typo variants share the same few docs must NOT look
+    more frequent than a genuinely common word (summed dfs would invert
+    the drop order and discard the discriminative word)."""
+    from sparkft.index_build import build_index
+    from sparkft.search import IndexReader, grouped_matching_frequency_topk
+
+    rows = [(d, "common alpha") for d in range(1, 11)]
+    # 3 docs carry FIVE mutual variants of the rare word, no 'common'
+    rows += [(d, "rarea rareb rarec rared raree") for d in (11, 12, 13)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "freqidx")
+    build_index(spark, df, out, text_col="text", doc_id_col="doc_id",
+                num_shards=1, num_buckets=4, verify_sha=False)
+    reader = IndexReader(spark, out)
+    groups = [["rarea", "rareb", "rarec", "rared", "raree"], ["common"]]
+    # summed df: rare group 15 > common 10; union: rare 3 < common 10
+    s: dict = {}
+    hits = grouped_matching_frequency_topk(reader, groups, 10, stats=s)
+    assert s["terms_used"] == sorted(groups[0])   # common dropped first
+    assert {d for d, _ in hits} == {11, 12, 13}
+    # unknown word in the query -> protected -> deterministic no-results
+    s = {}
+    assert grouped_matching_frequency_topk(
+        reader, [["common"], ["zzzznothere"]], 10, stats=s) == []
+    assert s["terms_used"] == []
