@@ -1258,7 +1258,7 @@ def _multi_engine_index(spark: SparkSession, sf_dir: str) -> str:
 
     from sparkft.multiindex import build_multi_index
 
-    key = hashlib.md5(f"{sf_dir}:multi:v1".encode()).hexdigest()[:10]
+    key = hashlib.md5(f"{sf_dir}:multi:v2".encode()).hexdigest()[:10]
     idx_dir = os.path.join(tempfile.gettempdir(), f"sparkft_entry_midx_{key}")
     if not os.path.exists(f"{idx_dir}/multi.json"):
         docs = _docs(spark, sf_dir).select(
@@ -1271,7 +1271,7 @@ def _multi_engine_index(spark: SparkSession, sf_dir: str) -> str:
         )
         build_multi_index(
             spark, docs, idx_dir, [("title", "title"), ("body", "body")],
-            num_shards=2, num_buckets=8, verify_sha=False, resume=True,
+            num_shards=1, num_buckets=8, verify_sha=False, resume=True,
         )
     return idx_dir
 
@@ -1372,7 +1372,7 @@ def _part_engine_index(spark: SparkSession, sf_dir: str) -> str:
 
     from sparkft.index_build import build_index
 
-    key = hashlib.md5(f"{sf_dir}:part:v1".encode()).hexdigest()[:10]
+    key = hashlib.md5(f"{sf_dir}:part:v2".encode()).hexdigest()[:10]
     idx_dir = os.path.join(tempfile.gettempdir(), f"sparkft_entry_pidx_{key}")
     if not os.path.exists(f"{idx_dir}/stats.json"):
         parts = spark.read.parquet(f"{sf_dir}/part.parquet").select(
@@ -1381,7 +1381,7 @@ def _part_engine_index(spark: SparkSession, sf_dir: str) -> str:
         )
         build_index(
             spark, parts, idx_dir, text_col="text", doc_id_col="doc_id",
-            num_shards=2, num_buckets=8, verify_sha=False, resume=True,
+            num_shards=1, num_buckets=8, verify_sha=False, resume=True,
         )
     return idx_dir
 
