@@ -1242,6 +1242,68 @@ ORDER BY round(sc, 4) DESC, doc_id LIMIT 10
 """
 
 
+# federation: one query over TWO independent indexes (documents + part
+# names), merged into a single ranked list by weight * per-index BM25 —
+# Meilisearch multi-search with federationOptions.weight. 'merge' only
+# exists in the documents vocab and 'ring' only in the part vocab, so the
+# merged top-10 interleaves both origins.
+FED_QUERY = "merge ring"
+FED_WEIGHTS = {"documents": 1.0, "part": 1.5}
+
+
+def _federated_search_topk(spark, sf_dir):
+    """Federated multi-index search (engine path): each index scores the
+    query against its own stats with the shared BM25; the merge is a k-way
+    top-k over (weight * score, index_name, doc_id) — no shuffle, no
+    cross-index state."""
+    from sparkft.search import IndexReader, federated_topk
+
+    docs_idx = IndexReader(spark, _engine_index(spark, sf_dir))
+    part_idx = IndexReader(spark, _part_engine_index(spark, sf_dir))
+    hits = federated_topk(
+        [("documents", docs_idx, FED_WEIGHTS["documents"]),
+         ("part", part_idx, FED_WEIGHTS["part"])],
+        FED_QUERY, 10,
+    )
+    return spark.createDataFrame(
+        [(n, int(d), round(s, 4)) for n, d, s in hits],
+        "index_name string, doc_id long, score double",
+    )
+
+
+def _federated_sql(sf: str) -> str:
+    vals = ", ".join(f"('{t}')" for t in FED_QUERY.split())
+
+    def bm25(w, p, dl):
+        return f"""SELECT p.doc_id,
+         {w} * sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * ({K1} + 1.0)
+                 / (p.tf + {K1} * (1.0 - {B} + {B} * l.dl / (s.tt * 1.0 / s.n)))) ) AS sc
+  FROM {p} p JOIN {p}_df d USING (token)
+  JOIN {dl} l ON p.doc_id = l.doc_id CROSS JOIN {p}_stats s
+  GROUP BY p.doc_id"""
+
+    return f"""
+WITH dpost AS ({_SQL_POSTINGS}),
+ddl AS ({_SQL_DOCLEN}),
+dpost_stats AS (SELECT count(*) AS n, sum(dl) AS tt FROM ddl),
+ppost AS ({_SQL_PART_POSTINGS}),
+pdl AS ({_SQL_PART_DOCLEN}),
+ppost_stats AS (SELECT count(*) AS n, sum(dl) AS tt FROM pdl),
+q(token) AS (VALUES {vals}),
+dpost_df AS (SELECT token, count(*) AS df FROM dpost
+             WHERE token IN (SELECT token FROM q) GROUP BY token),
+ppost_df AS (SELECT token, count(*) AS df FROM ppost
+             WHERE token IN (SELECT token FROM q) GROUP BY token),
+d_sc AS ({bm25(FED_WEIGHTS["documents"], "dpost", "ddl")}),
+p_sc AS ({bm25(FED_WEIGHTS["part"], "ppost", "pdl")}),
+u AS (SELECT 'documents' AS index_name, doc_id, sc FROM d_sc
+      UNION ALL SELECT 'part', doc_id, sc FROM p_sc)
+SELECT index_name, doc_id, round(sc, 4) AS score FROM u
+ORDER BY round(sc, 4) DESC, index_name, doc_id LIMIT 10
+"""
+
+
 # the "attribute" ranking rule runs over a two-attribute view of documents:
 # title = first 3 words, body = the rest — a deterministic derivation both
 # engines can compute, giving every doc a short important field and a long
@@ -2016,6 +2078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "typo_ranked_topk": _typo_ranked_engine,
         "matching_frequency_topk": _matching_frequency_topk,
         "attribute_ranked_topk": _attribute_ranked_topk,
+        "federated_search_topk": _federated_search_topk,
         "prefix_search_topk": _prefix_search_topk,
         "prefix_engine_topk": _prefix_engine_topk,
         "filtered_search_topk": _filtered_search_topk,
@@ -2074,6 +2137,7 @@ def oracle_sql() -> dict[str, str]:
         "typo_ranked_topk": _typo_ranked_sql(""),
         "matching_frequency_topk": _matching_frequency_sql(""),
         "attribute_ranked_topk": _attribute_ranked_sql(""),
+        "federated_search_topk": _federated_sql(""),
         "prefix_search_topk": _prefix_sql(""),
         "prefix_engine_topk": _prefix_sql(""),
         "filtered_search_topk": _filtered_sql(""),

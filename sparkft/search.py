@@ -373,6 +373,37 @@ def taat_accumulate(reader: IndexReader, postings: dict
     return acc, cnt
 
 
+def federated_topk(indexes: list[tuple[str, "IndexReader", float]],
+                   query: str, k: int = 10,
+                   cfg: TokenizerConfig = DEFAULT_CONFIG
+                   ) -> list[tuple[str, int, float]]:
+    """Meilisearch multi-search FEDERATION: one query over several
+    independent indexes, merged into a single ranked list. `indexes` is
+    [(index_name, reader, weight)]; each hit keeps its origin, ranked by
+    weight * per-index BM25 (the analogue of Meilisearch's
+    `federationOptions.weight` boost — Meilisearch merges by normalized
+    ranking-score details, we merge the raw per-index BM25, which is the
+    same formula over each index's own stats; documented divergence),
+    score DESC, then (index_name, doc_id) ASC. Returns
+    [(index_name, doc_id, weighted_score)].
+
+    Each index contributes O(query terms) bucket-pruned reads and scores
+    independently — at cluster scale the per-index passes are independent
+    jobs and the merge is a k-way top-k, so federation adds no shuffle."""
+    if k <= 0:
+        return []
+    out: list[tuple[str, int, float]] = []
+    for name, reader, weight in indexes:
+        terms = reader.query_terms(query, cfg)
+        postings = reader.load_postings(terms)
+        if not postings:
+            continue
+        acc, _ = taat_accumulate(reader, postings)
+        out.extend((name, d, weight * s) for d, s in acc.items())
+    out.sort(key=lambda t: (-t[2], t[0], t[1]))
+    return out[:k]
+
+
 def taat_topk(reader: IndexReader, query: str, k: int = 10,
               cfg: TokenizerConfig = DEFAULT_CONFIG) -> list[tuple[int, float]]:
     """Exhaustive term-at-a-time scoring; returns [(doc_id, score)]."""

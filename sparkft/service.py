@@ -145,20 +145,62 @@ class SearchService:
         )
         return dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
 
+    def stats(self) -> dict:
+        """Meilisearch `GET /indexes/{uid}/stats` shape:
+        {"numberOfDocuments", "isIndexing", "fieldDistribution"} —
+        numberOfDocuments is live docs (tombstones excluded);
+        fieldDistribution counts live docs with a non-null value per
+        stored attribute (plus the indexed text field)."""
+        import numpy as np
+
+        dead = self.reader.deleted
+        n_live = self.reader.N - len(dead)
+        fd = {"text": n_live}
+        try:
+            attrs = self.attrs
+        except ValueError:
+            attrs = None  # no attribute store written
+        if attrs is not None:
+            live_mask = None
+            if dead:
+                live_mask = ~np.isin(
+                    attrs.doc_ids, np.fromiter(dead, dtype=np.int64))
+            for col in attrs._table.column_names:
+                if col == "doc_id":
+                    continue
+                vals = attrs.column(col)
+                eq_none = vals == None  # noqa: E711 (numpy elementwise)
+                valid = (np.ones(len(vals), dtype=bool)
+                         if np.ndim(eq_none) == 0 else ~eq_none)
+                if live_mask is not None:
+                    valid = valid & live_mask
+                fd[col] = int(valid.sum())
+        return {"numberOfDocuments": n_live, "isIndexing": False,
+                "fieldDistribution": fd}
+
     def search(self, query: str, k: int = 10,
                filter: Optional[tuple] = None,
                sort: Optional[tuple] = None,
                facets: Optional[list] = None,
-               highlight: bool = False) -> dict:
+               highlight: bool = False,
+               offset: int = 0,
+               estimate_total: bool = False) -> dict:
         """Meilisearch-shaped response:
-        {"hits": [{"doc_id", "score"|attr, "_formatted"?}, ...],
-         "facetDistribution"?: {col: {value: count}}}
+        {"hits": [{"doc_id", "score"|attr, "_formatted"?, ...}],
+         "offset": ..., "facetDistribution"?: {col: {value: count}},
+         "estimatedTotalHits"?: n}
 
         filter=(col, value) restricts candidates (BM25 stats stay global);
         sort=(col, descending) replaces relevance order by the attribute;
         facets=[col, ...] counts over ALL docs matching the query (before
-        top-k truncation, after the filter), like Meilisearch."""
+        top-k truncation, after the filter), like Meilisearch.
+        offset paginates (the ranking is fetched to offset+k and sliced,
+        so page N costs one ranked pass, not N). estimate_total=True adds
+        estimatedTotalHits — here EXACT, not an estimate: the strategy
+        runs unbounded (O(query postings), same reads as the search) and
+        the page is sliced from the full ranking."""
         allowed = self._allowed(filter)
+        fetch = self.reader.N if estimate_total else offset + k
 
         if sort is not None:
             col, desc = sort
@@ -166,15 +208,20 @@ class SearchService:
                 raise ValueError(f"attribute {col!r} is not sortable")
             terms_used = sorted({t for g in self._word_groups(query)
                                  for t in g})
-            pairs = sort_topk(self.reader, self.attrs, query, col, k=k,
+            pairs = sort_topk(self.reader, self.attrs, query, col, k=fetch,
                               descending=desc, cfg=self.cfg,
                               terms=terms_used, allowed=allowed)
-            hits = [{"doc_id": d, col: v} for d, v in pairs]
+            total = len(pairs)
+            hits = [{"doc_id": d, col: v} for d, v in pairs[offset:offset + k]]
         else:
-            ranked, terms_used = self._ranked(query, k, allowed)
-            hits = [{"doc_id": d, "score": s} for d, s in ranked]
+            ranked, terms_used = self._ranked(query, fetch, allowed)
+            total = len(ranked)
+            hits = [{"doc_id": d, "score": s}
+                    for d, s in ranked[offset:offset + k]]
 
-        out: dict = {"hits": hits}
+        out: dict = {"hits": hits, "offset": offset}
+        if estimate_total:
+            out["estimatedTotalHits"] = total
 
         if facets:
             fd: dict = {}

@@ -1,0 +1,60 @@
+"""Federated multi-index search: the merged list equals the manual merge of
+each index's exhaustive TAAT scoring, with federation weights applied."""
+
+import pytest
+
+from sparkft.index_build import build_index
+from sparkft.search import IndexReader, federated_topk, taat_topk
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .appName("sparkft-fed")
+        .getOrCreate()
+    )
+    yield s
+
+
+@pytest.fixture(scope="module")
+def two_indexes(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("fed")
+    a_rows = [(d, f"merge sort {'alpha ' * (d % 3)}") for d in range(1, 21)]
+    b_rows = [(d, f"merge ring {'beta ' * (d % 4)}") for d in range(1, 31)]
+    outs = []
+    for name, rows in (("a", a_rows), ("b", b_rows)):
+        out = str(base / name)
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        build_index(spark, df, out, text_col="text", doc_id_col="doc_id",
+                    num_shards=1, num_buckets=4, verify_sha=False)
+        outs.append(out)
+    return outs
+
+
+def test_federated_equals_weighted_manual_merge(spark, two_indexes):
+    a, b = (IndexReader(spark, d) for d in two_indexes)
+    q, wa, wb = "merge ring", 1.0, 2.5
+    want = [("a", d, wa * s) for d, s in taat_topk(a, q, 10_000)]
+    want += [("b", d, wb * s) for d, s in taat_topk(b, q, 10_000)]
+    want.sort(key=lambda t: (-t[2], t[0], t[1]))
+    got = federated_topk([("a", a, wa), ("b", b, wb)], q, 10)
+    assert got == want[:10]
+    # both origins appear (the weight pushes b hits up, a still present)
+    names = {n for n, *_ in got}
+    assert names == {"a", "b"}
+    assert federated_topk([("a", a, wa)], q, 0) == []
+    assert federated_topk([], q, 10) == []
+
+
+def test_federated_same_docid_different_index_both_kept(spark, two_indexes):
+    a, b = (IndexReader(spark, d) for d in two_indexes)
+    got = federated_topk([("a", a, 1.0), ("b", b, 1.0)], "merge", 1000)
+    pairs = [(n, d) for n, d, _ in got]
+    assert len(pairs) == len(set(pairs))
+    # doc_id 1 exists in BOTH indexes and both rows survive the merge
+    assert ("a", 1) in pairs and ("b", 1) in pairs

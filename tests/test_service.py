@@ -260,3 +260,37 @@ def test_highlighting_needs_store_and_wraps(built):
     assert res["hits"]
     for h in res["hits"]:
         assert "<em>" in h["_formatted"]
+
+
+def test_pagination_and_total(built):
+    """offset pages through the SAME global ranking; estimatedTotalHits is
+    the exact admissible candidate count."""
+    from sparkft.service import IndexSettings, SearchService
+
+    idx, store, _ = built
+    svc = SearchService(idx, IndexSettings(), document_store=store)
+    full = svc.search("merge sort", k=50, estimate_total=True)
+    total = full["estimatedTotalHits"]
+    assert total >= len(full["hits"]) > 0
+    pages = []
+    for off in range(0, min(total, 30), 5):
+        page = svc.search("merge sort", k=5, offset=off)
+        assert page["offset"] == off
+        pages += page["hits"]
+    assert pages == full["hits"][:len(pages)]
+    # count-only query: k=0 + estimate_total
+    only = svc.search("merge sort", k=0, estimate_total=True)
+    assert only["hits"] == [] and only["estimatedTotalHits"] == total
+
+
+def test_stats_shape(built):
+    from sparkft.service import IndexSettings, SearchService
+
+    idx, store, _ = built
+    svc = SearchService(idx, IndexSettings())
+    st = svc.stats()
+    assert st["isIndexing"] is False
+    assert st["numberOfDocuments"] > 0
+    assert st["fieldDistribution"]["text"] == st["numberOfDocuments"]
+    for col, n in st["fieldDistribution"].items():
+        assert 0 <= n <= st["numberOfDocuments"], col
