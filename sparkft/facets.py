@@ -150,11 +150,14 @@ def sort_topk(reader, store: AttributeStore, query: str, col: str,
         return []
     vals = store.lookup(ids, col)
     if descending and not np.issubdtype(vals.dtype, np.number):
-        raise NotImplementedError(
-            "descending sort supports numeric attributes; for strings sort "
-            "ascending (descending would need a reversed collation key)"
-        )
-    key = -vals if descending else vals
+        # reversed collation via ordinal codes: np.unique's sorted-unique
+        # inverse preserves the collation order, and negating the codes
+        # reverses it — works for strings (or any comparable dtype) with
+        # no per-row Python
+        _, inv = np.unique(vals, return_inverse=True)
+        key = -inv
+    else:
+        key = -vals if descending else vals
     order = np.lexsort((ids, key))
     top = order[:k]
     return [(int(ids[i]), vals[i].item() if hasattr(vals[i], "item") else vals[i])

@@ -773,6 +773,7 @@ def build_index(
     resume: bool = True,
     index_positions: bool = False,
     seg_max: int = SEG_MAX,
+    typo_variants: bool = False,
 ) -> BuildResult:
     """Build an inverted index under out_dir.
 
@@ -781,8 +782,13 @@ def build_index(
       out_dir/manifests/shard-K.json  per-shard lineage + metrics
       out_dir/segments/bucket=B/      final posting lists
       out_dir/positions/bucket=B/     word-position lists (index_positions)
+      out_dir/typo_variants/bucket=B/ SymSpell variant table (typo_variants)
       out_dir/stats.json              N, avgdl, config fingerprint
-    """
+
+    typo_variants=True additionally materializes the SymSpell deletion-
+    neighborhood (sparkft.typo.write_variant_table) so serving workers
+    expand typos with bucket-pruned reads instead of per-reader dictionary
+    scans — enable it on indexes that serve typo-tolerant queries."""
     from pyspark.sql import functions as F
 
     from .spark_util import ensure_shipped
@@ -938,6 +944,13 @@ def build_index(
     if index_positions:
         _write_positions(all_postings, out_dir, num_buckets)
         timings["positions_s"] = round(time.time() - s0, 3)
+        s0 = time.time()
+
+    if typo_variants:
+        from .typo import write_variant_table
+
+        write_variant_table(spark, out_dir)
+        timings["typo_variants_s"] = round(time.time() - s0, 3)
         s0 = time.time()
 
     seg_stats = spark.read.parquet(f"{out_dir}/segments").agg(

@@ -91,13 +91,19 @@ class IndexReader:
         return got
 
     def symspell(self):
-        """Deletion-neighborhood expansion index over term_dictionary(),
-        built lazily once per reader (see sparkft.typo for the scale note)."""
+        """Typo-expansion index: the precomputed variant artifact when the
+        build wrote one (bucket-pruned reads, no term-dictionary scan —
+        the scale path), else a deletion-neighborhood index built lazily
+        once per reader from term_dictionary()."""
         got = getattr(self, "_symspell", None)
         if got is None:
-            from .typo import SymSpellIndex
+            from .typo import TYPO_DIR, PrecomputedSymSpell, SymSpellIndex
 
-            got = self._symspell = SymSpellIndex(sorted(self.term_dictionary()))
+            if os.path.isfile(f"{self.dir}/{TYPO_DIR}/_meta.json"):
+                got = PrecomputedSymSpell(self.dir)
+            else:
+                got = SymSpellIndex(sorted(self.term_dictionary()))
+            self._symspell = got
         return got
 
     def prefix_terms(self, prefix: str, max_expansions: int = 64) -> list[str]:
@@ -648,10 +654,15 @@ def phrase_topk(reader: IndexReader, phrase: str, k: int = 10,
     return [(int(doc_ids[i]), float(scores[i])) for i in top]
 
 
+MAX_DISTANCE = 8  # milli's proximity cost cap (reference buckets pair costs)
+
+
 def _min_pair_cost(A: np.ndarray, B: np.ndarray) -> int:
     """Meilisearch-style proximity cost between two occurrence-position
     arrays (both sorted): min over (a, b) of (b - a) when the second term
     follows the first, else (a - b + 1) — reversed order costs one extra.
+    Clamped at MAX_DISTANCE like the reference's bucketed costs, so
+    far-apart pairs in long documents don't get unbounded costs.
     Vectorized: for every b only its flanking a's can be optimal."""
     idx = np.searchsorted(A, B)
     best = np.iinfo(np.int64).max
@@ -661,7 +672,7 @@ def _min_pair_cost(A: np.ndarray, B: np.ndarray) -> int:
     right = idx < len(A)
     if right.any():
         best = min(best, int((A[idx[right]] - B[right]).min()) + 1)
-    return best
+    return min(best, MAX_DISTANCE)
 
 
 def proximity_topk(reader: IndexReader, query: str, k: int = 10,
@@ -742,6 +753,8 @@ def exactness_topk(reader: IndexReader, query: str, k: int = 10,
     One positional-index phrase pass (O(query postings)) marks the exact
     set; the ranking itself is the same exhaustive TAAT as the words rule —
     the composite key defeats WAND's single bound."""
+    if k <= 0:
+        return []
     exact = set(phrase_match_counts(reader, query, cfg))
     terms = reader.query_terms(query, cfg)
     postings = reader.load_postings(terms)
@@ -768,6 +781,8 @@ def ranking_pipeline_topk(reader: IndexReader, query: str, k: int = 10,
     index reads: one TAAT accumulation (scores + distinct-term counts), one
     positional proximity pass, one positional phrase pass — all
     O(query postings), never O(index)."""
+    if k <= 0:
+        return []
     terms = reader.query_terms(query, cfg)
     postings = reader.load_postings(terms)
     if not postings:
@@ -1197,6 +1212,8 @@ def words_ranked_topk(reader: IndexReader, query: str, k: int = 10,
     composite key breaks WAND's single upper bound, so pruning does not
     apply; this ranking costs one full traversal of the query terms'
     postings (still O(query postings), never O(index))."""
+    if k <= 0:
+        return []
     terms = reader.query_terms(query, cfg)
     postings = reader.load_postings(terms)
     if not postings:

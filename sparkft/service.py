@@ -154,12 +154,21 @@ class SearchService:
         import numpy as np
 
         dead = self.reader.deleted
-        n_live = self.reader.N - len(dead)
-        fd = {"text": n_live}
         try:
             attrs = self.attrs
         except ValueError:
             attrs = None  # no attribute store written
+        if attrs is not None:
+            # count live docs from data: delete_docs() accepts arbitrary
+            # ids, so tombstones that never existed (or were already
+            # compacted away) must not undercount the live total
+            dead_arr = (np.fromiter(dead, dtype=np.int64, count=len(dead))
+                        if dead else np.empty(0, dtype=np.int64))
+            n_live = len(attrs.doc_ids) - int(
+                np.isin(dead_arr, attrs.doc_ids).sum())
+        else:
+            n_live = self.reader.N - len(dead)
+        fd = {"text": n_live}
         if attrs is not None:
             live_mask = None
             if dead:
@@ -193,7 +202,12 @@ class SearchService:
         filter=(col, value) restricts candidates (BM25 stats stay global);
         sort=(col, descending) replaces relevance order by the attribute;
         facets=[col, ...] counts over ALL docs matching the query (before
-        top-k truncation, after the filter), like Meilisearch.
+        top-k truncation, after the filter), like Meilisearch. Under the
+        conjunctive strategies ('all'/'last'/'frequency') the facet counts
+        are computed over the STRATEGY'S candidate set (the ranking runs
+        unbounded — same O(query postings) reads, bigger sort — and its
+        doc set gates the counts), so facetDistribution never exceeds the
+        matchable hits; under 'any' both are the disjunctive set already.
         offset paginates (the ranking is fetched to offset+k and sliced,
         so page N costs one ranked pass, not N). estimate_total=True adds
         estimatedTotalHits — here EXACT, not an estimate: the strategy
@@ -201,6 +215,12 @@ class SearchService:
         the page is sliced from the full ranking."""
         allowed = self._allowed(filter)
         fetch = self.reader.N if estimate_total else offset + k
+        # conjunctive strategies: facets must count the conjunction's docs
+        conj_facets = bool(facets) and sort is None \
+            and self.settings.matching_strategy != "any"
+        if conj_facets:
+            fetch = self.reader.N
+        facet_allowed = allowed
 
         if sort is not None:
             col, desc = sort
@@ -218,6 +238,8 @@ class SearchService:
             total = len(ranked)
             hits = [{"doc_id": d, "score": s}
                     for d, s in ranked[offset:offset + k]]
+            if conj_facets:
+                facet_allowed = {d for d, _ in ranked}
 
         out: dict = {"hits": hits, "offset": offset}
         if estimate_total:
@@ -230,7 +252,7 @@ class SearchService:
                     raise ValueError(f"attribute {col!r} is not filterable")
                 fd[col] = facet_counts(self.reader, self.attrs, query, col,
                                        cfg=self.cfg, terms=terms_used,
-                                       allowed=allowed)
+                                       allowed=facet_allowed)
             out["facetDistribution"] = fd
 
         if highlight and hits:

@@ -98,12 +98,22 @@ def test_sort_topk_matches_pandas(spark, built):
                      descending=False) == want_asc
 
 
-def test_string_descending_raises(spark, built):
-    out, _ = built
+def test_string_descending_matches_order_by_desc(spark, built):
+    """Descending sort on a STRING attribute == ORDER BY col DESC, doc_id
+    (Meilisearch supports attr:desc on strings; reversed collation codes)."""
+    out, rows = built
     reader = IndexReader(spark, out)
-    with pytest.raises(NotImplementedError):
-        sort_topk(reader, AttributeStore(out), QUERY, "repo", 5,
-                  descending=True)
+    m = _expected_matches(rows, reader.query_terms(QUERY))
+    pairs = [(int(r["doc_id"]), str(r["repo"])) for r in m.values()]
+    want_desc = sorted(pairs, key=lambda t: t[0])
+    want_desc.sort(key=lambda t: t[1], reverse=True)  # stable: doc_id asc within value
+    got = sort_topk(reader, AttributeStore(out), QUERY, "repo", 10,
+                    descending=True)
+    assert got == want_desc[:10]
+    # and ascending strings still agree
+    want_asc = sorted(pairs, key=lambda t: (t[1], t[0]))[:10]
+    assert sort_topk(reader, AttributeStore(out), QUERY, "repo", 10,
+                     descending=False) == want_asc
 
 
 def test_missing_store_raises(spark, built, tmp_path):

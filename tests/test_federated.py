@@ -44,8 +44,12 @@ def test_federated_equals_weighted_manual_merge(spark, two_indexes):
     want.sort(key=lambda t: (-t[2], t[0], t[1]))
     got = federated_topk([("a", a, wa), ("b", b, wb)], q, 10)
     assert got == want[:10]
-    # both origins appear (the weight pushes b hits up, a still present)
-    names = {n for n, *_ in got}
+    # With wb=2.5 the 30 two-term b-docs provably outrank every one-term
+    # a-doc, so the top-10 is all-b; widen to k=40 (> |b|) to see both
+    # origins in the merge.
+    got40 = federated_topk([("a", a, wa), ("b", b, wb)], q, 40)
+    assert got40 == want[:40]
+    names = {n for n, *_ in got40}
     assert names == {"a", "b"}
     assert federated_topk([("a", a, wa)], q, 0) == []
     assert federated_topk([], q, 10) == []

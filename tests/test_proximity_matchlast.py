@@ -54,9 +54,10 @@ def built(spark, tmp_path_factory):
 
 
 def _brute_cost(A, B):
-    return min(
+    # clamped at MAX_DISTANCE like milli's bucketed proximity costs
+    return min(8, min(
         (b - a) if b > a else (a - b + 1) for a in A for b in B
-    )
+    ))
 
 
 def test_pair_cost_matches_brute_force():

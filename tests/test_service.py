@@ -294,3 +294,39 @@ def test_stats_shape(built):
     assert st["fieldDistribution"]["text"] == st["numberOfDocuments"]
     for col, n in st["fieldDistribution"].items():
         assert 0 <= n <= st["numberOfDocuments"], col
+
+
+def test_stats_ignores_nonexistent_tombstones(built, tmp_path):
+    """delete_docs() of ids that never existed must not undercount
+    numberOfDocuments (live count comes from data, not N - |tombstones|)."""
+    import shutil
+
+    from sparkft.index_build import delete_docs
+    from sparkft.service import IndexSettings, SearchService
+
+    idx, _, _ = built
+    copy = str(tmp_path / "idxcopy")
+    shutil.copytree(idx, copy)
+    before = SearchService(copy, IndexSettings()).stats()["numberOfDocuments"]
+    delete_docs(copy, [10**15 + 1, 10**15 + 2])  # ids not in the corpus
+    after = SearchService(copy, IndexSettings()).stats()["numberOfDocuments"]
+    assert after == before
+
+
+def test_conjunctive_facets_match_hits(built):
+    """Under 'all'/'last'/'frequency' the facet counts are computed over the
+    strategy's (conjunctive) candidate set — never more docs than the
+    unbounded hit list, and exactly its per-value histogram."""
+    from collections import Counter
+
+    out, _, rows = built
+    by_id = {r["doc_id"]: r["repo"] for r in rows}
+    for strategy in ("all", "last", "frequency"):
+        svc = SearchService(out, IndexSettings(
+            matching_strategy=strategy, filterable_attributes=("repo",)))
+        res = svc.search("merge sort", 10**9, facets=["repo"],
+                         estimate_total=True)
+        want = Counter(by_id[h["doc_id"]] for h in res["hits"])
+        assert res["facetDistribution"]["repo"] == dict(want), strategy
+        assert (sum(res["facetDistribution"]["repo"].values())
+                == res["estimatedTotalHits"]), strategy

@@ -187,6 +187,46 @@ def test_expand_with_distance_matches_brute_force():
         assert sorted(got) == sym.expand(q), q
 
 
+def test_symspell_long_word_reachable_by_typos():
+    """Prefix-key indexing: a dictionary word longer than max_word_len is
+    still reachable from insertion/substitution/deletion typos (round-2
+    behavior only found it via pure-insertion queries)."""
+    long_word = "a" * 30 + "bcdefghijklmnopqrstu"  # 50 chars
+    sym = SymSpellIndex(["merge", long_word], max_word_len=48)
+    assert sym.expand(long_word) == [long_word]
+    # substitution typo (len 50 -> 2 edits allowed)
+    typo_sub = "z" + long_word[1:]
+    assert long_word in sym.expand(typo_sub)
+    # deletion typo (the query LOST a char vs the dict word)
+    typo_del = long_word[:10] + long_word[11:]
+    assert long_word in sym.expand(typo_del)
+    # insertion typo
+    typo_ins = long_word[:5] + "q" + long_word[5:]
+    assert long_word in sym.expand(typo_ins)
+
+
+def test_precomputed_variant_table_parity(spark, tmp_path):
+    """The build-time variant artifact serves IDENTICAL expansions to the
+    per-reader SymSpell build, and expand() touches only the buckets the
+    query term's own deletes hash to (bucket-pruned IO)."""
+    from sparkft.search import IndexReader
+    from sparkft.typo import PrecomputedSymSpell, write_variant_table
+
+    idx = _tiny_index(spark, tmp_path)
+    write_variant_table(spark, idx, num_buckets=8)
+    reader = IndexReader(spark, idx)
+    pre = reader.symspell()
+    assert isinstance(pre, PrecomputedSymSpell)  # artifact preferred
+    mem = SymSpellIndex(sorted(reader.term_dictionary()))
+    for q in ["windoe", "custmer", "scam", "scan", "merge", "sortt",
+              "stram", "filtre", "xyzzy", "winter"]:
+        assert pre.expand_with_distance(q) == mem.expand_with_distance(q), q
+    # bucket pruning: one short query must not have loaded every bucket
+    lazy = PrecomputedSymSpell(idx)
+    lazy.expand("scam")
+    assert 0 < len(lazy._buckets) < lazy.num_buckets
+
+
 def test_typo_ranked_rule_buckets(spark, tmp_path):
     """Meilisearch "typo" ranking rule: more words matched first, then
     fewer total typos (exact beats 1-edit beats 2-edit), then BM25."""
