@@ -81,6 +81,13 @@ def main() -> int:
           lambda: entry._deleted_index(spark, sf_dir, compacted=True))
     timed("part_index_prep", lambda: entry._part_engine_index(spark, sf_dir))
     timed("multi_index_prep", lambda: entry._multi_engine_index(spark, sf_dir))
+    # the DataFrame-path queries share two corpus-constant artifacts (the
+    # stats.json / term-dictionary mirrors, memoized per corpus) — built
+    # here under their own metric so per-query numbers measure the QUERY,
+    # exactly like entry_index_build does for the engine paths
+    timed("df_corpus_stats_prep", lambda: entry._corpus_stats(spark, sf_dir))
+    timed("df_token_dict_prep",
+          lambda: entry._token_dictionary(spark, sf_dir).count())
     headline = [
         "tokenize_doc_lengths", "term_frequencies", "bm25_topk",
         "bm25_engine_topk", "phrase_match",
