@@ -117,6 +117,120 @@ def _cyrillic_language(text: str) -> str:
     return "rus"
 
 
+# ---------------------------------------------------------------------------
+# Latin trigram language ID (whatlang's Cavnar–Trenkle model, reduced)
+# ---------------------------------------------------------------------------
+#
+# The reference's whatlang dependency classifies Latin text with per-language
+# rank-ordered trigram profiles. charabia itself NEVER consults the result
+# for Latin under its default dispatch (detection/mod.rs:32 skips Latin, and
+# segmenter/mod.rs:280-301 routes ALL Latin runs to the German FST — the only
+# Latin entry in SEGMENTERS — without detecting a language at all). This
+# engine keeps the Meilisearch-flavored Latin default (camelCase Latin
+# segmenter) and instead uses the trigram model to route RUNS THAT ARE
+# ACTUALLY GERMAN to the German decompounder without an allow_list — a
+# documented divergence that is strictly more precise than either upstream
+# on mixed-language corpora.
+
+_VIE_EXTRA = frozenset("ăơưđ")
+_TUR_MARKERS = frozenset("ğış")
+_DEU_LETTERS = frozenset("äöüß")
+_LATIN_SAMPLE_CHARS = 400  # whatlang-style bounded sample per run
+_word_re = None  # compiled lazily (module import stays light)
+
+
+def _trigram_weights() -> dict[str, dict[str, int]]:
+    global _TRIGRAM_WEIGHTS
+    try:
+        return _TRIGRAM_WEIGHTS
+    except NameError:
+        pass
+    from ._trigrams import PROFILES
+
+    out = {}
+    for lang, prof in PROFILES.items():
+        n = len(prof)
+        w: dict[str, int] = {}
+        for i, t in enumerate(prof):
+            if t not in w:
+                w[t] = n - i
+        out[lang] = w
+    _TRIGRAM_WEIGHTS = out
+    return out
+
+
+def detect_latin_language(text: str,
+                          allowed: Optional[frozenset] = None
+                          ) -> Optional[str]:
+    """Cavnar–Trenkle trigram classification of a Latin run.
+
+    Words (letters only, lowercased, first _LATIN_SAMPLE_CHARS chars) are
+    space-padded and their trigrams scored against each profile (weight =
+    rank from the top); distinctive codepoints add a strong bonus, and
+    Vietnamese/Turkish are decided by their unique letters outright.
+    `allowed` restricts the candidate set (whatlang's
+    Detector::with_allowlist). Returns None when the signal is too weak or
+    the margin too thin — the caller then keeps the default Latin
+    segmenter, so an uncertain guess can never reroute segmentation."""
+    import re
+
+    global _word_re
+    low = text[:_LATIN_SAMPLE_CHARS].lower()
+    chars = set(low)
+    if chars & _VIE_EXTRA or any(0x1EA0 <= ord(c) <= 0x1EF9 for c in chars):
+        return "vie" if (allowed is None or "vie" in allowed) else None
+    if chars & _TUR_MARKERS:
+        return "tur" if (allowed is None or "tur" in allowed) else None
+
+    weights = _trigram_weights()
+    langs = [l for l in weights if allowed is None or l in allowed]
+    if not langs:
+        return None
+    if _word_re is None:
+        _word_re = re.compile(r"[^\W\d_]+", re.UNICODE)
+    words = _word_re.findall(low)
+    if not words:
+        return None
+    from collections import Counter
+
+    tri: Counter = Counter()
+    for w in words:
+        p = f" {w} "
+        for i in range(len(p) - 2):
+            tri[p[i:i + 3]] += 1
+    scores: dict[str, float] = {}
+    hits: dict[str, int] = {}
+    for lang in langs:
+        wmap = weights[lang]
+        s = 0
+        h = 0
+        for t, c in tri.items():
+            v = wmap.get(t)
+            if v:
+                s += v * c
+                h += 1
+        scores[lang] = float(s)
+        hits[lang] = h
+    from ._trigrams import LETTER_BONUS
+
+    for c in chars:
+        lang = LETTER_BONUS.get(c)
+        if lang in scores:
+            scores[lang] += 150.0
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    best, bs = ranked[0]
+    second = ranked[1][1] if len(ranked) > 1 else 0.0
+    if bs <= 0.0 or hits[best] < 4:
+        return None
+    if second and bs < 1.10 * second:
+        return None
+    # rerouting to the German decompounder mis-segments non-German text, so
+    # 'deu' needs either German letters or a decisive margin
+    if best == "deu" and not (chars & _DEU_LETTERS) and bs < 1.30 * second:
+        return None
+    return best
+
+
 def codepoints(text: str) -> np.ndarray:
     """uint32 codepoint array of `text` (C-speed via UTF-32 encode)."""
     return np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
@@ -189,9 +303,11 @@ class RunDetection:
         al = self.allow_list
         if al is not None and len(al) == 1:
             self.language = al[0]
-        elif al is None and self.script() == T.LATIN:
-            self.language = None  # detection skipped for Latin (mod.rs:32)
         else:
+            # divergence from mod.rs:32 (whatlang skips Latin): Latin runs
+            # ARE classified, with the trigram model — that is what lets
+            # the German decompounder trigger without an allow_list (see
+            # detect_latin_language's rationale block)
             self.language = self._heuristic(al)
         return self.language
 
@@ -211,6 +327,11 @@ class RunDetection:
             )
         elif script == T.CYRILLIC:
             lang = _cyrillic_language(self.text)
+        elif script == T.LATIN:
+            lang = detect_latin_language(
+                self.text,
+                frozenset(allow_list) if allow_list is not None else None,
+            )
         else:
             lang = _SCRIPT_LANG.get(script)
         if allow_list is not None and lang not in allow_list:

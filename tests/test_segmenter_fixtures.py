@@ -58,7 +58,10 @@ def test_latin_segment_nocamel():
 def test_latin_script_language_assignment():
     toks = tokenize_str(LATIN_TEXT, DEFAULT_CONFIG)
     assert toks[0].script == "Latin"
-    assert toks[0].language is None  # Latin skips detection (detection/mod.rs:32)
+    # divergence from detection/mod.rs:32 (whatlang skips Latin): the
+    # trigram model classifies Latin runs so German dispatch can work
+    # without an allow_list; confident English text is labeled eng
+    assert toks[0].language == "eng"
 
 
 # --- camelCase unit cases (charabia/src/segmenter/latin/camel_case.rs:45-62) ---

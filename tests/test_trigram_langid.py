@@ -1,0 +1,99 @@
+"""Latin trigram language ID (whatlang-model replacement, VERDICT r2 #5):
+classification on the reference bench texts (charabia/benches/bench.rs:10-40),
+the conservative confidence gates, and the end-to-end German-compound
+dispatch WITHOUT an allow_list."""
+
+from sparkft import tokenize_str
+from sparkft.config import DEFAULT_CONFIG
+from sparkft.detection import detect_latin_language
+
+# the Latin-script entries of the reference bench DATA_SET
+BENCH_ENG_SHORT = ("The quick (\"brown\") fox can't jump 32.3 feet, right? "
+                   "Brr, it's 29.3°F! Hello guys, my purpose is to benchmark "
+                   "tokenizer properly.")
+BENCH_FRA_SHORT = ("La ville avait d'abord été nommée « Lutèce » ou "
+                   "« boueuse », ici une tentative d'explication par le "
+                   "latin lŭtum « boue ».")
+BENCH_DEU_SHORT = ("Deutschland vereint Alpen, Küsten und Städte wie Berlin. "
+                   "Kultur und Geschichte prägen das Land, das Natur und "
+                   "Moderne verbindet.")
+BENCH_ENG_LONG = ("The City of London Corporation is unique in the UK and "
+                  "has some unusual responsibilities for a local council, "
+                  "such as being the police authority. It is also unusual in "
+                  "having responsibilities and ownership beyond its "
+                  "boundaries.")
+BENCH_FRA_LONG = ("La position de Lutèce, sur l'île aujourd'hui nommée l'île "
+                  "de la Cité, permettant le franchissement du grand fleuve "
+                  "navigable qu'est la Seine par une voie reliant le Nord et "
+                  "le Sud des Gaules, en fait dès l'Antiquité une cité "
+                  "importante.")
+BENCH_DEU_LONG = ("Magdeburg, die Hauptstadt Sachsen-Anhalts, beeindruckt "
+                  "mit dem Magdeburger Dom, dem Jahrtausendturm im "
+                  "Elbauenpark und dem Wasserstraßenkreuz. Der Domplatz ist "
+                  "umgeben von Bauwerken, wie dem Hundertwasserhaus.")
+BENCH_VIE = ("Các nhà nước trong lịch sử Việt Nam có những quốc hiệu khác "
+             "nhau như Xích Quỷ, Văn Lang, Đại Việt, Đại")
+
+
+def test_bench_texts_distinguished():
+    assert detect_latin_language(BENCH_ENG_SHORT) == "eng"
+    assert detect_latin_language(BENCH_ENG_LONG) == "eng"
+    assert detect_latin_language(BENCH_FRA_SHORT) == "fra"
+    assert detect_latin_language(BENCH_FRA_LONG) == "fra"
+    assert detect_latin_language(BENCH_DEU_SHORT) == "deu"
+    assert detect_latin_language(BENCH_DEU_LONG) == "deu"
+    assert detect_latin_language(BENCH_VIE) == "vie"
+
+
+def test_confidence_gates():
+    """Weak/ambiguous signal returns None — an uncertain guess must never
+    reroute segmentation (the engine's corpora keep the Latin default)."""
+    assert detect_latin_language("") is None
+    assert detect_latin_language("12345 !!!") is None
+    assert detect_latin_language("hello world") is None
+    assert detect_latin_language("Literaturverwaltungsprogramm") is None
+    # the synthetic documents-corpus vocabulary stays unrouted
+    assert detect_latin_language(
+        "merge sort table window filter row customer order hash join"
+    ) is None
+
+
+def test_allowlist_restricts_candidates():
+    """whatlang Detector::with_allowlist semantics: only allowed languages
+    are scored."""
+    assert detect_latin_language(BENCH_DEU_SHORT,
+                                 frozenset(["deu", "eng"])) == "deu"
+    assert detect_latin_language(BENCH_DEU_SHORT, frozenset(["eng"])) == "eng"
+    assert detect_latin_language(BENCH_VIE, frozenset(["eng"])) is None
+
+
+def test_german_dispatch_without_allowlist():
+    """The point of the model (VERDICT r2 'what's missing' #1): German text
+    reaches the German FST decompounder with NO allow_list, producing the
+    same tokens as the explicit allow_list=['deu'] run (german.rs TEXT)."""
+    from tests.test_dict_segmenters import GERMAN_TEXT, GERMAN_TOKENIZED
+
+    got = [t.lemma for t in tokenize_str(GERMAN_TEXT)]
+    want = [t.lemma for t in tokenize_str(
+        GERMAN_TEXT, DEFAULT_CONFIG.with_(allow_list=["deu"]))]
+    assert got == want == GERMAN_TOKENIZED
+
+
+def test_english_stays_on_latin_segmenter():
+    """English (and ambiguous short) Latin text keeps the camelCase Latin
+    segmenter — trigram routing never perturbs the default path."""
+    toks = [t.lemma for t in tokenize_str(
+        "The quick brownFox jumps over the lazy dog and keeps running")]
+    assert "brown" in toks and "fox" in toks  # camelCase still split
+    assert all(len(t) > 1 or not t.isalpha() or t in ("a",) for t in toks)
+
+
+def test_french_detection_keeps_default_segmentation():
+    """French is detected (token metadata) but has no specialized Latin
+    segmenter — segmentation equals the default Latin path."""
+    toks = tokenize_str(BENCH_FRA_LONG)
+    words = [t.lemma for t in toks if t.kind == "word"]
+    default = [t.lemma for t in tokenize_str(
+        BENCH_FRA_LONG, DEFAULT_CONFIG.with_(allow_list=["fra"]))
+        if t.kind == "word"]
+    assert words == default
