@@ -116,6 +116,48 @@ def main() -> int:
     for name in headline:
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
 
+    # CJK tokenize throughput: the per-row cost of the dictionary paths
+    # (shipped compact dicts vs a 350k-entry injected jieba-format dict —
+    # the cost must stay flat: DAG lookups are hash probes, not scans).
+    # Deterministic corpus: the chinese.rs/japanese.rs fixture sentences
+    # with per-doc digit salt, ~260 chars/doc x 1500 docs.
+    cjk_base = (
+        "人人生而自由﹐在尊嚴和權利上一律平等。他們賦有理性和良心﹐並應以兄弟"
+        "關係的精神互相對待。夏天，像是哼着小曲的少年，恶作剧般在大地上洒满每"
+        "一种灿烂的颜色。関西国際空港限定トートバッグ すもももももももものうち"
+    )
+    cjk_df = spark.createDataFrame(
+        [(i, f"{cjk_base} {i}") for i in range(1500)], "doc_id long, text string"
+    ).repartition(cpus)
+    cjk_fn = make_tokenize_arrow_fn(DEFAULT_CONFIG, "text", emit_sha=False)
+    cjk_df.mapInArrow(cjk_fn, POSTINGS_SCHEMA).count()  # warm dict loads
+    timed("cjk_tokenize_1500docs",
+          lambda: cjk_df.mapInArrow(cjk_fn, POSTINGS_SCHEMA).count())
+    big_dict = os.path.join(tempfile.gettempdir(), "sparkft_big_cjk_dict.txt")
+    if not os.path.exists(big_dict):
+        import random as _random
+
+        from sparkft.segment import chinese_segmenter
+
+        rng = _random.Random(42)
+        ext_a = [chr(c) for c in range(0x3400, 0x4DC0)]
+        with open(big_dict + ".tmp", "w", encoding="utf-8") as f:
+            for w, fr in chinese_segmenter().freqs.items():
+                f.write(f"{w} {fr}\n")
+            seen = set()
+            while len(seen) < 350_000:
+                w = "".join(rng.choice(ext_a)
+                            for _ in range(rng.choice((2, 2, 3))))
+                if w not in seen:
+                    seen.add(w)
+                    f.write(f"{w} {rng.randint(2, 50000)} n\n")
+        os.replace(big_dict + ".tmp", big_dict)
+    big_cfg = DEFAULT_CONFIG.with_(chinese_dict_path=big_dict)
+    big_fn = make_tokenize_arrow_fn(big_cfg, "text", emit_sha=False)
+    cjk_df.mapInArrow(big_fn, POSTINGS_SCHEMA).count()  # warm 350k load
+    timed("cjk_tokenize_1500docs_bigdict",
+          lambda: cjk_df.mapInArrow(big_fn, POSTINGS_SCHEMA).count())
+
     # full index build + WAND search over the documents corpus
     idx_dir = tempfile.mkdtemp(prefix="sparkft_bench_idx_")
     try:

@@ -44,6 +44,17 @@ class TokenizerConfig:
     turkish: bool = True
     swedish_recomposition: bool = True
 
+    # --- CJK dictionary injection (production-scale path) ---
+    # The reference embeds jieba's ~350k dict and lindera's UniDic/KoDic at
+    # compile time; this engine ships compact fixture-parity lexicons and
+    # loads full dictionaries from these paths when provided. Formats:
+    # chinese_dict_path -> jieba dict.txt lines ("word freq [pos]");
+    # {japanese,korean}_lexicon_path -> TSV "word\tpos\tcost" (the
+    # LatticeSegmenter shape; a UniDic/KoDic export drops in).
+    chinese_dict_path: Optional[str] = None
+    japanese_lexicon_path: Optional[str] = None
+    korean_lexicon_path: Optional[str] = None
+
     # --- TokenizerBuilder options (charabia/src/tokenizer.rs:217-338) ---
     stop_words: Optional[frozenset[str]] = None
     separators: Optional[tuple[str, ...]] = None  # None => DEFAULT_SEPARATORS

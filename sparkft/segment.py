@@ -294,20 +294,26 @@ def german_segmenter() -> FstLikeSegmenter:
     return FstLikeSegmenter(Trie(_load_words("german")), max_char_count=None)
 
 
-@functools.lru_cache(maxsize=1)
-def chinese_segmenter() -> "ChineseSegmenter":
-    """Default Chinese segmenter over the shipped frequency dictionary
-    (sparkft/data/chinese_words.txt), mirroring the reference's default-on
-    jieba dict (charabia/src/segmenter/chinese.rs:63, Cargo.toml:35). A full
-    jieba dict.txt can be injected via `ChineseSegmenter(freqs)` /
-    `tokenize_str(..., chinese=...)` — same "word freq" format."""
+@functools.lru_cache(maxsize=4)
+def chinese_segmenter(dict_path: Optional[str] = None) -> "ChineseSegmenter":
+    """Chinese segmenter over the shipped frequency dictionary
+    (sparkft/data/chinese_words.txt) or, when `dict_path` is given (see
+    TokenizerConfig.chinese_dict_path), a full jieba-format dict.txt
+    ("word freq [pos]" lines — the reference's own embedded dictionary
+    format, charabia/src/segmenter/chinese.rs:63, Cargo.toml:35). Cached
+    per path: a 350k-entry dictionary is loaded once per worker."""
     freqs: dict[str, int] = {}
-    for line in T.word_list("chinese"):
+    if dict_path is not None:
+        with open(dict_path, encoding="utf-8") as f:
+            lines = f.read().split("\n")
+    else:
+        lines = T.word_list("chinese")
+    for line in lines:
         line = line.strip()
         if not line or line.startswith("#"):
             continue
-        word, _, f = line.partition(" ")
-        freqs[word] = int(f or 1)
+        parts = line.split(" ")
+        freqs[parts[0]] = int(parts[1]) if len(parts) > 1 else 1
     return ChineseSegmenter(freqs)
 
 
@@ -533,9 +539,15 @@ for _a, _b, _c in [
     _JK_CONN[(_a, _b)] = _c
 
 
-def _load_lexicon(name: str) -> dict[str, list[tuple[str, int]]]:
+def _load_lexicon(name: str, path: Optional[str] = None
+                  ) -> dict[str, list[tuple[str, int]]]:
+    if path is not None:
+        with open(path, encoding="utf-8") as f:
+            raw = f.read()
+    else:
+        raw = T._read_data(f"{name}.tsv")
     lex: dict[str, list[tuple[str, int]]] = {}
-    for line in T._read_data(f"{name}.tsv").split("\n"):
+    for line in raw.split("\n"):
         line = line.strip()
         if not line or line.startswith("#"):
             continue
@@ -544,14 +556,20 @@ def _load_lexicon(name: str) -> dict[str, list[tuple[str, int]]]:
     return lex
 
 
-@functools.lru_cache(maxsize=1)
-def japanese_segmenter() -> LatticeSegmenter:
-    return LatticeSegmenter(_load_lexicon("japanese_lexicon"), _JK_CONN)
+@functools.lru_cache(maxsize=4)
+def japanese_segmenter(path: Optional[str] = None) -> LatticeSegmenter:
+    """Shipped compact lexicon by default; a full UniDic-derived TSV drops
+    in via `path` (TokenizerConfig.japanese_lexicon_path), cached per
+    worker."""
+    return LatticeSegmenter(_load_lexicon("japanese_lexicon", path), _JK_CONN)
 
 
-@functools.lru_cache(maxsize=1)
-def korean_segmenter() -> LatticeSegmenter:
-    return LatticeSegmenter(_load_lexicon("korean_lexicon"), _JK_CONN)
+@functools.lru_cache(maxsize=4)
+def korean_segmenter(path: Optional[str] = None) -> LatticeSegmenter:
+    """Shipped compact lexicon by default; a full KoDic-derived TSV drops
+    in via `path` (TokenizerConfig.korean_lexicon_path), cached per
+    worker."""
+    return LatticeSegmenter(_load_lexicon("korean_lexicon", path), _JK_CONN)
 
 
 # ---------------------------------------------------------------------------
@@ -617,9 +635,10 @@ def run_segmenter(
     if name == "khmer":
         return khmer_segmenter().segment(chunk)
     if name == "chinese":
-        return (chinese or chinese_segmenter()).segment(chunk)
+        return (chinese
+                or chinese_segmenter(cfg.chinese_dict_path)).segment(chunk)
     if name == "japanese":
-        return japanese_segmenter().segment(chunk)
+        return japanese_segmenter(cfg.japanese_lexicon_path).segment(chunk)
     if name == "korean":
-        return korean_segmenter().segment(chunk)
+        return korean_segmenter(cfg.korean_lexicon_path).segment(chunk)
     return [chunk]
