@@ -8,7 +8,15 @@ index build (tokenize -> salted merge -> compressed segments) in a fresh
 subprocess per parallelism level (clean JVM each time), measures docs/sec,
 and writes BENCH/SCALING_RUN.md (merge into BENCH/BASELINE.md by hand).
 
-Usage: python bench/scaling.py [n_docs] [--quick]
+Measurement protocol (round-3): the 2-core leg on this host is bimodal
+(documented in BENCH/BASELINE.md), so a single pair proves nothing. The
+harness runs `--pairs K` (default 5) INTERLEAVED legs (2,8,2,8,...) with an
+idle-host precondition before each leg (1-min loadavg must drop below a
+threshold, retried with backoff), reports the MEDIAN docs/sec per level,
+and the headline efficiency is median(4N)/ (4 * median(N)) — one number
+produced by a stated procedure, plus the full per-leg table for spread.
+
+Usage: python bench/scaling.py [n_docs] [--pairs K] [--apc]
 """
 
 from __future__ import annotations
@@ -97,9 +105,39 @@ def run_level(cpus: int, corpus_path: str, shards: int, apc: bool = False) -> di
     raise SystemExit(f"no RESULT from local[{cpus}] run")
 
 
+def wait_for_idle_host(max_load: float = 2.0, tries: int = 30,
+                       sleep_s: int = 20) -> float:
+    """Precondition: don't start a measured leg on a busy host. Returns the
+    loadavg the leg started at (recorded per leg); proceeds with a warning
+    if the host never settles within ~10 min."""
+    import time as _time
+
+    for _ in range(tries):
+        load = os.getloadavg()[0]
+        if load < max_load:
+            return load
+        print(f"host busy (load {load:.1f} >= {max_load}); waiting...",
+              file=sys.stderr)
+        _time.sleep(sleep_s)
+    load = os.getloadavg()[0]
+    print(f"WARNING: host never idled (load {load:.1f}); measuring anyway",
+          file=sys.stderr)
+    return load
+
+
+def _median(xs: list) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     apc = "--apc" in sys.argv
+    pairs = 5
+    if "--pairs" in sys.argv:
+        pairs = int(sys.argv[sys.argv.index("--pairs") + 1])
+        args = [a for a in args if a != str(pairs)]
     n_docs = int(args[0]) if args else 120_000
     corpus_path = os.path.join(ROOT, "data", f"corpus_{n_docs}")
     if not os.path.exists(corpus_path):
@@ -131,55 +169,86 @@ spark.stop()
             sys.stderr.write(r.stderr[-3000:])
             raise SystemExit("corpus generation failed")
 
-    results = {}
-    for cpus in (2, 8, 32):
-        print(f"running local[{cpus}]...", file=sys.stderr)
-        r = run_level(cpus, corpus_path, shards=2, apc=apc)
-        print(json.dumps(r), file=sys.stderr)
-        results[cpus] = r
+    # ---- protocol: K interleaved (2, 8) pairs, idle-host gate per leg ----
+    legs: list[dict] = []
+    for i in range(pairs):
+        for cpus in (2, 8):
+            load = wait_for_idle_host()
+            print(f"pair {i + 1}/{pairs}: local[{cpus}] (load {load:.2f})...",
+                  file=sys.stderr)
+            r = run_level(cpus, corpus_path, shards=2, apc=apc)
+            r["pair"] = i + 1
+            r["load_at_start"] = round(load, 2)
+            print(json.dumps(r), file=sys.stderr)
+            legs.append(r)
+    # one local[32] leg for the 16N row (context, not the headline)
+    load = wait_for_idle_host()
+    r32 = run_level(32, corpus_path, shards=2, apc=apc)
+    r32["load_at_start"] = round(load, 2)
 
-    r2, r8, r32 = results[2], results[8], results[32]
-    eff_2_8 = r8["docs_per_sec"] / (4.0 * r2["docs_per_sec"])
-    eff_8_32 = r32["docs_per_sec"] / (4.0 * r8["docs_per_sec"])
+    by_level = {c: [r for r in legs if r["cpus"] == c] for c in (2, 8)}
+    med2 = _median([r["docs_per_sec"] for r in by_level[2]])
+    med8 = _median([r["docs_per_sec"] for r in by_level[8]])
+    eff = med8 / (4.0 * med2)
+    pair_effs = [
+        round(b["docs_per_sec"] / (4.0 * a["docs_per_sec"]), 3)
+        for a, b in zip(by_level[2], by_level[8])
+    ]
+    eff_8_32 = r32["docs_per_sec"] / (4.0 * med8)
     summary = {
         "n_docs": n_docs,
-        "local2": r2,
-        "local8": r8,
+        "pairs": pairs,
+        "median_docs_per_sec_local2": med2,
+        "median_docs_per_sec_local8": med8,
+        "scaling_efficiency_N_to_4N_median": round(eff, 3),
+        "per_pair_efficiencies": pair_effs,
         "local32": r32,
-        "scaling_efficiency_N2_to_N8": round(eff_2_8, 3),
         "scaling_efficiency_N8_to_N32": round(eff_8_32, 3),
+        "legs": legs,
     }
     print(json.dumps(summary))
 
+    rows = "\n".join(
+        f"| {r['pair']} | local[{r['cpus']}] | {r['wall_s']} | "
+        f"{r['docs_per_sec']} | {r['skew_ratio']} | {r['load_at_start']} |"
+        for r in legs
+    )
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
-    md = f"""# BENCH/SCALING_RUN.md — latest scaling-harness run (raw)
+    md = f"""# BENCH/SCALING_RUN.md — protocol scaling run
 
-## Index-build scaling (north rule: throughput efficiency >= 0.8 from N to 4N)
+## Protocol (round-3, VERDICT r2 #3)
 
 Same input ({n_docs} synthetic source files, deterministic seed 42), full
 index build (tokenize -> salted two-phase merge -> delta+varint segments),
-fresh JVM per parallelism level, Python worker pool warmed before timing,
-worker-side Arrow pinned to 1 thread (executor-core semantics).
+fresh JVM per leg, Python worker pool warmed before timing, worker-side
+Arrow pinned to 1 thread. **{pairs} interleaved (local[2], local[8]) pairs**
+— interleaving spreads any host drift across both levels — with an
+**idle-host precondition** (1-min loadavg < 2.0, waited with backoff,
+recorded per leg). THE headline number is the ratio of per-level MEDIANS.
 
-| parallelism | wall (s) | docs/sec | postings | skew ratio |
-|---|---|---|---|---|
-| local[2]  (N)   | {r2["wall_s"]} | {r2["docs_per_sec"]} | {r2["postings"]} | {r2["skew_ratio"]} |
-| local[8]  (4N)  | {r8["wall_s"]} | {r8["docs_per_sec"]} | {r8["postings"]} | {r8["skew_ratio"]} |
-| local[32] (16N) | {r32["wall_s"]} | {r32["docs_per_sec"]} | {r32["postings"]} | {r32["skew_ratio"]} |
+## Headline
 
-**N -> 4N (local[2] -> local[8]) efficiency =
-{r8["docs_per_sec"]} / (4 x {r2["docs_per_sec"]}) = {round(eff_2_8, 3)}**
-{"(PASS >= 0.8)" if eff_2_8 >= 0.8 else "(BELOW TARGET)"}
+**N -> 4N efficiency = median(local[8] docs/sec) / (4 x median(local[2]
+docs/sec)) = {med8} / (4 x {med2}) = {round(eff, 3)}**
+{"(PASS >= 0.8)" if eff >= 0.8 else "(BELOW TARGET 0.8)"}
 
-local[8] -> local[32] efficiency = {round(eff_8_32, 3)}. This second step is
+Per-pair efficiencies (spread): {pair_effs}
+
+## Per-leg table
+
+| pair | parallelism | wall (s) | docs/sec | skew ratio | loadavg at start |
+|---|---|---|---|---|---|
+{rows}
+| - | local[32] (16N) | {r32['wall_s']} | {r32['docs_per_sec']} | {r32['skew_ratio']} | {r32['load_at_start']} |
+
+local[8] -> local[32] efficiency = {round(eff_8_32, 3)}. The 16N step is
 capped by the sandbox host, not the engine: a pure-CPU spin benchmark on this
-VM scales 8 -> 32 processes at only ~0.81 efficiency, and the memory-heavy
+VM scales 8 -> 32 processes at only ~0.81 efficiency and the memory-heavy
 tokenize kernel at ~0.53 (single shared DRAM bus; measured with
-multiprocessing, no Spark involved — see bench/probes.md). On a real cluster
-4N executors bring 4x memory bandwidth, which the single-host stand-in cannot
-emulate; the N -> 4N pair above stays below the host's bandwidth ceiling and
-therefore measures the engine (shuffle/skew/stragglers), which is the
-quantity the north rule is about.
+multiprocessing, no Spark involved — bench/probes.md). On a real cluster 4N
+executors bring 4x memory bandwidth, which a single host cannot emulate; the
+N -> 4N pair stays below the host's bandwidth ceiling and therefore measures
+the engine (shuffle/skew/stragglers), the quantity the north rule is about.
 
 ## Reference comparison
 
@@ -188,11 +257,12 @@ charabia/README.md:19). The engine's per-core tokenize+TF stage measures
 ~12 MiB/s/core in the vectorized Arrow path (pure-Python worker), and the
 full distributed build reaches the docs/sec above.
 
-Generated by `python bench/scaling.py {n_docs}`.
+Generated by `python bench/scaling.py {n_docs} --pairs {pairs}`.
 """
     with open(os.path.join(ROOT, "BENCH", "SCALING_RUN.md"), "w") as f:
         f.write(md)
-    print(f"wrote BENCH/SCALING_RUN.md (eff N-4N {round(eff_2_8, 3)})", file=sys.stderr)
+    print(f"wrote BENCH/SCALING_RUN.md (median eff N-4N {round(eff, 3)})",
+          file=sys.stderr)
     return 0
 
 

@@ -7,13 +7,17 @@ inverted index (the reference tokenizer feeds that engine — see
 charabia/README.md "used in Meilisearch"). This module re-bases the idea on
 the sparkft segment store:
 
-- `write_attribute_store(spark, docs, index_dir, ...)` persists a
-  doc_id-SORTED columnar attribute table under `{index_dir}/attrs/` (one
-  Spark sort, written once at build time). Sorted order makes every lookup
-  a vectorized numpy `searchsorted` — no per-doc hashing, no Python loops.
-- `AttributeStore` loads the columns once per worker (pyarrow read) and
-  serves `lookup(ids, col)` for arbitrary id sets; at scale a worker loads
-  only its buckets (see the scale note below), not the whole store.
+- `write_attribute_store(spark, docs, index_dir, ...)` persists the
+  attribute table under `{index_dir}/attrs/` hive-partitioned by
+  `bucket = pmod(doc_id, num_buckets)` with doc_id-SORTED runs inside each
+  bucket (one Spark repartition+sort, written once at build time). Sorted
+  order makes every lookup a vectorized numpy `searchsorted`.
+- `AttributeStore` serves `lookup(ids, col)` with BUCKET-PRUNED reads: the
+  requested ids' buckets (ids % B, computed vectorized) are the only hive
+  partitions touched, cached after first load — a serving worker holding a
+  few matched ids never reads the whole store. Full-column paths
+  (`doc_ids`/`column`, used by value-filters and stats) load all buckets
+  lazily once.
 - `facet_counts(reader, store, query, col)` = counts of each facet value
   over the docs matching >= 1 query term (the same disjunctive candidate
   set BM25 ranks), tombstones excluded.
@@ -38,53 +42,136 @@ from .index_build import u64_to_i64
 
 def write_attribute_store(spark, docs_df, index_dir: str,
                           doc_id_col: str = "doc_id",
-                          cols: tuple = ("lang", "n_chars")) -> str:
-    """Persist (doc_id, *cols) sorted by doc_id under {index_dir}/attrs."""
+                          cols: tuple = ("lang", "n_chars"),
+                          num_buckets: int = 8) -> str:
+    """Persist (doc_id, *cols) under {index_dir}/attrs, hive-partitioned by
+    `bucket = pmod(doc_id, num_buckets)` (trivially recomputable reader-side
+    with no hash library) and doc_id-sorted within each bucket."""
+    from pyspark.sql import functions as F
+
     out = f"{index_dir}/attrs"
     (
         docs_df.select(doc_id_col, *cols)
         .withColumnRenamed(doc_id_col, "doc_id")
-        .sort("doc_id")
-        .coalesce(1)  # demo scale; at 100 TB: bucketed like the segments
+        .withColumn(
+            "bucket",
+            F.pmod(F.col("doc_id"), F.lit(num_buckets)).cast("int"),
+        )
+        .repartition("bucket")
+        .sortWithinPartitions("doc_id")
         .write.mode("overwrite")
+        .partitionBy("bucket")
         .parquet(out)
     )
     return out
 
 
 class AttributeStore:
-    """Sorted doc_id -> attribute lookup over the attrs parquet."""
+    """Sorted doc_id -> attribute lookup over the attrs parquet.
+
+    Bucketed layout (attrs/bucket=K/): `lookup` touches only the buckets
+    its ids hash to (pmod(doc_id, B)), loaded lazily and cached. A legacy
+    flat layout (round-2 single sorted run) is read as one bucket."""
 
     def __init__(self, index_dir: str):
-        import pyarrow.dataset as ds
-
         path = f"{index_dir}/attrs"
         if not os.path.isdir(path):
             raise ValueError(
                 f"no attribute store at {path}; write one with "
                 "write_attribute_store(spark, docs, index_dir)"
             )
-        self._table = ds.dataset(path, format="parquet").to_table()
-        self.doc_ids = np.asarray(self._table["doc_id"], dtype=np.int64)
-        order = np.argsort(self.doc_ids, kind="stable")  # defensive re-sort
-        self.doc_ids = self.doc_ids[order]
-        self._order = order
-        self._cols: dict[str, np.ndarray] = {}
+        self.path = path
+        self._bucket_ids = sorted(
+            int(d.split("=", 1)[1]) for d in os.listdir(path)
+            if d.startswith("bucket=")
+        )
+        self.num_buckets = (max(self._bucket_ids) + 1) if self._bucket_ids \
+            else 0  # 0 => legacy flat store, served as one bucket
+        # per-bucket cache: bucket -> (sorted doc_ids, {col: values})
+        self._buckets: dict[int, tuple[np.ndarray, dict]] = {}
+        self._columns: Optional[list] = None
+        # full-store view (lazy): globally doc_id-sorted concat of buckets
+        self._full: Optional[tuple[np.ndarray, dict]] = None
 
-    def column(self, col: str) -> np.ndarray:
-        got = self._cols.get(col)
+    def _load_bucket(self, b: int) -> tuple[np.ndarray, dict]:
+        got = self._buckets.get(b)
         if got is None:
-            got = np.asarray(self._table[col])[self._order]
-            self._cols[col] = got
+            import pyarrow.dataset as ds
+
+            sub = f"{self.path}/bucket={b}" if self.num_buckets else self.path
+            tbl = ds.dataset(sub, format="parquet").to_table()
+            ids = np.asarray(tbl["doc_id"], dtype=np.int64)
+            order = np.argsort(ids, kind="stable")  # defensive re-sort
+            cols = {
+                c: np.asarray(tbl[c])[order]
+                for c in tbl.column_names if c not in ("doc_id", "bucket")
+            }
+            got = (ids[order], cols)
+            self._buckets[b] = got
+            if self._columns is None:
+                self._columns = sorted(cols)
         return got
 
+    def columns(self) -> list:
+        """Stored attribute names (excluding doc_id)."""
+        if self._columns is None:
+            self._load_bucket(self._bucket_ids[0] if self.num_buckets else 0)
+        return list(self._columns or [])
+
+    @property
+    def loaded_buckets(self) -> set:
+        return set(self._buckets)
+
+    def _full_view(self) -> tuple[np.ndarray, dict]:
+        if self._full is None:
+            parts = [self._load_bucket(b)
+                     for b in (self._bucket_ids or [0])]
+            ids = np.concatenate([p[0] for p in parts])
+            order = np.argsort(ids, kind="stable")
+            cols = {
+                c: np.concatenate([p[1][c] for p in parts])[order]
+                for c in parts[0][1]
+            }
+            self._full = (ids[order], cols)
+        return self._full
+
+    @property
+    def doc_ids(self) -> np.ndarray:
+        """All doc ids, globally sorted (full-scan path: stats, filters)."""
+        return self._full_view()[0]
+
+    def column(self, col: str) -> np.ndarray:
+        """Full column aligned with `doc_ids` (full-scan path)."""
+        return self._full_view()[1][col]
+
     def lookup(self, ids: np.ndarray, col: str) -> np.ndarray:
-        """Attribute values for `ids` (must all exist in the store)."""
-        pos = np.searchsorted(self.doc_ids, ids)
-        if (pos >= len(self.doc_ids)).any() or (self.doc_ids[pos] != ids).any():
-            missing = ids[(pos >= len(self.doc_ids)) | (self.doc_ids[np.minimum(pos, len(self.doc_ids) - 1)] != ids)]
-            raise KeyError(f"doc ids missing from attribute store: {missing[:5]}")
-        return self.column(col)[pos]
+        """Attribute values for `ids` (must all exist in the store) —
+        bucket-pruned: only the hive partitions `ids % B` are read."""
+        ids = np.asarray(ids, dtype=np.int64)
+        if len(ids) == 0:
+            return np.empty(0)
+        if not self.num_buckets:
+            return self._lookup_in(self._load_bucket(0), ids, col)
+        buckets = np.mod(ids, self.num_buckets)  # pmod: doc_ids can be <0
+        out = None
+        for b in np.unique(buckets):
+            mask = buckets == b
+            vals = self._lookup_in(self._load_bucket(int(b)), ids[mask], col)
+            if out is None:
+                out = np.empty(len(ids), dtype=vals.dtype)
+            out[mask] = vals
+        return out
+
+    @staticmethod
+    def _lookup_in(bucket: tuple[np.ndarray, dict], ids: np.ndarray,
+                   col: str) -> np.ndarray:
+        bids, cols = bucket
+        pos = np.searchsorted(bids, ids)
+        bad = (pos >= len(bids)) | (bids[np.minimum(pos, len(bids) - 1)] != ids)
+        if bad.any():
+            raise KeyError(
+                f"doc ids missing from attribute store: {ids[bad][:5]}")
+        return cols[col][pos]
 
 
 def matching_docs(reader, terms: list[str]) -> np.ndarray:
@@ -97,9 +184,7 @@ def matching_docs(reader, terms: list[str]) -> np.ndarray:
         np.concatenate([u64_to_i64(p[0]) for p in postings.values()])
     )
     if reader.deleted:
-        dead = np.fromiter(reader.deleted, dtype=np.int64,
-                           count=len(reader.deleted))
-        ids = ids[~np.isin(ids, dead)]
+        ids = ids[~reader.deleted.mask(ids)]
     return ids
 
 

@@ -30,6 +30,51 @@ from .config import DEFAULT_CONFIG, TokenizerConfig
 from .index_build import _token_bucket, i64_to_u64, u64_to_i64
 
 
+class TombstoneSet:
+    """Deleted-doc set as ONE sorted int64 array (roaring-style store):
+    membership is a binary-search probe, bulk exclusion is a vectorized
+    `mask()`, memory is 8 bytes/id — no Python object per doc id. Supports
+    the read patterns of a frozenset (`in`, `len`, truthiness, iteration)
+    so every serving path keeps its shape."""
+
+    __slots__ = ("_arr",)
+
+    def __init__(self, ids=None):
+        self._arr = np.unique(np.asarray(
+            ids if ids is not None else [], dtype=np.int64))
+
+    def __contains__(self, doc_id) -> bool:
+        i = int(np.searchsorted(self._arr, doc_id))
+        return i < len(self._arr) and int(self._arr[i]) == doc_id
+
+    def __len__(self) -> int:
+        return len(self._arr)
+
+    def __bool__(self) -> bool:
+        return len(self._arr) > 0
+
+    def __iter__(self):
+        return iter(self._arr.tolist())
+
+    def __eq__(self, other) -> bool:
+        if isinstance(other, TombstoneSet):
+            return np.array_equal(self._arr, other._arr)
+        if isinstance(other, (set, frozenset)):
+            return set(self._arr.tolist()) == other
+        return NotImplemented
+
+    def __hash__(self):
+        return hash(self._arr.tobytes())
+
+    def as_array(self) -> np.ndarray:
+        """The sorted id array (for vectorized np.isin masking)."""
+        return self._arr
+
+    def mask(self, ids: np.ndarray) -> np.ndarray:
+        """Boolean mask: which of `ids` are tombstoned (vectorized)."""
+        return np.isin(ids, self._arr)
+
+
 class IndexReader:
     """Query-side reader over the segment store.
 
@@ -55,15 +100,17 @@ class IndexReader:
         # Lucene-style merge-on-read deletes: tombstoned docs are excluded
         # from every serving path but stay in the segments (and in N/avgdl/df
         # — the classic live-until-merge approximation) until compact_index
-        # folds them out. The demo holds the set in memory; at 100 TB this is
-        # a roaring bitmap / doc-id-sorted store sharing the segment layout.
-        self.deleted: frozenset = frozenset()
+        # folds them out. Held as a doc-id-sorted int64 array probed by
+        # binary search (TombstoneSet, the roaring-bitmap stand-in): 8
+        # bytes/id instead of a Python-object set, vectorized bulk masking.
+        self.deleted = TombstoneSet()
         tomb = f"{index_dir}/tombstones"
         if os.path.isdir(tomb) and any(
             f.endswith(".parquet") for f in os.listdir(tomb)
         ):
             t = ds.dataset(tomb, format="parquet").to_table(columns=["doc_id"])
-            self.deleted = frozenset(t["doc_id"].to_pylist())
+            self.deleted = TombstoneSet(t["doc_id"].to_numpy(
+                zero_copy_only=False))
 
     def query_terms(self, query: str, cfg: TokenizerConfig = DEFAULT_CONFIG) -> list[str]:
         from .tokenizer import tokenize_batch
@@ -910,7 +957,7 @@ def grouped_matching_frequency_topk(reader: IndexReader,
     for t, p in postings.items():
         ids = u64_to_i64(p[0])
         if dead:
-            ids = ids[~np.isin(ids, np.fromiter(dead, dtype=np.int64))]
+            ids = ids[~dead.mask(ids)]
         docs_of[t] = ids
     freq = []
     for g in groups:

@@ -162,10 +162,8 @@ class SearchService:
             # count live docs from data: delete_docs() accepts arbitrary
             # ids, so tombstones that never existed (or were already
             # compacted away) must not undercount the live total
-            dead_arr = (np.fromiter(dead, dtype=np.int64, count=len(dead))
-                        if dead else np.empty(0, dtype=np.int64))
             n_live = len(attrs.doc_ids) - int(
-                np.isin(dead_arr, attrs.doc_ids).sum())
+                np.isin(dead.as_array(), attrs.doc_ids).sum())
         else:
             n_live = self.reader.N - len(dead)
         fd = {"text": n_live}
@@ -173,10 +171,8 @@ class SearchService:
             live_mask = None
             if dead:
                 live_mask = ~np.isin(
-                    attrs.doc_ids, np.fromiter(dead, dtype=np.int64))
-            for col in attrs._table.column_names:
-                if col == "doc_id":
-                    continue
+                    attrs.doc_ids, dead.as_array())
+            for col in attrs.columns():
                 vals = attrs.column(col)
                 eq_none = vals == None  # noqa: E711 (numpy elementwise)
                 valid = (np.ones(len(vals), dtype=bool)

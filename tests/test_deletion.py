@@ -72,6 +72,24 @@ def _deleted_set(rows, frac=0.25, seed=5):
                                           replace=False))
 
 
+def test_tombstone_set_semantics():
+    """TombstoneSet (the frozenset replacement): sorted-array membership,
+    vectorized masking, set-like reads."""
+    import numpy as np
+
+    from sparkft.search import TombstoneSet
+
+    t = TombstoneSet([5, -3, 5, 99])
+    assert len(t) == 3 and bool(t)
+    assert 5 in t and -3 in t and 99 in t
+    assert 4 not in t and 100 not in t and -4 not in t
+    assert sorted(t) == [-3, 5, 99]
+    assert t == frozenset({-3, 5, 99}) and t == TombstoneSet([99, 5, -3])
+    assert list(t.mask(np.array([1, 5, 99, 7]))) == [False, True, True, False]
+    empty = TombstoneSet()
+    assert not empty and len(empty) == 0 and 0 not in empty
+
+
 def test_deletes_excluded_from_all_paths(spark, built):
     out, rows = built
     dead = _deleted_set(rows)

@@ -121,6 +121,38 @@ def test_missing_store_raises(spark, built, tmp_path):
         AttributeStore(str(tmp_path))
 
 
+def test_lookup_is_bucket_pruned(spark, built):
+    """IO assertion (VERDICT r2 #8): a lookup for a handful of ids reads
+    ONLY the hive buckets those ids hash to — never the whole store."""
+    out, rows = built
+    store = AttributeStore(out)
+    assert store.num_buckets >= 2  # bucketed layout actually written
+    ids = np.sort(np.array([int(r["doc_id"]) for r in rows[:3]],
+                           dtype=np.int64))
+    vals = store.lookup(ids, "repo")
+    want_buckets = {int(b) for b in np.mod(ids, store.num_buckets)}
+    assert store.loaded_buckets == want_buckets
+    assert len(store.loaded_buckets) < store.num_buckets
+    by_id = {int(r["doc_id"]): r["repo"] for r in rows}
+    assert [by_id[int(i)] for i in ids] == list(vals)
+    # unknown id still raises, bucket-locally
+    with pytest.raises(KeyError):
+        store.lookup(np.array([10**16 + 7], dtype=np.int64), "repo")
+
+
+def test_full_view_matches_buckets(spark, built):
+    """doc_ids/column() (the full-scan paths) equal the concatenation of
+    the buckets, globally doc_id-sorted — facet counts and value filters
+    see the same relation the round-2 flat store served."""
+    out, rows = built
+    store = AttributeStore(out)
+    assert np.array_equal(store.doc_ids, np.sort(store.doc_ids))
+    assert len(store.doc_ids) == len(rows)
+    by_id = {int(r["doc_id"]): int(r["n_chars"]) for r in rows}
+    vals = store.column("n_chars")
+    assert [by_id[int(i)] for i in store.doc_ids] == [int(v) for v in vals]
+
+
 def test_tombstones_leave_facets_and_sort(spark, built, tmp_path):
     """Deletes apply to facets/sort immediately (merge-on-read)."""
     import shutil
