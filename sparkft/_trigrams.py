@@ -81,7 +81,7 @@ PROFILES: dict[str, tuple[str, ...]] = {
         "at ", "aan", " aa", " me", "met", "ers", "der", "nde", "ond",
         " on", "eer", "ere", "ee ", "ele", "rde", "wor", " wo", "ord",
         "rd ", "zij", " zi", "ijn", "jn ", "el ", "al ", "len", "ken",
-        "ent", " be", "bij", " bi", "ove", "nie", " ni", "iet", "ijke",
+        "ent", " be", "bij", " bi", "ove", "nie", " ni", "iet", "jke",
     ),
     "swe": (
         " oc", "och", "ch ", " at", "att", "tt ", "för", " fö", "ör ",

@@ -152,6 +152,9 @@ def _trigram_weights() -> dict[str, dict[str, int]]:
         n = len(prof)
         w: dict[str, int] = {}
         for i, t in enumerate(prof):
+            # a non-trigram entry could never match and would silently
+            # skew the rank weights — fail loudly instead
+            assert len(t) == 3, (lang, t)
             if t not in w:
                 w[t] = n - i
         out[lang] = w
@@ -224,9 +227,14 @@ def detect_latin_language(text: str,
         return None
     if second and bs < 1.10 * second:
         return None
-    # rerouting to the German decompounder mis-segments non-German text, so
-    # 'deu' needs either German letters or a decisive margin
-    if best == "deu" and not (chars & _DEU_LETTERS) and bs < 1.30 * second:
+    # 'deu' is the one result that REROUTES SEGMENTATION (the German FST
+    # decompounder), so it additionally requires a German-distinctive
+    # codepoint (ä/ö/ü/ß). This keeps the batch ASCII fast path's parity
+    # contract intact by construction: a pure-ASCII row can never be
+    # classified deu, so fast and scalar paths tokenize it identically.
+    # (Real German sentences virtually always carry umlauts; the reference
+    # bench texts and german.rs fixtures all do.)
+    if best == "deu" and not (chars & _DEU_LETTERS):
         return None
     return best
 

@@ -49,6 +49,8 @@ def write_attribute_store(spark, docs_df, index_dir: str,
     with no hash library) and doc_id-sorted within each bucket."""
     from pyspark.sql import functions as F
 
+    import json
+
     out = f"{index_dir}/attrs"
     (
         docs_df.select(doc_id_col, *cols)
@@ -63,6 +65,10 @@ def write_attribute_store(spark, docs_df, index_dir: str,
         .partitionBy("bucket")
         .parquet(out)
     )
+    # record the MODULUS: empty buckets write no dir, so inferring it from
+    # the dirs present would change the hash and probe the wrong bucket
+    with open(f"{out}/_meta.json", "w") as f:
+        json.dump({"num_buckets": num_buckets}, f)
     return out
 
 
@@ -85,8 +91,17 @@ class AttributeStore:
             int(d.split("=", 1)[1]) for d in os.listdir(path)
             if d.startswith("bucket=")
         )
-        self.num_buckets = (max(self._bucket_ids) + 1) if self._bucket_ids \
-            else 0  # 0 => legacy flat store, served as one bucket
+        meta_path = f"{path}/_meta.json"
+        if os.path.isfile(meta_path):
+            import json
+
+            with open(meta_path) as f:
+                self.num_buckets = json.load(f)["num_buckets"]
+        else:
+            # legacy layouts: bucketed dirs without meta (infer — correct
+            # only when every bucket is non-empty) or a flat single run
+            self.num_buckets = (max(self._bucket_ids) + 1) \
+                if self._bucket_ids else 0
         # per-bucket cache: bucket -> (sorted doc_ids, {col: values})
         self._buckets: dict[int, tuple[np.ndarray, dict]] = {}
         self._columns: Optional[list] = None
@@ -99,6 +114,12 @@ class AttributeStore:
             import pyarrow.dataset as ds
 
             sub = f"{self.path}/bucket={b}" if self.num_buckets else self.path
+            if self.num_buckets and not os.path.isdir(sub):
+                # a bucket the writer's modulus left empty
+                got = (np.empty(0, dtype=np.int64),
+                       {c: np.empty(0) for c in (self._columns or [])})
+                self._buckets[b] = got
+                return got
             tbl = ds.dataset(sub, format="parquet").to_table()
             ids = np.asarray(tbl["doc_id"], dtype=np.int64)
             order = np.argsort(ids, kind="stable")  # defensive re-sort
@@ -166,6 +187,9 @@ class AttributeStore:
     def _lookup_in(bucket: tuple[np.ndarray, dict], ids: np.ndarray,
                    col: str) -> np.ndarray:
         bids, cols = bucket
+        if len(bids) == 0:
+            raise KeyError(
+                f"doc ids missing from attribute store: {ids[:5]}")
         pos = np.searchsorted(bids, ids)
         bad = (pos >= len(bids)) | (bids[np.minimum(pos, len(bids) - 1)] != ids)
         if bad.any():

@@ -31,21 +31,37 @@ from .index_build import _token_bucket, i64_to_u64, u64_to_i64
 
 
 class TombstoneSet:
-    """Deleted-doc set as ONE sorted int64 array (roaring-style store):
-    membership is a binary-search probe, bulk exclusion is a vectorized
-    `mask()`, memory is 8 bytes/id — no Python object per doc id. Supports
-    the read patterns of a frozenset (`in`, `len`, truthiness, iteration)
-    so every serving path keeps its shape."""
+    """Deleted-doc set stored as ONE sorted int64 array (roaring-style):
+    bulk exclusion is a vectorized `mask()`, memory is 8 bytes/id — no
+    Python object per doc id. Supports the read patterns of a frozenset
+    (`in`, `len`, truthiness, iteration) so every serving path keeps its
+    shape.
 
-    __slots__ = ("_arr",)
+    Scalar `in` probes sit in per-posting hot loops, and a numpy
+    searchsorted per element is ~30x a set probe — so membership uses a
+    lazily-built frozenset PROBE CACHE up to a size cap (the array stays
+    the storage and the bulk path; a billion-row tombstone set at 100 TB
+    does its exclusion through `mask()`, never element-wise). The empty
+    set probes as a constant False without building anything."""
+
+    _PROBE_CACHE_MAX = 1_000_000
+
+    __slots__ = ("_arr", "_probe")
 
     def __init__(self, ids=None):
         self._arr = np.unique(np.asarray(
             ids if ids is not None else [], dtype=np.int64))
+        self._probe = frozenset() if len(self._arr) == 0 else None
 
     def __contains__(self, doc_id) -> bool:
-        i = int(np.searchsorted(self._arr, doc_id))
-        return i < len(self._arr) and int(self._arr[i]) == doc_id
+        probe = self._probe
+        if probe is None:
+            if len(self._arr) <= self._PROBE_CACHE_MAX:
+                probe = self._probe = frozenset(self._arr.tolist())
+            else:
+                i = int(np.searchsorted(self._arr, doc_id))
+                return i < len(self._arr) and int(self._arr[i]) == doc_id
+        return doc_id in probe
 
     def __len__(self) -> int:
         return len(self._arr)

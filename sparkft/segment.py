@@ -294,14 +294,20 @@ def german_segmenter() -> FstLikeSegmenter:
     return FstLikeSegmenter(Trie(_load_words("german")), max_char_count=None)
 
 
-@functools.lru_cache(maxsize=4)
 def chinese_segmenter(dict_path: Optional[str] = None) -> "ChineseSegmenter":
     """Chinese segmenter over the shipped frequency dictionary
     (sparkft/data/chinese_words.txt) or, when `dict_path` is given (see
     TokenizerConfig.chinese_dict_path), a full jieba-format dict.txt
     ("word freq [pos]" lines — the reference's own embedded dictionary
     format, charabia/src/segmenter/chinese.rs:63, Cargo.toml:35). Cached
-    per path: a 350k-entry dictionary is loaded once per worker."""
+    per path: a 350k-entry dictionary is loaded once per worker. (Thin
+    wrapper so `f()` and `f(None)` share one cache entry — lru_cache does
+    not normalize default args.)"""
+    return _chinese_segmenter_cached(dict_path)
+
+
+@functools.lru_cache(maxsize=4)
+def _chinese_segmenter_cached(dict_path: Optional[str]) -> "ChineseSegmenter":
     freqs: dict[str, int] = {}
     if dict_path is not None:
         with open(dict_path, encoding="utf-8") as f:
@@ -556,20 +562,24 @@ def _load_lexicon(name: str, path: Optional[str] = None
     return lex
 
 
-@functools.lru_cache(maxsize=4)
 def japanese_segmenter(path: Optional[str] = None) -> LatticeSegmenter:
     """Shipped compact lexicon by default; a full UniDic-derived TSV drops
     in via `path` (TokenizerConfig.japanese_lexicon_path), cached per
     worker."""
-    return LatticeSegmenter(_load_lexicon("japanese_lexicon", path), _JK_CONN)
+    return _lattice_segmenter_cached("japanese_lexicon", path)
 
 
-@functools.lru_cache(maxsize=4)
 def korean_segmenter(path: Optional[str] = None) -> LatticeSegmenter:
     """Shipped compact lexicon by default; a full KoDic-derived TSV drops
     in via `path` (TokenizerConfig.korean_lexicon_path), cached per
     worker."""
-    return LatticeSegmenter(_load_lexicon("korean_lexicon", path), _JK_CONN)
+    return _lattice_segmenter_cached("korean_lexicon", path)
+
+
+@functools.lru_cache(maxsize=8)
+def _lattice_segmenter_cached(name: str,
+                              path: Optional[str]) -> LatticeSegmenter:
+    return LatticeSegmenter(_load_lexicon(name, path), _JK_CONN)
 
 
 # ---------------------------------------------------------------------------

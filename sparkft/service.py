@@ -165,7 +165,12 @@ class SearchService:
             n_live = len(attrs.doc_ids) - int(
                 np.isin(dead.as_array(), attrs.doc_ids).sum())
         else:
-            n_live = self.reader.N - len(dead)
+            # without an attribute store there is no doc-id relation to
+            # validate tombstones against: N - |tombstones| is exact when
+            # deletes only target real doc ids, and an undercount when a
+            # caller tombstones ids that never existed (clamped at 0;
+            # write an attribute store for the data-derived count)
+            n_live = max(0, self.reader.N - len(dead))
         fd = {"text": n_live}
         if attrs is not None:
             live_mask = None

@@ -169,7 +169,11 @@ def _fast_path_ok(cfg: TokenizerConfig) -> bool:
     any config that changes those must take the scalar pipeline so the
     documented fast/scalar parity contract holds (e.g. lossy=False keeps
     case, allow_list=["deu"] turns on German compound splitting for Latin
-    runs — both scalar-only effects)."""
+    runs — both scalar-only effects). Trigram language ID cannot break the
+    contract: its one segmentation-changing result ('deu' -> German FST)
+    requires a non-ASCII German codepoint (detection.detect_latin_language),
+    so a fast-eligible pure-ASCII row is never rerouted by the scalar
+    path either."""
     return (
         cfg.separators is None
         and cfg.words_dict is None

@@ -58,6 +58,22 @@ def test_confidence_gates():
     ) is None
 
 
+def test_pure_ascii_never_classified_deu():
+    """The ASCII fast-path parity guarantee: 'deu' (the one result that
+    reroutes segmentation) requires a German-distinctive codepoint, so a
+    pure-ASCII row can never be decompounded by the scalar path while the
+    batch fast path leaves it whole."""
+    ascii_german = ("Der Mann und die Frau gehen in das Haus und sehen "
+                    "dort die Krankenversicherung und den Dampfschiff "
+                    "der und die das ein eine mit von zu")
+    assert ascii_german.isascii()
+    assert detect_latin_language(ascii_german) != "deu"
+    from sparkft import tokenize_str as _tok
+
+    toks = [t.lemma for t in _tok(ascii_german) if t.kind == "word"]
+    assert "krankenversicherung" in toks  # NOT decompounded
+
+
 def test_allowlist_restricts_candidates():
     """whatlang Detector::with_allowlist semantics: only allowed languages
     are scored."""
