@@ -1053,6 +1053,34 @@ def _sorted_engine_topk(spark, sf_dir):
     )
 
 
+def _sorted_desc_string_topk(spark, sf_dir):
+    """Descending sort on a STRING attribute (Meilisearch `lang:desc`),
+    engine path: candidates from the segment store + reversed-collation
+    ordinal codes over the bucket-pruned attribute lookup (round-2 raised
+    NotImplementedError here)."""
+    from sparkft.facets import AttributeStore, sort_topk
+    from sparkft.search import IndexReader
+
+    idx = _engine_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    hits = sort_topk(reader, AttributeStore(idx),
+                     " ".join(BM25_QUERY_TERMS), "lang", 10,
+                     descending=True)
+    return spark.createDataFrame(
+        [(int(d), str(v)) for d, v in hits], "doc_id long, lang string"
+    )
+
+
+def _sorted_desc_string_sql(sf: str) -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM ({_SQL_TOKS})
+                 WHERE token IN ({terms}))
+ORDER BY lang DESC, doc_id LIMIT 10
+"""
+
+
 def _proximity_search_topk(spark, sf_dir):
     """Meilisearch `proximity` ranking rule, DataFrame path: docs containing
     BOTH phrase terms ranked by the minimum pair cost (forward distance, or
@@ -2147,6 +2175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_engine_counts": _facet_engine_counts,
         "sorted_search_topk": _sorted_search_topk,
         "sorted_engine_topk": _sorted_engine_topk,
+        "sorted_desc_string_topk": _sorted_desc_string_topk,
         "distinct_search_topk": _distinct_search_topk,
         "distinct_engine_topk": _distinct_engine_topk,
         "highlight_topk": _highlight_topk,
@@ -2201,6 +2230,7 @@ def oracle_sql() -> dict[str, str]:
         "facet_counts": _facet_sql(""),
         "facet_engine_counts": _facet_sql(""),
         "sorted_search_topk": _sorted_sql(""),
+        "sorted_desc_string_topk": _sorted_desc_string_sql(""),
         "sorted_engine_topk": _sorted_sql(""),
         "distinct_search_topk": _distinct_sql(""),
         "distinct_engine_topk": _distinct_sql(""),

@@ -104,6 +104,7 @@ def main() -> int:
         "deleted_engine_topk", "compacted_engine_topk",
         "facet_counts", "facet_engine_counts",
         "sorted_search_topk", "sorted_engine_topk",
+        "sorted_desc_string_topk",
         "distinct_search_topk", "distinct_engine_topk",
         "highlight_topk",
         "proximity_search_topk", "proximity_engine_topk",

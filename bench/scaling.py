@@ -44,6 +44,12 @@ spark = (SparkSession.builder.master(f"local[{{cpus}}]")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.ui.enabled", "false")
     .config("spark.driver.memory", "48g")
+    # RAM-backed shuffle dir: the sandbox's ONE virtio disk scales 2->8
+    # writers at 0.66 efficiency (bench/probes.md) and is shared by every
+    # leg, while a real cluster's 4N executors bring 4N local disks with
+    # them. tmpfs makes storage track compute — the resource that
+    # actually scales with executors — instead of measuring one disk.
+    .config("spark.local.dir", "/dev/shm/sparkft_shuffle")
     # --apc: cap the JVM's visible cores (-XX:ActiveProcessorCount=N) so GC /
     # shuffle / netty pools scale with N instead of the host's 32. Reported
     # as a secondary configuration: it speeds up the small-core legs (less
@@ -66,7 +72,9 @@ warm_fn = make_tokenize_arrow_fn(DEFAULT_CONFIG, "content", False)
 (spark.createDataFrame([(i, "warm up body") for i in range(cpus * 4)],
                        "doc_id long, content string")
  .repartition(cpus * 2).mapInArrow(warm_fn, POSTINGS_SCHEMA).count())
-out = tempfile.mkdtemp(prefix="sparkft_scale_")
+# index output on tmpfs for the same reason as spark.local.dir (also
+# dodges the ext4 `discard` degradation documented in bench/probes.md)
+out = tempfile.mkdtemp(prefix="sparkft_scale_", dir="/dev/shm")
 try:
     t0 = time.time()
     res = build_index(

@@ -357,15 +357,16 @@ def make_encode_partition_fn(avgdl: float):
 
 
 def make_merge_partition_fn(avgdl: float, num_buckets: int, seg_max: int = SEG_MAX):
-    """Phase 2 (mapInArrow over partitions sorted by token, salt): non-hot
-    tokens (one sub-list) pass through untouched — only hot tokens' salted
-    sub-lists are decoded, merged, re-encoded and part-split. The shuffle
-    moved compressed bytes, not raw postings. A single-sub-list token whose
-    df exceeds seg_max (giant but missed by the hot list) is routed through
-    the merge path so every segment row stays bounded."""
+    """Phase 2 (mapInArrow over partitions sorted by token, salt):
+    single-sub-list tokens within seg_max pass through untouched; every
+    other token's sub-lists are decoded, doc-id merged, re-encoded and
+    part-split in ONE vectorized pass over the whole partition (batch
+    varint decode, segmented cumsum, lexsort, segmented re-encode — no
+    per-token Python loop). The shuffle that fed this partition moved
+    compressed bytes, not raw postings; merged segments are byte-identical
+    regardless of how the docs were split into sub-lists."""
 
     def fn(batches: Iterator) -> Iterator:
-        import pandas as pd
         import pyarrow as pa
         import pyarrow.compute as pc
 
@@ -420,59 +421,87 @@ def make_merge_partition_fn(avgdl: float, num_buckets: int, seg_max: int = SEG_M
                 ],
             )
 
-        # merge the (few) hot tokens per group in plain Python
+        # ---- vectorized merge of EVERY multi-sub-list group at once ----
+        # (map-side encoding turns most tokens multi-sub-list, so this path
+        # is the common case now: batch varint decode over one concatenated
+        # buffer, segmented-cumsum delta decode, one lexsort, segmented
+        # re-encode — no per-token Python loop.)
         multi_idx = np.flatnonzero(~single)
         if len(multi_idx) == 0:
             return
-        gaps_col = tbl.column("doc_gaps").combine_chunks()
-        tfs_col = tbl.column("tfs").combine_chunks()
-        lens_col = tbl.column("lens").combine_chunks()
-        rows = []
-        for gi in multi_idx:
-            s, e = int(bounds[gi]), int(ends[gi])
-            parts = [
-                codec.decode_posting_list(
-                    gaps_col[j].as_py(), tfs_col[j].as_py(), lens_col[j].as_py()
-                )
-                for j in range(s, e)
-            ]
-            ids = np.concatenate([p[0] for p in parts])
-            tfs_ = np.concatenate([p[1] for p in parts])
-            lens_ = np.concatenate([p[2] for p in parts])
-            order = np.argsort(ids, kind="stable")
-            ids, tfs_, lens_ = ids[order], tfs_[order], lens_[order]
-            tok = token[s].as_py()
-            bucket = int(buckets[gi])
-            for part, ps in enumerate(range(0, len(ids), seg_max)):
-                pe = min(ps + seg_max, len(ids))
-                pid, ptf, plen = ids[ps:pe], tfs_[ps:pe], lens_[ps:pe]
-                tf_norm = scoring.tf_component(ptf, plen, avgdl)
-                bm, bl = codec.block_maxes(tf_norm, pid)
-                g, t, l = codec.encode_posting_list(pid, ptf, plen)
-                rows.append(
-                    {
-                        "bucket": bucket, "token": tok, "part": part,
-                        "df": len(ids), "first_doc": int(u64_to_i64(pid[:1])[0]),
-                        "doc_gaps": g, "tfs": t, "lens": l,
-                        "block_max": bm.tolist(),
-                        "block_last": u64_to_i64(bl).tolist(),
-                    }
-                )
-        if rows:
-            yield pa.RecordBatch.from_pandas(
-                pd.DataFrame(rows),
-                schema=pa.schema(
-                    [
-                        ("bucket", pa.int32()), ("token", pa.string()),
-                        ("part", pa.int32()), ("df", pa.int64()),
-                        ("first_doc", pa.int64()), ("doc_gaps", pa.binary()),
-                        ("tfs", pa.binary()), ("lens", pa.binary()),
-                        ("block_max", pa.list_(pa.float64())),
-                        ("block_last", pa.list_(pa.int64())),
-                    ]
-                ),
-                preserve_index=False,
-            )
+        grp_counts = (ends - bounds)[multi_idx]       # sublists per group
+        n_rows = int(grp_counts.sum())
+        row_grp = np.repeat(np.arange(len(multi_idx)), grp_counts)
+        row_prefix = np.cumsum(grp_counts) - grp_counts
+        row_idx = (np.arange(n_rows) - np.repeat(row_prefix, grp_counts)
+                   + bounds[multi_idx][row_grp])
+        take_idx = pa.array(row_idx)
+
+        def _cat(colname: str) -> bytes:
+            arr = tbl.column(colname).combine_chunks().take(take_idx)
+            return b"".join(arr.to_pylist())
+
+        v_counts = df_np[row_idx]                     # values per sublist
+        gaps_all = codec.decode_varints(_cat("doc_gaps"))
+        tfs_all = codec.decode_varints(_cat("tfs"))
+        lens_all = codec.decode_varints(_cat("lens"))
+        # segmented delta decode: cumsum with a restart at each sublist start
+        tot = np.cumsum(gaps_all, dtype=np.uint64)
+        v_bounds = np.concatenate(([0], np.cumsum(v_counts)))
+        sub_prefix = np.concatenate(
+            ([np.uint64(0)], tot[v_bounds[1:-1] - 1]))
+        ids_all = tot - np.repeat(sub_prefix, v_counts)
+        val_grp = np.repeat(row_grp, v_counts)
+        order = np.lexsort((ids_all, val_grp))
+        ids_s = ids_all[order]
+        tfs_s = tfs_all[order]
+        lens_s = lens_all[order]
+        g_counts = np.add.reduceat(v_counts, row_prefix).astype(np.int64)
+        g_starts = np.concatenate(([0], np.cumsum(g_counts)[:-1]))
+        # part split at seg_max within each token group
+        n_vals = len(ids_s)
+        gsame = np.repeat(np.arange(len(multi_idx)), g_counts)
+        pos_in_g = np.arange(n_vals) - np.repeat(g_starts, g_counts)
+        part_all = (pos_in_g // seg_max).astype(np.int32)
+        seg_change = np.ones(n_vals, dtype=bool)
+        if n_vals > 1:
+            seg_change[1:] = (gsame[1:] != gsame[:-1]) | \
+                (part_all[1:] != part_all[:-1])
+        f_bounds = np.flatnonzero(seg_change)
+        f_ends = np.append(f_bounds[1:], n_vals)
+        f_grp = gsame[f_bounds]
+        # delta re-encode with a restart at every output segment
+        gaps2 = np.empty_like(ids_s)
+        if n_vals:
+            gaps2[1:] = ids_s[1:] - ids_s[:-1]
+            gaps2[f_bounds] = ids_s[f_bounds]
+        blob_g, off_g = codec.encode_varints_segmented(gaps2, f_bounds)
+        blob_t, off_t = codec.encode_varints_segmented(tfs_s, f_bounds)
+        blob_l, off_l = codec.encode_varints_segmented(lens_s, f_bounds)
+        tf_norm = scoring.tf_component(tfs_s, lens_s, avgdl)
+        ids_i = u64_to_i64(ids_s)
+        bmax, blast, block_offsets = _group_block_meta(
+            tf_norm, ids_i, f_bounds, f_ends)
+        g_tokens = token.take(pa.array(bounds[multi_idx]))
+        f_grp_pa = pa.array(f_grp)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(buckets[~single][f_grp], type=pa.int32()),
+                g_tokens.take(f_grp_pa),
+                pa.array(part_all[f_bounds], type=pa.int32()),
+                pa.array(g_counts[f_grp], type=pa.int64()),
+                pa.array(ids_i[f_bounds], type=pa.int64()),
+                _binary_from_offsets(blob_g, off_g),
+                _binary_from_offsets(blob_t, off_t),
+                _binary_from_offsets(blob_l, off_l),
+                _list_from_offsets(bmax, block_offsets, "float64"),
+                _list_from_offsets(blast, block_offsets, "int64"),
+            ],
+            names=[
+                "bucket", "token", "part", "df", "first_doc",
+                "doc_gaps", "tfs", "lens", "block_max", "block_last",
+            ],
+        )
 
     return fn
 
@@ -538,21 +567,27 @@ def _write_positions(all_postings, out_dir: str, num_buckets: int) -> None:
 def build_segments(spark, postings, out_dir: str, avgdl: float,
                    num_buckets: int, salt_mod: int, hot: list[str],
                    seg_max: int = SEG_MAX) -> None:
-    """Stage 2: salted sub-lists (vectorized segmented encode), then a merge
-    pass that shuffles only compressed bytes and passes non-hot tokens
-    through untouched. Reused by the batch build and by streaming
-    compaction."""
+    """Stage 2, map-side-encode form: every scan partition encodes its own
+    per-token sub-lists locally (sub-list id "salt" = spark_partition_id,
+    per-partition sort, NO exchange), so the only shuffle in the phase
+    carries compressed sub-lists (~1-2 bytes/posting) — never raw posting
+    rows. The merge pass decode-merges every token that arrived as more
+    than one sub-list and passes single-sub-list tokens through untouched;
+    sub-lists merge back to identical segments regardless of how the docs
+    were split, so the result is byte-identical to the round-2 salted
+    form (pinned by the resume/compaction identity tests).
+
+    `hot`/`salt_mod` are retained for API/stats compatibility: explicit
+    hot-token salting is subsumed — a hot token's encode work is already
+    spread across every scan partition it appears in, and its merge input
+    is compressed bytes. (Round-3 change: the raw-posting
+    repartition("token","salt") was the scaling bottleneck — a ~30
+    B/posting disk-bound shuffle; see BENCH/SCALING_RUN.md.)"""
     from pyspark.sql import functions as F
 
-    salted = postings.withColumn(
-        "salt",
-        F.when(
-            F.col("token").isin(hot), F.pmod(F.xxhash64("doc_id"), F.lit(salt_mod))
-        ).otherwise(F.lit(0)).cast("int"),
-    )
     sublists = (
-        salted.repartition("token", "salt")
-        .sortWithinPartitions("token", "salt", "doc_id")
+        postings.withColumn("salt", F.spark_partition_id().cast("int"))
+        .sortWithinPartitions("token", "doc_id")
         .mapInArrow(make_encode_partition_fn(avgdl), SUBLIST_SCHEMA)
     )
     segments = (
