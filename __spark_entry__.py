@@ -191,16 +191,22 @@ def _engine_index(spark: SparkSession, sf_dir: str) -> str:
 
     from sparkft.index_build import build_index
 
-    key = hashlib.md5(f"{sf_dir}:v6attr".encode()).hexdigest()[:10]
+    key = hashlib.md5(f"{sf_dir}:v8geo".encode()).hexdigest()[:10]
     idx_dir = os.path.join(tempfile.gettempdir(), f"sparkft_entry_idx_{key}")
     if not os.path.exists(f"{idx_dir}/stats.json"):
-        from sparkft.facets import write_attribute_store
+        from sparkft.facets import write_attribute_index, write_attribute_store
 
         docs = _docs(spark, sf_dir)
-        # attribute store next to the segments (facets + the sort rule);
-        # written first so stats.json stays the build-complete marker
-        write_attribute_store(spark, docs, idx_dir,
-                              cols=("lang", "n_chars", "source"))
+        # attribute store (facets + sort + geo rules) and attribute index
+        # (the per-facet-value doc-id store filters resolve against) next
+        # to the segments; written first so stats.json stays the
+        # build-complete marker. lat/lng are the deterministic synthetic
+        # coordinates (_GEO_LAT/_GEO_LNG — same derivation as the oracle).
+        write_attribute_store(
+            spark,
+            docs.withColumn("lat", _geo_lat()).withColumn("lng", _geo_lng()),
+            idx_dir, cols=("lang", "n_chars", "source", "lat", "lng"))
+        write_attribute_index(spark, docs, idx_dir, cols=("lang", "source"))
         build_index(
             spark, docs, idx_dir, text_col="text", doc_id_col="doc_id",
             num_shards=2, num_buckets=8, verify_sha=False, resume=True,
@@ -869,19 +875,16 @@ ORDER BY round(sc, 4) DESC, doc_id LIMIT 10
 def _filtered_engine_topk(spark, sf_dir):
     """Engine path for the same filtered query: the allowed-doc set gates
     the WAND scoring branch (rejected pivots advance without heap updates),
-    so decode stays lazy and bounds stay conservative. The demo collects the
-    allowed ids from the pushed-down lang scan; at 100 TB that set is an
-    attribute index (per-facet-value doc-id store), probed the same way."""
+    so decode stays lazy and bounds stay conservative. The allowed ids come
+    from the ATTRIBUTE INDEX (per-facet-value doc-id store, one bucket of
+    one attr partition read — never a corpus scan), the same store a
+    100 TB deployment probes."""
+    from sparkft.facets import AttributeIndex
     from sparkft.search import IndexReader, filtered_topk
 
-    reader = IndexReader(spark, _engine_index(spark, sf_dir))
-    allowed = [
-        r[0]
-        for r in _docs(spark, sf_dir)
-        .filter(F.col("lang") == FILTER_LANG)
-        .select("doc_id")
-        .collect()
-    ]
+    idx = _engine_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    allowed = AttributeIndex(idx).doc_ids("lang", FILTER_LANG)
     hits = filtered_topk(reader, " ".join(BM25_QUERY_TERMS), 10,
                          allowed_docs=allowed)
     return spark.createDataFrame(
@@ -1051,6 +1054,150 @@ def _sorted_engine_topk(spark, sf_dir):
     return spark.createDataFrame(
         [(int(d), int(v)) for d, v in hits], "doc_id long, n_chars long"
     )
+
+
+# Deterministic synthetic coordinates for the geosearch entries (the
+# testdata tables carry no geo field; deriving lat/lng from doc_id in BOTH
+# the Spark path and the oracle keeps the comparison honest). Lazy: Column
+# construction needs an active SparkContext.
+def _geo_lat():
+    return F.pmod(F.col("doc_id"), F.lit(17000)) / 100.0 - 85.0
+
+
+def _geo_lng():
+    return F.pmod(F.col("doc_id"), F.lit(35000)) / 100.0 - 175.0
+
+
+_GEO_LAT_SQL = "((doc_id % 17000) / 100.0 - 85.0)"
+_GEO_LNG_SQL = "((doc_id % 35000) / 100.0 - 175.0)"
+GEO_CENTER = (-82.5, -172.5)
+GEO_RADIUS_M = 150_000.0
+_R_EARTH = 6371008.8
+
+
+def _haversine_spark(lat, lng, clat: float, clng: float):
+    a = (
+        F.pow(F.sin((F.radians(F.lit(clat)) - F.radians(lat)) / 2.0), 2)
+        + F.cos(F.radians(lat)) * F.cos(F.radians(F.lit(clat)))
+        * F.pow(F.sin((F.radians(F.lit(clng)) - F.radians(lng)) / 2.0), 2)
+    )
+    return 2.0 * _R_EARTH * F.asin(F.sqrt(a))
+
+
+def _haversine_sql(lat: str, lng: str, clat: float, clng: float) -> str:
+    return (
+        f"2.0 * {_R_EARTH} * asin(sqrt("
+        f"pow(sin((radians({clat}) - radians({lat})) / 2.0), 2)"
+        f" + cos(radians({lat})) * cos(radians({clat}))"
+        f" * pow(sin((radians({clng}) - radians({lng})) / 2.0), 2)))"
+    )
+
+
+def _geo_radius_search_topk(spark, sf_dir):
+    """Meilisearch `filter: _geoRadius(lat, lng, m)`, DataFrame path: BM25
+    top-k restricted to docs within the radius (haversine entirely in JVM
+    functions); index-global BM25 stats, same shape as the lang filter."""
+    n_docs, avgdl = _corpus_stats(spark, sf_dir)
+    q = _query_term_postings(spark, sf_dir)
+    term_df = q.groupBy("token").agg(F.count("*").alias("df"))
+    allowed = (
+        _docs(spark, sf_dir)
+        .withColumn("d", _haversine_spark(_geo_lat(), _geo_lng(), *GEO_CENTER))
+        .filter(F.col("d") <= GEO_RADIUS_M)
+        .select("doc_id")
+    )
+    return (
+        q.join(F.broadcast(allowed), "doc_id", "left_semi")
+        .join(F.broadcast(term_df), "token")
+        .withColumn(
+            "idf", F.log1p((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        )
+        .withColumn(
+            "s",
+            F.col("idf")
+            * (
+                F.col("tf")
+                * (K1 + 1.0)
+                / (F.col("tf") + K1 * (1.0 - B + B * F.col("doc_len") / avgdl))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _geo_radius_sql(sf: str) -> str:
+    terms = ", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)
+    dist = _haversine_sql(_GEO_LAT_SQL, _GEO_LNG_SQL, *GEO_CENTER)
+    return f"""
+WITH postings AS ({_SQL_POSTINGS}),
+doclen AS ({_SQL_DOCLEN}),
+stats AS (SELECT count(*) AS n, sum(dl) AS tt FROM doclen),
+q(token) AS (VALUES {terms}),
+term_df AS (SELECT token, count(*) AS df FROM postings
+            WHERE token IN (SELECT token FROM q) GROUP BY token),
+geo AS (SELECT doc_id FROM documents WHERE {dist} <= {GEO_RADIUS_M}),
+scored AS (
+  SELECT p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * ({K1} + 1.0)
+                 / (p.tf + {K1} * (1.0 - {B} + {B} * l.dl / (s.tt * 1.0 / s.n)))) ) AS sc
+  FROM postings p
+  JOIN term_df d USING (token)
+  JOIN doclen l ON p.doc_id = l.doc_id
+  CROSS JOIN stats s
+  WHERE p.doc_id IN (SELECT doc_id FROM geo)
+  GROUP BY p.doc_id)
+SELECT doc_id, round(sc, 4) AS score FROM scored
+ORDER BY round(sc, 4) DESC, doc_id LIMIT 10
+"""
+
+
+def _geo_radius_engine_topk(spark, sf_dir):
+    """Engine path for `_geoRadius`: candidate distances from the
+    bucket-pruned attribute store, gating the shared WAND loop."""
+    from sparkft.facets import AttributeStore
+    from sparkft.geo import geo_radius_topk
+    from sparkft.search import IndexReader
+
+    idx = _engine_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    hits = geo_radius_topk(reader, AttributeStore(idx),
+                           " ".join(BM25_QUERY_TERMS), GEO_CENTER,
+                           GEO_RADIUS_M, 10)
+    return spark.createDataFrame(
+        [(int(d), round(s, 4)) for d, s in hits], "doc_id long, score double"
+    )
+
+
+def _geo_sort_engine_topk(spark, sf_dir):
+    """Meilisearch `sort: _geoPoint(lat, lng):asc`, engine path: matching
+    docs ordered by haversine distance (nearest first), doc_id tie-break."""
+    from sparkft.facets import AttributeStore
+    from sparkft.geo import geo_sort_topk
+    from sparkft.search import IndexReader
+
+    idx = _engine_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    hits = geo_sort_topk(reader, AttributeStore(idx),
+                         " ".join(BM25_QUERY_TERMS), GEO_CENTER, 10)
+    return spark.createDataFrame(
+        [(int(d), round(m, 1)) for d, m in hits],
+        "doc_id long, dist_m double",
+    )
+
+
+def _geo_sort_sql(sf: str) -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    dist = _haversine_sql(_GEO_LAT_SQL, _GEO_LNG_SQL, *GEO_CENTER)
+    return f"""
+SELECT doc_id, round({dist}, 1) AS dist_m FROM documents
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM ({_SQL_TOKS})
+                 WHERE token IN ({terms}))
+ORDER BY {dist}, doc_id LIMIT 10
+"""
 
 
 def _sorted_desc_string_topk(spark, sf_dir):
@@ -2176,6 +2323,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_search_topk": _sorted_search_topk,
         "sorted_engine_topk": _sorted_engine_topk,
         "sorted_desc_string_topk": _sorted_desc_string_topk,
+        "geo_radius_search_topk": _geo_radius_search_topk,
+        "geo_radius_engine_topk": _geo_radius_engine_topk,
+        "geo_sort_engine_topk": _geo_sort_engine_topk,
         "distinct_search_topk": _distinct_search_topk,
         "distinct_engine_topk": _distinct_engine_topk,
         "highlight_topk": _highlight_topk,
@@ -2231,6 +2381,9 @@ def oracle_sql() -> dict[str, str]:
         "facet_engine_counts": _facet_sql(""),
         "sorted_search_topk": _sorted_sql(""),
         "sorted_desc_string_topk": _sorted_desc_string_sql(""),
+        "geo_radius_search_topk": _geo_radius_sql(""),
+        "geo_radius_engine_topk": _geo_radius_sql(""),
+        "geo_sort_engine_topk": _geo_sort_sql(""),
         "sorted_engine_topk": _sorted_sql(""),
         "distinct_search_topk": _distinct_sql(""),
         "distinct_engine_topk": _distinct_sql(""),

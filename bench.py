@@ -105,6 +105,8 @@ def main() -> int:
         "facet_counts", "facet_engine_counts",
         "sorted_search_topk", "sorted_engine_topk",
         "sorted_desc_string_topk",
+        "geo_radius_search_topk", "geo_radius_engine_topk",
+        "geo_sort_engine_topk",
         "distinct_search_topk", "distinct_engine_topk",
         "highlight_topk",
         "proximity_search_topk", "proximity_engine_topk",

@@ -310,3 +310,93 @@ def distinct_topk(reader, store: AttributeStore, query: str, attr: str,
         if len(out) == k:
             break
     return out
+
+
+# ---------------------------------------------------------------------------
+# Attribute index: per-facet-value doc-id store (the filter scale path)
+# ---------------------------------------------------------------------------
+
+
+def write_attribute_index(spark, docs_df, index_dir: str,
+                          cols: tuple = ("lang",),
+                          doc_id_col: str = "doc_id",
+                          num_buckets: int = 8) -> str:
+    """Meilisearch keeps a facet index (facet value -> document bitmap)
+    next to the inverted index; this is its sparkft form: (attr, value,
+    doc_id) rows hive-partitioned by (attr, bucket = crc32(value) mod B)
+    with value-then-doc_id sorted runs, so resolving `filter=(col, v)`
+    reads ONE bucket of ONE attr partition (row groups outside `v` pruned
+    by the sorted layout) instead of scanning a whole attribute column.
+    O(|matching ids|) per filter resolution, independent of corpus size."""
+    import functools as _ft
+    import json
+
+    from pyspark.sql import functions as F
+
+    out = f"{index_dir}/attr_index"
+    frames = [
+        docs_df.select(
+            F.lit(col).alias("attr"),
+            F.col(col).cast("string").alias("value"),
+            F.col(doc_id_col).cast("long").alias("doc_id"),
+        )
+        for col in cols
+    ]
+    df = _ft.reduce(lambda a, b: a.unionByName(b), frames)
+    (
+        df.withColumn(
+            "bucket",
+            F.pmod(F.crc32(F.col("value").cast("binary")),
+                   F.lit(num_buckets)).cast("int"),
+        )
+        .repartition("attr", "bucket")
+        .sortWithinPartitions("value", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("attr", "bucket")
+        .parquet(out)
+    )
+    with open(f"{out}/_meta.json", "w") as f:
+        json.dump({"num_buckets": num_buckets, "cols": list(cols)}, f)
+    return out
+
+
+class AttributeIndex:
+    """Reader over the per-facet-value doc-id store: `doc_ids(attr, v)`
+    loads only partition attr=<attr>/bucket=<crc32(v) mod B> with a
+    value == v predicate. Loaded paths are recorded for IO tests."""
+
+    def __init__(self, index_dir: str):
+        import json
+
+        self.path = f"{index_dir}/attr_index"
+        meta = f"{self.path}/_meta.json"
+        if not os.path.isfile(meta):
+            raise ValueError(
+                f"no attribute index at {self.path}; write one with "
+                "write_attribute_index(spark, docs, index_dir, cols)"
+            )
+        with open(meta) as f:
+            m = json.load(f)
+        self.num_buckets = m["num_buckets"]
+        self.cols = tuple(m["cols"])
+        self.read_paths: list[str] = []
+
+    def doc_ids(self, attr: str, value) -> np.ndarray:
+        """Sorted int64 doc ids with `attr == value` (empty if none)."""
+        import zlib
+
+        import pyarrow.dataset as ds
+
+        if attr not in self.cols:
+            raise KeyError(f"attribute {attr!r} not in attribute index "
+                           f"(cols={self.cols})")
+        v = str(value)
+        b = zlib.crc32(v.encode("utf-8")) % self.num_buckets
+        sub = f"{self.path}/attr={attr}/bucket={b}"
+        self.read_paths.append(sub)
+        if not os.path.isdir(sub):
+            return np.empty(0, dtype=np.int64)
+        tbl = ds.dataset(sub, format="parquet").to_table(
+            columns=["doc_id"], filter=ds.field("value") == v)
+        # arrow buffers are read-only views; np.sort copies
+        return np.sort(np.asarray(tbl["doc_id"], dtype=np.int64))

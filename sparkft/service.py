@@ -73,12 +73,36 @@ class SearchService:
         return self._attrs
 
     def _allowed(self, filter: Optional[tuple]) -> Optional[set]:
+        """Resolve filter=(col, value) to the allowed doc-id set: through
+        the ATTRIBUTE INDEX when the build wrote one (one bucket of one
+        attr partition read — the scale path), else a full attribute-column
+        scan (small-store fallback)."""
         if filter is None:
             return None
         col, value = filter
-        if col not in self.settings.filterable_attributes:
-            raise ValueError(f"attribute {col!r} is not filterable "
+        gate = "_geo" if col == "_geoRadius" else col
+        if gate not in self.settings.filterable_attributes:
+            raise ValueError(f"attribute {gate!r} is not filterable "
                              f"(filterable_attributes={self.settings.filterable_attributes})")
+        if col == "_geoRadius":
+            # Meilisearch geosearch: filter=("_geoRadius", ((lat, lng),
+            # radius_m)); requires "_geo" in filterableAttributes, with
+            # lat/lng stored as attribute columns
+            from .geo import haversine_m
+
+            (lat, lng), radius_m = value
+            ids = self.attrs.doc_ids
+            d = haversine_m(self.attrs.column("lat"),
+                            self.attrs.column("lng"), lat, lng)
+            return set(ids[d <= radius_m].tolist())
+        from .facets import AttributeIndex
+
+        try:
+            aidx = AttributeIndex(self.reader.dir)
+        except ValueError:
+            aidx = None
+        if aidx is not None and col in aidx.cols:
+            return set(aidx.doc_ids(col, value).tolist())
         vals = self.attrs.column(col)
         ids = self.attrs.doc_ids[np.asarray(vals) == value]
         return set(ids.tolist())
@@ -225,15 +249,30 @@ class SearchService:
 
         if sort is not None:
             col, desc = sort
-            if col not in self.settings.sortable_attributes:
-                raise ValueError(f"attribute {col!r} is not sortable")
             terms_used = sorted({t for g in self._word_groups(query)
                                  for t in g})
-            pairs = sort_topk(self.reader, self.attrs, query, col, k=fetch,
-                              descending=desc, cfg=self.cfg,
-                              terms=terms_used, allowed=allowed)
-            total = len(pairs)
-            hits = [{"doc_id": d, col: v} for d, v in pairs[offset:offset + k]]
+            if isinstance(col, tuple) and col and col[0] == "_geoPoint":
+                # Meilisearch `sort: _geoPoint(lat, lng):asc|desc`
+                if "_geo" not in self.settings.sortable_attributes:
+                    raise ValueError("attribute '_geo' is not sortable")
+                from .geo import geo_sort_topk
+
+                pairs = geo_sort_topk(self.reader, self.attrs, query,
+                                      col[1], k=fetch, descending=desc,
+                                      cfg=self.cfg, terms=terms_used,
+                                      allowed=allowed)
+                total = len(pairs)
+                hits = [{"doc_id": d, "_geoDistance": v}
+                        for d, v in pairs[offset:offset + k]]
+            else:
+                if col not in self.settings.sortable_attributes:
+                    raise ValueError(f"attribute {col!r} is not sortable")
+                pairs = sort_topk(self.reader, self.attrs, query, col,
+                                  k=fetch, descending=desc, cfg=self.cfg,
+                                  terms=terms_used, allowed=allowed)
+                total = len(pairs)
+                hits = [{"doc_id": d, col: v}
+                        for d, v in pairs[offset:offset + k]]
         else:
             ranked, terms_used = self._ranked(query, fetch, allowed)
             total = len(ranked)

@@ -140,6 +140,35 @@ def test_lookup_is_bucket_pruned(spark, built):
         store.lookup(np.array([10**16 + 7], dtype=np.int64), "repo")
 
 
+def test_attribute_index_pruned_filter_resolution(spark, built):
+    """Per-facet-value doc-id store (the Meilisearch facet-index analogue):
+    resolving a filter value reads exactly ONE bucket of ONE attr
+    partition and returns the same ids a full column scan would."""
+    from sparkft.facets import AttributeIndex, write_attribute_index
+
+    out, rows = built
+    docs = spark.createDataFrame(
+        [(int(r["doc_id"]), str(r["repo"]), int(r["n_chars"]))
+         for r in rows],
+        "doc_id long, repo string, n_chars long",
+    )
+    write_attribute_index(spark, docs, out, cols=("repo",))
+    aidx = AttributeIndex(out)
+    value = rows[0]["repo"]
+    got = aidx.doc_ids("repo", value)
+    want = sorted(int(r["doc_id"]) for r in rows if r["repo"] == value)
+    assert got.tolist() == want
+    assert np.array_equal(got, np.sort(got))
+    # IO: exactly one partition path touched per value resolution
+    assert len(aidx.read_paths) == 1
+    assert f"attr=repo" in aidx.read_paths[0]
+    assert "bucket=" in aidx.read_paths[0]
+    # unknown value -> empty; unknown attr -> KeyError
+    assert aidx.doc_ids("repo", "no/such-repo").tolist() == []
+    with pytest.raises(KeyError):
+        aidx.doc_ids("n_missing", "x")
+
+
 def test_full_view_matches_buckets(spark, built):
     """doc_ids/column() (the full-scan paths) equal the concatenation of
     the buckets, globally doc_id-sorted — facet counts and value filters
