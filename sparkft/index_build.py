@@ -728,6 +728,15 @@ def compact_index(spark, out_dir: str, num_buckets: int = 32,
             _write_positions(all_postings, out_dir, num_buckets)
             has_positions = True
 
+    # a precomputed typo-variant artifact is vocabulary-derived: rebuild it
+    # over the compacted segments so expansions never reference a stale
+    # dictionary (a stale table would only over-expand into empty postings,
+    # but regenerating keeps the artifact the exact vocab mirror)
+    from .typo import TYPO_DIR, write_variant_table
+
+    if os.path.isfile(f"{out_dir}/{TYPO_DIR}/_meta.json"):
+        write_variant_table(spark, out_dir)
+
     seg_stats = spark.read.parquet(f"{out_dir}/segments").agg(
         F.countDistinct("token").alias("n_tokens")
     ).collect()[0]

@@ -227,6 +227,31 @@ def test_precomputed_variant_table_parity(spark, tmp_path):
     assert 0 < len(lazy._buckets) < lazy.num_buckets
 
 
+def test_compaction_regenerates_variant_table(spark, tmp_path):
+    """compact_index rebuilds the typo-variant artifact so expansions track
+    the live vocabulary (deleting every doc containing a word removes the
+    word from the table)."""
+    from sparkft.index_build import build_index, compact_index, delete_docs
+    from sparkft.search import IndexReader
+    from sparkft.typo import PrecomputedSymSpell
+
+    rows = [(1, "merge sort window"), (2, "merge zephyr window"),
+            (3, "sort window stream")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "tvidx")
+    build_index(spark, df, out, text_col="text", doc_id_col="doc_id",
+                num_shards=1, num_buckets=4, verify_sha=False,
+                typo_variants=True)
+    assert "zephyr" in PrecomputedSymSpell(out).expand("zephyrs")
+    delete_docs(out, [2])  # the only doc containing 'zephyr'
+    compact_index(spark, out, num_buckets=4)
+    reader = IndexReader(spark, out)
+    sym = reader.symspell()
+    assert isinstance(sym, PrecomputedSymSpell)  # artifact still preferred
+    assert "zephyr" not in sym.expand("zephyrs")
+    assert "window" in sym.expand("window")  # surviving vocab intact
+
+
 def test_typo_ranked_rule_buckets(spark, tmp_path):
     """Meilisearch "typo" ranking rule: more words matched first, then
     fewer total typos (exact beats 1-edit beats 2-edit), then BM25."""
