@@ -2283,6 +2283,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_search_topk": _synonym_search_topk,
         "synonym_engine_topk": _synonym_engine_topk,
         "ranking_pipeline_topk": _ranking_pipeline_topk,
+        "sorted_desc_string_topk": _sorted_desc_string_topk,
+        "geo_radius_search_topk": _geo_radius_search_topk,
+        "geo_radius_engine_topk": _geo_radius_engine_topk,
+        "geo_sort_engine_topk": _geo_sort_engine_topk,
         "phrase_match": _phrase_match,
         "dedup_exact": _dedup_exact,
         "minhash_signatures": _minhash_signatures,
@@ -2322,10 +2326,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_engine_counts": _facet_engine_counts,
         "sorted_search_topk": _sorted_search_topk,
         "sorted_engine_topk": _sorted_engine_topk,
-        "sorted_desc_string_topk": _sorted_desc_string_topk,
-        "geo_radius_search_topk": _geo_radius_search_topk,
-        "geo_radius_engine_topk": _geo_radius_engine_topk,
-        "geo_sort_engine_topk": _geo_sort_engine_topk,
         "distinct_search_topk": _distinct_search_topk,
         "distinct_engine_topk": _distinct_engine_topk,
         "highlight_topk": _highlight_topk,
