@@ -1072,7 +1072,7 @@ _GEO_LAT_SQL = "((doc_id % 17000) / 100.0 - 85.0)"
 _GEO_LNG_SQL = "((doc_id % 35000) / 100.0 - 175.0)"
 GEO_CENTER = (-82.5, -172.5)
 GEO_RADIUS_M = 150_000.0
-_R_EARTH = 6371008.8
+from sparkft.geo import R_EARTH_M as _R_EARTH  # single source of truth
 
 
 def _haversine_spark(lat, lng, clat: float, clng: float):

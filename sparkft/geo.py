@@ -73,12 +73,13 @@ def geo_radius_topk(reader, store: AttributeStore, query: str,
     attribute filter (index-global BM25 stats, comparable scores)."""
     from .search import wand_topk_terms
 
+    terms = reader.query_terms(query, cfg)  # tokenize once, shared
     allowed = geo_radius_ids(reader, store, query, center, radius_m,
-                             cfg=cfg, lat_col=lat_col, lng_col=lng_col)
+                             cfg=cfg, lat_col=lat_col, lng_col=lng_col,
+                             terms=terms)
     if len(allowed) == 0:
         return []
-    return wand_topk_terms(reader, reader.query_terms(query, cfg), k,
-                           allowed=set(allowed.tolist()))
+    return wand_topk_terms(reader, terms, k, allowed=set(allowed.tolist()))
 
 
 def geo_sort_topk(reader, store: AttributeStore, query: str,

@@ -1,6 +1,6 @@
 """Distributed inverted-index build (engine-original; SURVEY.md §2.6, §3.4).
 
-Dataflow (two shuffles, both on pre-reduced data):
+Dataflow (raw posting rows are NEVER shuffled):
 
   corpus scan (parquet/iceberg)
     └─ stage 1 per shard: mapInArrow tokenize (vectorized, Arrow in/out)
@@ -8,23 +8,23 @@ Dataflow (two shuffles, both on pre-reduced data):
            one row per (doc, token), not per occurrence]
          → parquet checkpoint + manifest (resume unit, lineage + metrics)
   global stats agg (N, avgdl)  [one pass over postings_raw columns]
-  hot-token detection (approximate, sampled groupBy count)
-  stage 2a: repartition(token, salt) + sortWithinPartitions + mapInArrow
-            → encoded sub-lists; salt = xxhash64(doc_id) % S for hot tokens
-            else 0, bounding per-group rows for Zipfian tokens ('fn',
-            'import', ...). Encoding is one vectorized pass per partition
-            (segmented delta+varint, reduceat block maxima) — no per-group
-            pandas overhead, so millions of tiny tokens cost ~0.
-  stage 2b: repartition(token) + mapInArrow     → merged segment rows;
-            non-hot tokens (1 sub-list) pass through untouched; the shuffle
-            moves compressed bytes (~1-2 B/posting), not raw rows
-  segments parquet partitioned by bucket=xxhash64(token)%B, sorted by token
+  stage 2a (NO exchange): each scan partition sorts (token, doc_id) in
+            place and encodes its own per-token sub-lists in one
+            vectorized pass (segmented delta+varint, reduceat block
+            maxima; sub-list id = spark_partition_id). Zipfian tokens
+            need no explicit salting — their postings are already split
+            across every partition they appear in.
+  stage 2b: repartition(token) + mapInArrow — the ONLY shuffle, moving
+            compressed sub-lists (~1-2 B/posting); the merge kernel
+            decode-merges multi-sub-list tokens in one vectorized pass
+            (memory-bounded chunks), single-sub-list tokens pass through
+  segments parquet partitioned by bucket=crc32(token)%B, sorted by token
   (partition pruning + row-group min/max pushdown at query time)
 
 Scale notes: every per-row computation is vectorized NumPy/Arrow inside the
-Python workers; the only driver-side data are the hot-token list and the
-3-number stats. Giant tokens are additionally split into bounded `part`
-rows (SEG_MAX postings each) so no single Arrow batch exceeds memory.
+Python workers; the only driver-side data are the 3-number stats. Giant
+tokens are additionally split into bounded `part` rows (SEG_MAX postings
+each) so no single Arrow batch exceeds memory.
 """
 
 from __future__ import annotations
@@ -421,89 +421,123 @@ def make_merge_partition_fn(avgdl: float, num_buckets: int, seg_max: int = SEG_M
                 ],
             )
 
-        # ---- vectorized merge of EVERY multi-sub-list group at once ----
+        # ---- vectorized merge of the multi-sub-list groups ----
         # (map-side encoding turns most tokens multi-sub-list, so this path
         # is the common case now: batch varint decode over one concatenated
         # buffer, segmented-cumsum delta decode, one lexsort, segmented
-        # re-encode — no per-token Python loop.)
-        multi_idx = np.flatnonzero(~single)
-        if len(multi_idx) == 0:
+        # re-encode — no per-token Python loop.) Groups are processed in
+        # CHUNKS bounded by decoded-value count so peak memory stays
+        # ~MERGE_CHUNK_VALUES * ~50 bytes per task regardless of how many
+        # compressed bytes the shuffle delivered to this partition; chunk
+        # boundaries always align to group boundaries (a token's sub-lists
+        # stay together), a single giant group gets a chunk of its own.
+        all_multi = np.flatnonzero(~single)
+        if len(all_multi) == 0:
             return
-        grp_counts = (ends - bounds)[multi_idx]       # sublists per group
-        n_rows = int(grp_counts.sum())
-        row_grp = np.repeat(np.arange(len(multi_idx)), grp_counts)
-        row_prefix = np.cumsum(grp_counts) - grp_counts
-        row_idx = (np.arange(n_rows) - np.repeat(row_prefix, grp_counts)
-                   + bounds[multi_idx][row_grp])
-        take_idx = pa.array(row_idx)
-
-        def _cat(colname: str) -> bytes:
-            arr = tbl.column(colname).combine_chunks().take(take_idx)
-            return b"".join(arr.to_pylist())
-
-        v_counts = df_np[row_idx]                     # values per sublist
-        gaps_all = codec.decode_varints(_cat("doc_gaps"))
-        tfs_all = codec.decode_varints(_cat("tfs"))
-        lens_all = codec.decode_varints(_cat("lens"))
-        # segmented delta decode: cumsum with a restart at each sublist start
-        tot = np.cumsum(gaps_all, dtype=np.uint64)
-        v_bounds = np.concatenate(([0], np.cumsum(v_counts)))
-        sub_prefix = np.concatenate(
-            ([np.uint64(0)], tot[v_bounds[1:-1] - 1]))
-        ids_all = tot - np.repeat(sub_prefix, v_counts)
-        val_grp = np.repeat(row_grp, v_counts)
-        order = np.lexsort((ids_all, val_grp))
-        ids_s = ids_all[order]
-        tfs_s = tfs_all[order]
-        lens_s = lens_all[order]
-        g_counts = np.add.reduceat(v_counts, row_prefix).astype(np.int64)
-        g_starts = np.concatenate(([0], np.cumsum(g_counts)[:-1]))
-        # part split at seg_max within each token group
-        n_vals = len(ids_s)
-        gsame = np.repeat(np.arange(len(multi_idx)), g_counts)
-        pos_in_g = np.arange(n_vals) - np.repeat(g_starts, g_counts)
-        part_all = (pos_in_g // seg_max).astype(np.int32)
-        seg_change = np.ones(n_vals, dtype=bool)
-        if n_vals > 1:
-            seg_change[1:] = (gsame[1:] != gsame[:-1]) | \
-                (part_all[1:] != part_all[:-1])
-        f_bounds = np.flatnonzero(seg_change)
-        f_ends = np.append(f_bounds[1:], n_vals)
-        f_grp = gsame[f_bounds]
-        # delta re-encode with a restart at every output segment
-        gaps2 = np.empty_like(ids_s)
-        if n_vals:
-            gaps2[1:] = ids_s[1:] - ids_s[:-1]
-            gaps2[f_bounds] = ids_s[f_bounds]
-        blob_g, off_g = codec.encode_varints_segmented(gaps2, f_bounds)
-        blob_t, off_t = codec.encode_varints_segmented(tfs_s, f_bounds)
-        blob_l, off_l = codec.encode_varints_segmented(lens_s, f_bounds)
-        tf_norm = scoring.tf_component(tfs_s, lens_s, avgdl)
-        ids_i = u64_to_i64(ids_s)
-        bmax, blast, block_offsets = _group_block_meta(
-            tf_norm, ids_i, f_bounds, f_ends)
-        g_tokens = token.take(pa.array(bounds[multi_idx]))
-        f_grp_pa = pa.array(f_grp)
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array(buckets[~single][f_grp], type=pa.int32()),
-                g_tokens.take(f_grp_pa),
-                pa.array(part_all[f_bounds], type=pa.int32()),
-                pa.array(g_counts[f_grp], type=pa.int64()),
-                pa.array(ids_i[f_bounds], type=pa.int64()),
-                _binary_from_offsets(blob_g, off_g),
-                _binary_from_offsets(blob_t, off_t),
-                _binary_from_offsets(blob_l, off_l),
-                _list_from_offsets(bmax, block_offsets, "float64"),
-                _list_from_offsets(blast, block_offsets, "int64"),
-            ],
-            names=[
-                "bucket", "token", "part", "df", "first_doc",
-                "doc_gaps", "tfs", "lens", "block_max", "block_last",
-            ],
-        )
+        group_values = np.array([
+            int(df_np[bounds[g]:ends[g]].sum()) for g in all_multi
+        ], dtype=np.int64)
+        chunk_bounds = [0]
+        acc = 0
+        for gi, gv in enumerate(group_values):
+            if acc and acc + gv > MERGE_CHUNK_VALUES:
+                chunk_bounds.append(gi)
+                acc = 0
+            acc += int(gv)
+        chunk_bounds.append(len(all_multi))
+        for cs, ce in zip(chunk_bounds[:-1], chunk_bounds[1:]):
+            yield from _merge_groups(
+                tbl, token, bounds, ends, df_np, buckets, single,
+                all_multi[cs:ce], avgdl, seg_max)
 
     return fn
+
+
+MERGE_CHUNK_VALUES = 8_000_000  # decoded postings per merge chunk (~400 MB)
+
+
+def _merge_groups(tbl, token, bounds, ends, df_np, buckets, single,
+                  multi_idx, avgdl: float, seg_max: int):
+    """One vectorized merge pass over `multi_idx` groups (see
+    make_merge_partition_fn); yields one SEGMENT_SCHEMA record batch."""
+    import pyarrow as pa
+
+    from . import codec, scoring
+
+    grp_counts = (ends - bounds)[multi_idx]       # sublists per group
+    n_rows = int(grp_counts.sum())
+    row_grp = np.repeat(np.arange(len(multi_idx)), grp_counts)
+    row_prefix = np.cumsum(grp_counts) - grp_counts
+    row_idx = (np.arange(n_rows) - np.repeat(row_prefix, grp_counts)
+               + bounds[multi_idx][row_grp])
+    take_idx = pa.array(row_idx)
+
+    def _cat(colname: str) -> bytes:
+        arr = tbl.column(colname).combine_chunks().take(take_idx)
+        return b"".join(arr.to_pylist())
+
+    v_counts = df_np[row_idx]                     # values per sublist
+    gaps_all = codec.decode_varints(_cat("doc_gaps"))
+    tfs_all = codec.decode_varints(_cat("tfs"))
+    lens_all = codec.decode_varints(_cat("lens"))
+    # segmented delta decode: cumsum with a restart at each sublist start
+    tot = np.cumsum(gaps_all, dtype=np.uint64)
+    v_bounds = np.concatenate(([0], np.cumsum(v_counts)))
+    sub_prefix = np.concatenate(
+        ([np.uint64(0)], tot[v_bounds[1:-1] - 1]))
+    ids_all = tot - np.repeat(sub_prefix, v_counts)
+    val_grp = np.repeat(row_grp, v_counts)
+    order = np.lexsort((ids_all, val_grp))
+    ids_s = ids_all[order]
+    tfs_s = tfs_all[order]
+    lens_s = lens_all[order]
+    g_counts = np.add.reduceat(v_counts, row_prefix).astype(np.int64)
+    g_starts = np.concatenate(([0], np.cumsum(g_counts)[:-1]))
+    # part split at seg_max within each token group
+    n_vals = len(ids_s)
+    gsame = np.repeat(np.arange(len(multi_idx)), g_counts)
+    pos_in_g = np.arange(n_vals) - np.repeat(g_starts, g_counts)
+    part_all = (pos_in_g // seg_max).astype(np.int32)
+    seg_change = np.ones(n_vals, dtype=bool)
+    if n_vals > 1:
+        seg_change[1:] = (gsame[1:] != gsame[:-1]) | \
+            (part_all[1:] != part_all[:-1])
+    f_bounds = np.flatnonzero(seg_change)
+    f_ends = np.append(f_bounds[1:], n_vals)
+    f_grp = gsame[f_bounds]
+    # delta re-encode with a restart at every output segment
+    gaps2 = np.empty_like(ids_s)
+    if n_vals:
+        gaps2[1:] = ids_s[1:] - ids_s[:-1]
+        gaps2[f_bounds] = ids_s[f_bounds]
+    blob_g, off_g = codec.encode_varints_segmented(gaps2, f_bounds)
+    blob_t, off_t = codec.encode_varints_segmented(tfs_s, f_bounds)
+    blob_l, off_l = codec.encode_varints_segmented(lens_s, f_bounds)
+    tf_norm = scoring.tf_component(tfs_s, lens_s, avgdl)
+    ids_i = u64_to_i64(ids_s)
+    bmax, blast, block_offsets = _group_block_meta(
+        tf_norm, ids_i, f_bounds, f_ends)
+    g_tokens = token.take(pa.array(bounds[multi_idx]))
+    f_grp_pa = pa.array(f_grp)
+    yield pa.RecordBatch.from_arrays(
+        [
+            pa.array(buckets[multi_idx][f_grp], type=pa.int32()),
+            g_tokens.take(f_grp_pa),
+            pa.array(part_all[f_bounds], type=pa.int32()),
+            pa.array(g_counts[f_grp], type=pa.int64()),
+            pa.array(ids_i[f_bounds], type=pa.int64()),
+            _binary_from_offsets(blob_g, off_g),
+            _binary_from_offsets(blob_t, off_t),
+            _binary_from_offsets(blob_l, off_l),
+            _list_from_offsets(bmax, block_offsets, "float64"),
+            _list_from_offsets(blast, block_offsets, "int64"),
+        ],
+        names=[
+            "bucket", "token", "part", "df", "first_doc",
+            "doc_gaps", "tfs", "lens", "block_max", "block_last",
+        ],
+    )
+
 
 
 def _token_bucket(token: str, num_buckets: int) -> int:
@@ -716,7 +750,10 @@ def compact_index(spark, out_dir: str, num_buckets: int = 32,
         n_docs = n_docs_base
     n_postings = int(stats["p"])
     avgdl = float(stats["tt"] or 0) / n_docs
-    hot = _hot_tokens(postings, n_postings, hot_token_count)
+    # map-side encoding subsumed hot-token salting (build_segments ignores
+    # the list); the sampled-detection job is skipped, _hot_tokens stays
+    # available as a standalone estimator
+    hot: list = []
     build_segments(spark, postings, out_dir, avgdl, num_buckets, salt_mod, hot,
                    seg_max=seg_max)
 
@@ -731,11 +768,19 @@ def compact_index(spark, out_dir: str, num_buckets: int = 32,
     # a precomputed typo-variant artifact is vocabulary-derived: rebuild it
     # over the compacted segments so expansions never reference a stale
     # dictionary (a stale table would only over-expand into empty postings,
-    # but regenerating keeps the artifact the exact vocab mirror)
+    # but regenerating keeps the artifact the exact vocab mirror). The
+    # original artifact's parameters are carried through — regenerating
+    # with defaults would silently change edit-distance/bucketing policy.
     from .typo import TYPO_DIR, write_variant_table
 
-    if os.path.isfile(f"{out_dir}/{TYPO_DIR}/_meta.json"):
-        write_variant_table(spark, out_dir)
+    typo_meta_path = f"{out_dir}/{TYPO_DIR}/_meta.json"
+    if os.path.isfile(typo_meta_path):
+        with open(typo_meta_path) as f:
+            tm = json.load(f)
+        write_variant_table(spark, out_dir,
+                            num_buckets=tm["num_buckets"],
+                            max_edits=tm["max_edits"],
+                            max_word_len=tm["max_word_len"])
 
     seg_stats = spark.read.parquet(f"{out_dir}/segments").agg(
         F.countDistinct("token").alias("n_tokens")
@@ -975,8 +1020,9 @@ def build_index(
     n_postings = sum(m["postings"] for m in manifests)
     avgdl = float(total_tokens) / n_docs
 
-    # ---- hot tokens: sampled estimate + static seed (recall-only need) ----
-    hot = _hot_tokens(postings, n_postings, hot_token_count)
+    # map-side encoding subsumed hot-token salting; no detection job runs
+    # (the stats.json field stays for format compatibility, empty)
+    hot: list = []
     timings["stats_hot_s"] = round(time.time() - s0, 3)
     s0 = time.time()
 

@@ -56,6 +56,9 @@ class IndexSettings:
     sortable_attributes: tuple = ()
 
 
+_UNSET = object()
+
+
 class SearchService:
     def __init__(self, index_dir: str, settings: IndexSettings = IndexSettings(),
                  document_store: Optional[str] = None,
@@ -72,6 +75,22 @@ class SearchService:
             self._attrs = AttributeStore(self.reader.dir)
         return self._attrs
 
+    @property
+    def attr_index(self):
+        """The per-facet-value doc-id index when the build wrote one, else
+        None — cached like attrs (a serving hot path must not re-open
+        _meta.json per query)."""
+        got = getattr(self, "_attr_index", _UNSET)
+        if got is _UNSET:
+            from .facets import AttributeIndex
+
+            try:
+                got = AttributeIndex(self.reader.dir)
+            except ValueError:
+                got = None
+            self._attr_index = got
+        return got
+
     def _allowed(self, filter: Optional[tuple]) -> Optional[set]:
         """Resolve filter=(col, value) to the allowed doc-id set: through
         the ATTRIBUTE INDEX when the build wrote one (one bucket of one
@@ -80,28 +99,14 @@ class SearchService:
         if filter is None:
             return None
         col, value = filter
-        gate = "_geo" if col == "_geoRadius" else col
-        if gate not in self.settings.filterable_attributes:
-            raise ValueError(f"attribute {gate!r} is not filterable "
+        if col not in self.settings.filterable_attributes:
+            raise ValueError(f"attribute {col!r} is not filterable "
                              f"(filterable_attributes={self.settings.filterable_attributes})")
-        if col == "_geoRadius":
-            # Meilisearch geosearch: filter=("_geoRadius", ((lat, lng),
-            # radius_m)); requires "_geo" in filterableAttributes, with
-            # lat/lng stored as attribute columns
-            from .geo import haversine_m
-
-            (lat, lng), radius_m = value
-            ids = self.attrs.doc_ids
-            d = haversine_m(self.attrs.column("lat"),
-                            self.attrs.column("lng"), lat, lng)
-            return set(ids[d <= radius_m].tolist())
-        from .facets import AttributeIndex
-
-        try:
-            aidx = AttributeIndex(self.reader.dir)
-        except ValueError:
-            aidx = None
-        if aidx is not None and col in aidx.cols:
+        aidx = self.attr_index
+        # the attribute index stores Spark's string CAST of each value;
+        # only route exact string filters through it — numeric/bool
+        # filters keep the exact-equality column-scan semantics
+        if aidx is not None and col in aidx.cols and isinstance(value, str):
             return set(aidx.doc_ids(col, value).tolist())
         vals = self.attrs.column(col)
         ids = self.attrs.doc_ids[np.asarray(vals) == value]
@@ -238,7 +243,24 @@ class SearchService:
         estimatedTotalHits — here EXACT, not an estimate: the strategy
         runs unbounded (O(query postings), same reads as the search) and
         the page is sliced from the full ranking."""
-        allowed = self._allowed(filter)
+        if filter is not None and filter[0] == "_geoRadius":
+            # Meilisearch geosearch: filter=("_geoRadius", ((lat, lng),
+            # radius_m)) behind "_geo" in filterableAttributes. Resolved
+            # CANDIDATE-PRUNED: haversine runs only over the docs matching
+            # the (expanded) query terms via bucket-pruned attr lookups —
+            # O(candidates), never an attribute-store scan.
+            if "_geo" not in self.settings.filterable_attributes:
+                raise ValueError("attribute '_geo' is not filterable")
+            from .geo import geo_radius_ids
+
+            (glat, glng), radius_m = filter[1]
+            geo_terms = sorted({t for g in self._word_groups(query)
+                                for t in g})
+            allowed = set(geo_radius_ids(
+                self.reader, self.attrs, query, (glat, glng), radius_m,
+                cfg=self.cfg, terms=geo_terms).tolist())
+        else:
+            allowed = self._allowed(filter)
         fetch = self.reader.N if estimate_total else offset + k
         # conjunctive strategies: facets must count the conjunction's docs
         conj_facets = bool(facets) and sort is None \

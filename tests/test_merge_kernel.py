@@ -123,6 +123,30 @@ def test_vectorized_merge_equals_bruteforce(seed):
     )
 
 
+def test_chunked_merge_identical_to_unchunked(monkeypatch):
+    """The memory-bounding chunk loop must not change output: forcing a
+    tiny MERGE_CHUNK_VALUES (many chunks, group boundaries respected)
+    yields exactly the batches of one big pass."""
+    import sparkft.index_build as ib
+
+    rng = np.random.default_rng(9)
+    avgdl = 22.0
+    groups = {}
+    for i in range(20):
+        ids = np.sort(rng.choice(100_000, size=int(rng.integers(5, 200)),
+                                 replace=False))
+        parts = np.array_split(ids, int(rng.integers(2, 5)))
+        groups[f"w{i}"] = [
+            (s, p, rng.integers(1, 9, len(p)), rng.integers(5, 99, len(p)))
+            for s, p in enumerate(parts) if len(p)
+        ]
+    subs = _encode_sublists(groups, avgdl)
+    big = _decode_rows(_run_merge(subs, avgdl, seg_max=64))
+    monkeypatch.setattr(ib, "MERGE_CHUNK_VALUES", 100)
+    small = _decode_rows(_run_merge(subs, avgdl, seg_max=64))
+    assert big == small
+
+
 def test_single_sublist_giant_token_is_part_split():
     """A df > seg_max token arriving as ONE sublist still splits into
     bounded parts (the vectorized path handles n_subs == 1)."""
