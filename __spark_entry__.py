@@ -479,6 +479,27 @@ ORDER BY cos DESC, vec_id LIMIT 10
 """
 
 
+def _ivf_cosine_topk(spark, sf_dir):
+    """IVF ANN under the exactness gate: with probes = ALL centroids the
+    probe set covers the corpus, so IVF must return exactly the brute-force
+    cosine top-k — putting the build (content-hash sampled k-means,
+    distributed assignment) and the probe path under the same DuckDB
+    oracle as embedding_cosine_topk. Recall at probes < K is covered by
+    the planted-pair test; correctness of the machinery is covered here."""
+    from sparkft.ann import ivf_build, ivf_topk
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).select("embedding")
+            .collect()[0][0]]
+    rest = emb.filter(F.col("vec_id") != 0)
+    assigned, cents = ivf_build(spark, rest, n_centroids=8)
+    return ivf_topk(assigned, cents, qvec, 10, probes=8)
+
+
 def _embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs: sign-LSH banding -> candidate pairs
     -> exact cosine verify (sparkft.ann.embedding_near_dup_pairs). The
@@ -2287,6 +2308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_radius_search_topk": _geo_radius_search_topk,
         "geo_radius_engine_topk": _geo_radius_engine_topk,
         "geo_sort_engine_topk": _geo_sort_engine_topk,
+        "ivf_cosine_topk": _ivf_cosine_topk,
         "phrase_match": _phrase_match,
         "dedup_exact": _dedup_exact,
         "minhash_signatures": _minhash_signatures,
@@ -2349,6 +2371,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _jaccard_sql(""),
         "simhash": _simhash_sql(""),
         "embedding_cosine_topk": _EMB_COS_SQL,
+        "ivf_cosine_topk": _EMB_COS_SQL,
         "lang_id_votes": _lang_id_sql(""),
         "quality_scores": _quality_sql(""),
         "doc_fingerprint": _FP_SQL,

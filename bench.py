@@ -93,6 +93,7 @@ def main() -> int:
         "bm25_engine_topk", "phrase_match",
         "dedup_exact", "minhash_signatures", "lsh_band_buckets",
         "ngram_jaccard_pairs", "simhash", "embedding_cosine_topk",
+        "ivf_cosine_topk",
         "quality_scores", "doc_fingerprint",
         "pricing_summary", "top_customers", "orders_window_rank",
         "events_hourly", "cjk_tokenize", "embedding_near_dup",
