@@ -146,25 +146,44 @@ def embedding_near_dup_pairs(df, n_planes: int = 64, band_size: int = 16,
     dim = len(first[0])
     planes = hyperplane_planes(n_planes, dim, seed)
     e = F.transform(F.col(emb_col), lambda x: x.cast("double"))
-    # 64 hyperplane dot products per row: spread a single-split demo scan
-    # across the pool (no-op on a real multi-split scan)
+    # spread a single-split demo scan across the pool (no-op on a real
+    # multi-split scan)
     v = ensure_parallelism(df.select(F.col(id_col).alias("vid"), e.alias("e")))
 
-    def dot_with(plane):
-        arr = F.array(*[F.lit(float(p)) for p in plane])
-        return F.aggregate(
-            F.zip_with(F.col("e"), arr, lambda x, y: x * y),
-            F.lit(0.0), lambda acc, x: acc + x,
-        )
-
-    bits = [F.when(dot_with(p) >= 0, "1").otherwise("0") for p in planes]
+    # the n_planes sign bits per row come from ONE Arrow-batched matmul
+    # (embeddings x planes^T) — 64 separate higher-order-function
+    # expressions blow up whole-stage codegen and evaluate each plane as
+    # its own fold; the numpy kernel is a single BLAS call per batch
     n_bands = n_planes // band_size
-    buckets = [
-        F.concat_ws(":", F.lit(str(b)),
-                    F.concat(*bits[b * band_size:(b + 1) * band_size]))
-        for b in range(n_bands)
-    ]
-    bands = v.select("vid", F.explode(F.array(*buckets)).alias("bucket"))
+
+    def band_fn(batches):
+        import pyarrow as pa
+
+        from .index_build import _pin_worker_threads
+
+        _pin_worker_threads()
+        for batch in batches:
+            col = batch.column("e")
+            n = len(col)
+            if n == 0:
+                continue
+            vids = batch.column("vid").to_numpy(zero_copy_only=False)
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            embs = flat.reshape(n, -1)
+            bits = ((embs @ planes.T) >= 0).astype(np.uint8) + ord("0")
+            out_v = np.tile(vids, n_bands)
+            out_b = []
+            for b in range(n_bands):
+                seg = bits[:, b * band_size:(b + 1) * band_size]
+                prefix = f"{b}:"
+                out_b.extend(prefix + row.tobytes().decode("ascii")
+                             for row in seg)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_v, type=pa.int64()), pa.array(out_b)],
+                names=["vid", "bucket"],
+            )
+
+    bands = v.mapInArrow(band_fn, "vid long, bucket string")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
