@@ -49,7 +49,9 @@ spark = (SparkSession.builder.master(f"local[{{cpus}}]")
     # leg, while a real cluster's 4N executors bring 4N local disks with
     # them. tmpfs makes storage track compute — the resource that
     # actually scales with executors — instead of measuring one disk.
-    .config("spark.local.dir", "/dev/shm/sparkft_shuffle")
+    .config("spark.local.dir",
+            "/dev/shm/sparkft_shuffle" if os.path.isdir("/dev/shm")
+            else tempfile.gettempdir())
     # --apc: cap the JVM's visible cores (-XX:ActiveProcessorCount=N) so GC /
     # shuffle / netty pools scale with N instead of the host's 32. Reported
     # as a secondary configuration: it speeds up the small-core legs (less
@@ -74,7 +76,8 @@ warm_fn = make_tokenize_arrow_fn(DEFAULT_CONFIG, "content", False)
  .repartition(cpus * 2).mapInArrow(warm_fn, POSTINGS_SCHEMA).count())
 # index output on tmpfs for the same reason as spark.local.dir (also
 # dodges the ext4 `discard` degradation documented in bench/probes.md)
-out = tempfile.mkdtemp(prefix="sparkft_scale_", dir="/dev/shm")
+out = tempfile.mkdtemp(prefix="sparkft_scale_",
+                       dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
 try:
     t0 = time.time()
     res = build_index(
@@ -280,7 +283,9 @@ full distributed build reaches the docs/sec above.
 
 Generated by `python bench/scaling.py {n_docs} --pairs {pairs}`.
 """
-    with open(os.path.join(ROOT, "BENCH", "SCALING_RUN.md"), "w") as f:
+    # smoke runs (pairs < 3) must not clobber the protocol record
+    fname = "SCALING_RUN.md" if pairs >= 3 else "SCALING_RUN_smoke.md"
+    with open(os.path.join(ROOT, "BENCH", fname), "w") as f:
         f.write(md)
     print(f"wrote BENCH/SCALING_RUN.md (median eff N-4N {round(eff, 3)})",
           file=sys.stderr)
