@@ -214,6 +214,24 @@ def main() -> int:
             }
         )
     )
+    # Second, SHORT headline line (VERDICT r3 #1 'what's wrong'): the full
+    # line above grew past the driver's tail-capture window in r3 and lost
+    # its front (`"metric"`, `"value"`), leaving BENCH_r03.json unparsed.
+    # Printing the headline fields again LAST and without the per-query
+    # dict guarantees truncation-from-the-front can never eat them.
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_headline_seconds",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "index_docs_per_sec": docs_per_sec,
+                "n_queries": len(timings),
+                "cpus": cpus,
+            }
+        )
+    )
     return 0
 
 

@@ -27,7 +27,7 @@ PROFILES: dict[str, tuple[str, ...]] = {
         "ly ", "ts ", " no", "not", "are", " ar", "out", "men", "her",
         " ha", "has", "ver", "at ", "ons", " on", "on ", "nce", " by",
         "by ", "ch ", "ich", "ave", " ca", "can", " wh", "whi", "ome",
-        "ith", " a ", "ble", "rig", "ght", "ht ", " pr", "pro", "per",
+        " a ", "ble", "rig", "ght", "ht ", " pr", "pro", "per",
     ),
     "deu": (
         " de", "der", "er ", "en ", " un", "und", "nd ", "ein", "ne ",
@@ -54,14 +54,14 @@ PROFILES: dict[str, tuple[str, ...]] = {
         "sur", " su", "ves", " vi", "ill", "lle", "omm", "com", "êtr",
     ),
     "spa": (
-        " de", "de ", "os ", "as ", " la", "la ", "el ", " el", "en ",
+        " de", "de ", "os ", " la", "la ", "el ", " el", "en ",
         " en", "ión", "ció", "aci", " co", "es ", " es", "ent", "nte",
         " qu", "que", "ue ", "ar ", " se", "se ", "ado", "dos", " lo",
         "los", " po", "por", "or ", "con", "sta", " y ", "del", "ere",
         " pa", "par", "ra ", "ada", " su", "su ", "res", "ien", "un ",
         " un", "una", "na ", "ndo", " no", "no ", "cia", "ia ",
         "ara", "al ", " al", "ant", "tra", " tr", "ist", "mie", "nto",
-        "to ", "est", "da ", "e l", "a d", "o d", "as ", "ual", "les",
+        "to ", "est", "da ", "as ", "ual", "les",
     ),
     "ita": (
         " di", "di ", "to ", "la ", " la", "re ", " co", "del", " de",
@@ -69,7 +69,7 @@ PROFILES: dict[str, tuple[str, ...]] = {
         "che", " ch", "he ", "per", " pe", "er ", "are", "ato", "gli",
         " si", "ia ", "no ", "ni ", "ta ", "ità", "con", "ent", "nte",
         "te ", " e ", "le ", " le", "ale", "ant", "ann", " un", "una",
-        "un ", "o d", "a d", "i d", " so", "son", "ono", "ori", "ato",
+        "un ", " so", "son", "ono", "ori",
         "men", "nto", "sta", " st", "tto", "ett", "ezz", "azz",
         "qua", " qu", "est", "ues", "ita", "lia", "ali",
     ),
@@ -94,11 +94,11 @@ PROFILES: dict[str, tuple[str, ...]] = {
         "vid", "id ", "ret", " fr", "frå", "rån", "ån ", "ga ", "iga",
     ),
     "por": (
-        " de", "de ", "os ", "as ", "ão ", "ção", "açã", " co", "es ",
+        " de", "de ", "as ", "ão ", "ção", "açã", " co", "es ",
         " es", "que", " qu", "ue ", "do ", " do", "da ", " da", "em ",
         " em", "ent", "nte", "ra ", " pa", "par", "ara", " se", "ões",
-        "men", " po", "por", "or ", "ada", "ado", " a ", " o ", "o d",
-        "a d", "s d", " um", "um ", "uma", "nto", "to ", "con", " no",
+        "men", " po", "por", "or ", "ada", "ado", " a ", " o ",
+        " um", "um ", "uma", "nto", "to ", "con", " no",
         "no ", "na ", " na", "is ", "ais", "al ", "ria", "ia ", "and",
         "ndo", "os ", "ero", "eir", "ir ", "ita", "ist", "sta", "te ",
         "ont", " pr", "pro", "pre", "res", "tra", " tr", "ram",

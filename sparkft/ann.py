@@ -168,6 +168,22 @@ def embedding_near_dup_pairs(df, n_planes: int = 64, band_size: int = 16,
             if n == 0:
                 continue
             vids = batch.column("vid").to_numpy(zero_copy_only=False)
+            # a null or ragged embedding would make the flat reshape throw
+            # or, worse, silently misalign every subsequent row's band bits
+            # (corrupting candidate buckets batch-wide); fail loudly and
+            # name the offending vid instead
+            if col.null_count:
+                bad = vids[np.asarray(col.is_null())]
+                raise ValueError(
+                    f"embedding_near_dup_pairs: null embedding for "
+                    f"vid={bad[0]} ({col.null_count} null rows in batch)")
+            lengths = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+            if not (lengths == dim).all():
+                bad = vids[lengths != dim]
+                raise ValueError(
+                    f"embedding_near_dup_pairs: ragged embedding for "
+                    f"vid={bad[0]} (len {int(lengths[lengths != dim][0])}, "
+                    f"expected {dim})")
             flat = col.flatten().to_numpy(zero_copy_only=False)
             embs = flat.reshape(n, -1)
             bits = ((embs @ planes.T) >= 0).astype(np.uint8) + ord("0")

@@ -44,6 +44,23 @@ class TokenizerConfig:
     turkish: bool = True
     swedish_recomposition: bool = True
 
+    # --- Latin language routing (index/query symmetry contract) ---
+    # Default False = reference parity (charabia/src/detection/mod.rs:32
+    # skips whatlang for Latin without an allow_list): Latin runs are never
+    # rerouted by detection, so a document and a query ALWAYS tokenize
+    # identically regardless of text length or diacritics. German
+    # decompounding / Swedish recomposition then require an explicit
+    # allow_list, which applies to BOTH sides since doc and query share the
+    # config. True restores trigram-driven routing (a confident 'deu'
+    # classification reaches the German FST, 'swe' enables recomposition,
+    # with NO allow_list) — useful for corpus analysis, but asymmetric:
+    # short/ASCII queries fall below the detection confidence gate and stay
+    # whole, so compound recall suffers on auto-routed corpora. The ASCII
+    # batch fast path stays valid either way: every routing-changing result
+    # requires a non-ASCII codepoint (deu needs ä/ö/ü/ß, the Swedish
+    # trigger sequences are decomposed non-ASCII pairs).
+    auto_latin_language: bool = False
+
     # --- CJK dictionary injection (production-scale path) ---
     # The reference embeds jieba's ~350k dict and lindera's UniDic/KoDic at
     # compile time; this engine ships compact fixture-parity lexicons and

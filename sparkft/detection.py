@@ -126,11 +126,13 @@ def _cyrillic_language(text: str) -> str:
 # for Latin under its default dispatch (detection/mod.rs:32 skips Latin, and
 # segmenter/mod.rs:280-301 routes ALL Latin runs to the German FST — the only
 # Latin entry in SEGMENTERS — without detecting a language at all). This
-# engine keeps the Meilisearch-flavored Latin default (camelCase Latin
-# segmenter) and instead uses the trigram model to route RUNS THAT ARE
-# ACTUALLY GERMAN to the German decompounder without an allow_list — a
-# documented divergence that is strictly more precise than either upstream
-# on mixed-language corpora.
+# engine matches that default: under the default config Latin dispatch never
+# invokes detection at all (segment.segmenter_registry keeps a single Latin
+# entry), so doc and query tokenization stay identical by construction. The
+# trigram model below routes Latin runs only under an explicit allow_list or
+# the opt-in TokenizerConfig.auto_latin_language flag (which restores the
+# more-precise-but-asymmetric behavior of classifying runs that are actually
+# German and decompounding them with no allow_list).
 
 _VIE_EXTRA = frozenset("ăơưđ")
 _TUR_MARKERS = frozenset("ğış")
@@ -312,10 +314,12 @@ class RunDetection:
         if al is not None and len(al) == 1:
             self.language = al[0]
         else:
-            # divergence from mod.rs:32 (whatlang skips Latin): Latin runs
-            # ARE classified, with the trigram model — that is what lets
-            # the German decompounder trigger without an allow_list (see
-            # detect_latin_language's rationale block)
+            # Latin runs are classified with the trigram model when this is
+            # reached at all — under the default config, segmenter dispatch
+            # never calls detect_language for Latin (single registry entry,
+            # segment.segmenter_registry), matching mod.rs:32's
+            # Latin-skips-whatlang rule; with an allow_list or
+            # cfg.auto_latin_language the trigram model routes here.
             self.language = self._heuristic(al)
         return self.language
 

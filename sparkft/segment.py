@@ -593,7 +593,16 @@ _IDENTITY = ("identity",)
 def segmenter_registry(cfg: TokenizerConfig) -> dict[tuple[str, Optional[str]], str]:
     """(script, language|None) -> segmenter name, per enabled features."""
     reg: dict[tuple[str, Optional[str]], str] = {(T.LATIN, None): "latin"}
-    if cfg.swedish_recomposition:
+    # Latin entries beyond the default are registered only when detection is
+    # allowed to route Latin at all (explicit allow_list, or the opt-in
+    # auto_latin_language flag). With a single Latin entry, dispatch skips
+    # detection entirely — charabia's detection-avoidance (mod.rs:284-291)
+    # combined with its Latin-skips-whatlang rule (detection/mod.rs:32) —
+    # which is what keeps doc and query tokenization identical by
+    # construction under the default config (see TokenizerConfig.
+    # auto_latin_language).
+    latin_routing = cfg.allow_list is not None or cfg.auto_latin_language
+    if cfg.swedish_recomposition and latin_routing:
         reg[(T.LATIN, "swe")] = "latin"
     if cfg.chinese_segmentation:
         reg[(T.CJ, "cmn")] = "chinese"
@@ -608,7 +617,7 @@ def segmenter_registry(cfg: TokenizerConfig) -> dict[tuple[str, Optional[str]], 
         reg[(T.KHMER, "khm")] = "khmer"
     reg[(T.ARABIC, "ara")] = "arabic"
     reg[(T.ARABIC, "pes")] = "arabic"
-    if cfg.german_segmentation:
+    if cfg.german_segmentation and latin_routing:
         reg[(T.LATIN, "deu")] = "german"
     return reg
 

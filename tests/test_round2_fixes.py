@@ -292,6 +292,26 @@ def test_embedding_near_dup_finds_planted_pair(spark):
     assert len(pairs) == 1
 
 
+def test_embedding_near_dup_rejects_ragged_and_null(spark):
+    """ADVICE r3: a ragged or null embedding must raise a clear error
+    naming the offending vid, not silently misalign the banding matmul."""
+    import pytest
+    from sparkft.ann import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(9)
+    rows = [(i, rng.normal(size=16).tolist()) for i in range(20)]
+    rows.append((999, rng.normal(size=8).tolist()))  # ragged
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="ragged embedding for vid=999"):
+        embedding_near_dup_pairs(df, threshold=0.9).collect()
+
+    rows2 = [(i, rng.normal(size=16).tolist()) for i in range(20)]
+    rows2.append((777, None))  # null
+    df2 = spark.createDataFrame(rows2, "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="null embedding for vid=777"):
+        embedding_near_dup_pairs(df2, threshold=0.9).collect()
+
+
 # --- winnowing fingerprints: shared-substring guarantee ---------------------
 
 

@@ -58,10 +58,14 @@ def test_latin_segment_nocamel():
 def test_latin_script_language_assignment():
     toks = tokenize_str(LATIN_TEXT, DEFAULT_CONFIG)
     assert toks[0].script == "Latin"
-    # divergence from detection/mod.rs:32 (whatlang skips Latin): the
-    # trigram model classifies Latin runs so German dispatch can work
-    # without an allow_list; confident English text is labeled eng
-    assert toks[0].language == "eng"
+    # reference parity (detection/mod.rs:32 skips whatlang for Latin
+    # without an allow_list): default-config Latin never invokes
+    # detection, keeping doc/query tokenization symmetric
+    assert toks[0].language is None
+    # the opt-in trigram routing flag classifies the same run
+    auto = tokenize_str(LATIN_TEXT,
+                        DEFAULT_CONFIG.with_(auto_latin_language=True))
+    assert auto[0].language == "eng"
 
 
 # --- camelCase unit cases (charabia/src/segmenter/latin/camel_case.rs:45-62) ---
