@@ -93,6 +93,77 @@ PROFILES: dict[str, tuple[str, ...]] = {
         " ko", "ur ", "und", "rna", "na ", "as ", "ns ", " vi",
         "vid", "id ", "ret", " fr", "frå", "rån", "ån ", "ga ", "iga",
     ),
+    "pol": (
+        " ni", "nie", "ie ", " po", "po ", " pr", "prz", "rze", "ze ",
+        " na", "na ", " do", "do ", "ego", "go ", "ych", "ach", "ch ",
+        " za", "za ", "nia", "ani", "ia ", " si",
+        "się", "ię ", " je", "jes", "est", "st ", "ej ", "iej", "owa",
+        "wan", "any", "ny ", "ów ", "ków", "em ", "ym ", "sta", " st",
+        "ki ", "ski", "ne ", "ona", "ał ", "ła ", "ło ", " wy", "wy ",
+        "ośc", "ść ", "czn", "cz ", "owe", "wie", " wi", "dzi", " dz",
+        "rod", "ost", "aln", "acz", "trą",
+        "rą ", "ję ", " kt", "któ", "tór", "óry", "ry ",
+    ),
+    "ces": (
+        " ne", "ne ", " po", "po ", " pr", "pro", "pře", "ře ", "ří ",
+        "ní ", "ou ", " na", "na ", " se", "se ", "ho ", "ch ", "ých",
+        "ce ", "em ", " je", "je ", "jso", "sou", " do", "do ", "sta",
+        " st", "stv", " kt", "kte", "ter", "rý ", "la ", "le ", "ost",
+        "ti ", "it ", "ova", "vat", "at ", "ání", "ké ", "cké", "ck ",
+        "ým ", "ení", "ně ", " ta", "tak", "ak ", " př", "řed", "res",
+        " ro", "rok", "oce", " by", "byl", "yl ", "val", "ali", "li ",
+        "ech", " vy", " v ", " zá", "zák", "ku ",
+    ),
+    "ron": (
+        " de", "de ", " în", "în ", " și", "și ", " cu", "cu ", " la",
+        "la ", "re ", "are", " ca", "car", "ul ", "ulu", "lui", "ui ",
+        "ea ", "ii ", "ate", "te ", "tat", "est", " es", "ste", " pe",
+        "pe ", "pen", "ntr", "tre", "ent", "or ", "lor", "ilo", "rom",
+        "mân", "ân ", "ână", "nă ", "ră ", "tă ", "le ", "ele", "ale",
+        " in", "int", "din", " di", "un ", "ine", "ere", "rea", " ac",
+        "ace", "cea", "st ", "să ", " să", "ori", "tor", "uri", "ri ",
+        "ie ", "ții", "ți ", "ța ", " fo", "fos", "ost",
+    ),
+    "dan": (
+        " de", "de ", "det", "et ", "er ", "en ", " og", "og ", " at",
+        "at ", " fo", "for", "or ", " ti", "til", "il ", " me", "med",
+        "ed ", " ha", "har", "ar ", "nde", " si", "sig", "ig ", "ing",
+        "ng ", "ger", "els", "lse", "se ", "ere", "re ", "den", "der",
+        "rne", "ne ", "kke", "ikk", " ik", "ske", "sk ", "te ", "ede",
+        "gen", "an ", "and", " af", "af ", "lig", "ler", "res", " er",
+        "som", " so", "om ", "mme", "nge", "ell", " ve", "ver",
+        "ret", "ter", "end", "nd ", "ste", " st", "dt ", " då", "år ",
+    ),
+    "nob": (
+        " å ", " de", "det", "et ", "er ", "en ", " og", "og ", " av",
+        "av ", " fo", "for", "or ", " ti", "til", "il ", " me", "med",
+        "ed ", " ha", "har", "ar ", "ikk", "kke", " ik", "ing", "ng ",
+        "ene", "ter", "sk ", "ske", "lig", "ig ", "els", " so", "som",
+        "om ", "ert", "rt ", " ve", "ver", "ere", "re ", "den", "der",
+        "ner", "ret", " er", "ell", "lle", "ste", " st", "and",
+        "nd ", "nne", "nge", "gen", "ken", "men", " no", "nor", "rge",
+        " på", "på ", "ør ", "jø ", "øy ", "kom",
+    ),
+    "fin": (
+        " on", "on ", " ja", "ja ", "en ", "in ", "an ", "ssa", "ssä",
+        "sta", "stä", "lla", "llä", "ell", "ill", "itt", "tta", "ttä",
+        "aan", "ään", "nen", "ine", "sen", "ksi", "si ", "sti", "ist",
+        "ita", "itä", "ten", "tä ", "ta ", "utt", "uks", "kse", "ka ",
+        "kaa", "aa ", "ää ", " my", "myö", "ös ", " ol", "oli", "li ",
+        "vat", "iva", "isi", "lle", " ei", "ei ", "un ", "utu", "tu ",
+        "uu ", "uun", "een", "yks", " yk", "aik", " ai", "ien", "ais",
+        "man", "min", " mi", "mit", "nyt", " ny", "tää",
+    ),
+    "hun": (
+        " a ", " az", "az ", " és", "és ", " me", "meg", "egy", " eg",
+        "gy ", "nek", "ek ", "nak", "ak ", "ban", "ben", " be", "en ",
+        "ett", "tt ", "ség", "ság", "ás ", "tás", "ele", "el ", " fe",
+        "fel", " ho", "hog", "ogy", " mi", "min", "int", "nt ", "ter",
+        " sz", "sze", "esz", "ész", " ál", "áll", "ott", "ől ", "ből",
+        "ról", "ból", " vo", "vol", "olt", "lt ", "szá", "zet", "et ",
+        "tek", "ere", " ke", "ket", "het", "tet", "nye",
+        " va", "van", "agy", " na", "nag", "ók ", "ai ", "ány", "ény",
+    ),
     "por": (
         " de", "de ", "as ", "ão ", "ção", "açã", " co", "es ",
         " es", "que", " qu", "ue ", "do ", " do", "da ", " da", "em ",
@@ -106,17 +177,78 @@ PROFILES: dict[str, tuple[str, ...]] = {
 }
 # fmt: on
 
-# single distinctive codepoints worth a strong additive bonus
-LETTER_BONUS: dict[str, str] = {
-    "ß": "deu",
-    "ñ": "spa",
-    "å": "swe",
-    "ã": "por",
-    "õ": "por",
-    "è": "fra",  # also ita; fra dominates in practice
-    "ê": "fra",
-    "à": "fra",
-    "ç": "fra",  # also por; tie-broken by trigrams
-    "ù": "fra",
-    "œ": "fra",
+# distinctive codepoints worth a strong additive bonus; a letter shared by
+# several orthographies lists them all (each candidate gets the bonus, so a
+# shared letter separates the group from outsiders without biasing within
+# the group — e.g. å no longer tips Danish text toward Swedish)
+LETTER_BONUS: dict[str, tuple[str, ...]] = {
+    "ß": ("deu",),
+    "ñ": ("spa",),
+    "å": ("swe", "dan", "nob"),
+    "ã": ("por",),
+    "õ": ("por",),
+    "è": ("fra",),  # also ita; fra dominates in practice
+    "ê": ("fra",),
+    "à": ("fra",),
+    "ç": ("fra",),  # also por/tur; tie-broken by trigrams
+    "ù": ("fra",),
+    "œ": ("fra",),
+    # r4 additions (VERDICT r3 #6 inventory extension)
+    "ł": ("pol",),
+    "ą": ("pol",),
+    "ę": ("pol",),
+    "ś": ("pol",),
+    "ź": ("pol",),
+    "ż": ("pol",),
+    "ř": ("ces",),
+    "ě": ("ces",),
+    "ů": ("ces",),
+    "ý": ("ces",),  # also isl/slk; within this inventory Czech-only
+    "ș": ("ron",),
+    "ț": ("ron",),
+    "ă": ("ron",),
+    "ø": ("dan", "nob"),
+    "æ": ("dan", "nob"),
+    "ő": ("hun",),
+    "ű": ("hun",),
 }
+
+# ---------------------------------------------------------------------------
+# Cyrillic rus/ukr/bul disambiguation (VERDICT r3 #6): the exclusive-letter
+# scan in sparkft.detection decides bel/ukr/kaz/srp/mkd outright; these
+# profiles settle texts that carry no exclusive marker (the common case for
+# short Bulgarian or ukr text without ї/є/ґ), same Cavnar–Trenkle scoring
+# and confidence gates as the Latin model.
+# ---------------------------------------------------------------------------
+
+# fmt: off
+CYRILLIC_PROFILES: dict[str, tuple[str, ...]] = {
+    "rus": (
+        " не", "не ", " на", "на ", " пр", "при", "про", "ого", "его",
+        "го ", " по", "по ", "ть ", "ать", "ить", "ени", "ния", "ние",
+        "ия ", " в ", " и ", " с ", " ко", " чт", "что", "то ", "ост",
+        "сть", "ста", "ет ", "етс", "тся", "ся ", "ов ", "ово", "ла ",
+        "ый ", "ой ", "ые ", "ами", "ам ", "ми ", " за", "льн", "ны ",
+        "ных", " бы", "был", "ыл ", "ем ", "ии ", "ели", "ало", " эт",
+        "это", "ран", "ых ", "ное", "ний",
+    ),
+    "ukr": (
+        " не", "не ", " на", "на ", " пр", "при", "про", " по", "по ",
+        "ння", "ня ", "ого", "го ", "ть ", "ати", "ти ", " за", "за ",
+        "ів ", "ськ", "ько", "ко ", " що", "що ", "ий ", "ої ", "ах ",
+        "ами", " та", "та ", " ві", "від", "ід ", "іль", "іст", "сті",
+        "ті ", "енн", "ува", "ван", "анн", " ук", "укр", "раї", "аїн",
+        "їни", "ни ", " мо", "мож", "же ", "ень", "ли ", "ло ", " до",
+        "до ", "ою ", "ею ", "іна", "инг", "ії ",
+    ),
+    "bul": (
+        " на", "на ", "та ", "ата", "ите", "те ", "ото", "то ", " се",
+        "се ", " да", "да ", " за", "за ", " пр", "при", "про", "ане",
+        "ние", "ие ", " и ", " в ", "ва ", "ава", "ят ", "ът ", "иет",
+        "ени", "ни ", "ски", "ка ", "ива", "бъл", "ълг", "лга", "гар",
+        " съ", "със", "ъс ", "ър ", "ърж", "ржа", " е ", "ано", "ван",
+        "ри ", "ен ", "ест", " ст", "ста", "ало", "ват", "ат ", "шен",
+        "ше ", "що ", "ълж", "лжи", "дър",
+    ),
+}
+# fmt: on

@@ -112,6 +112,18 @@ def _cyrillic_language(text: str) -> str:
     for lang, markers in _CYR_MARKERS:
         if chars & markers:
             return lang
+    # rus/ukr/bul carry no mutually exclusive letters in much real text;
+    # settle with the same Cavnar–Trenkle trigram model as Latin (VERDICT
+    # r3 #6), gated by the same hit/margin thresholds, then fall back to
+    # the letter heuristics
+    tri = _text_trigram_counts(lower[:_LATIN_SAMPLE_CHARS])
+    if tri:
+        scores, hits = _score_profiles(
+            tri, _cyr_trigram_weights(), ("rus", "ukr", "bul"))
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        best, bs = ranked[0]
+        if bs > 0.0 and hits[best] >= 4 and bs >= 1.10 * ranked[1][1]:
+            return best
     if not (chars & _CYR_RUS_VOWELS) and "ъ" in chars:
         return "bul"
     return "rus"
@@ -134,11 +146,39 @@ def _cyrillic_language(text: str) -> str:
 # more-precise-but-asymmetric behavior of classifying runs that are actually
 # German and decompounding them with no allow_list).
 
-_VIE_EXTRA = frozenset("ăơưđ")
+# written-language pairs too close for the absolute margin gate; membership
+# makes the gate compare against the best NON-group score instead
+_CONFUSABLE_GROUPS = (frozenset({"dan", "nob"}),)
+
+# ă dropped from the marker set: Romanian shares it (whatlang resolves the
+# overlap with trigrams; the U+1EA0-1EF9 tone-mark block below is the
+# reliable Vietnamese-only signal, and ơ/ư/đ stay unique in this inventory)
+_VIE_EXTRA = frozenset("ơưđ")
 _TUR_MARKERS = frozenset("ğış")
 _DEU_LETTERS = frozenset("äöüß")
 _LATIN_SAMPLE_CHARS = 400  # whatlang-style bounded sample per run
 _word_re = None  # compiled lazily (module import stays light)
+
+
+def _weights_of(profiles: dict[str, tuple]) -> dict[str, dict[str, int]]:
+    out = {}
+    for lang, prof in profiles.items():
+        n = len(prof)
+        w: dict[str, int] = {}
+        for i, t in enumerate(prof):
+            # a non-trigram entry could never match and would silently
+            # skew the rank weights — fail loudly instead
+            assert len(t) == 3, (lang, t)
+            assert not (t[1] == " " and (t[0] != " " or t[2] != " ")), (
+                lang, t)  # cross-word trigram can never match padded words
+            if t not in w:
+                # normalized to a common 100-point scale: profiles differ
+                # in length (59-90 entries), and a raw `n - i` weight gives
+                # longer profiles a systematic score head start (deu@90 was
+                # beating nld@72 on plainly Dutch text purely on scale)
+                w[t] = 100.0 * (n - i) / n
+        out[lang] = w
+    return out
 
 
 def _trigram_weights() -> dict[str, dict[str, int]]:
@@ -149,19 +189,54 @@ def _trigram_weights() -> dict[str, dict[str, int]]:
         pass
     from ._trigrams import PROFILES
 
-    out = {}
-    for lang, prof in PROFILES.items():
-        n = len(prof)
-        w: dict[str, int] = {}
-        for i, t in enumerate(prof):
-            # a non-trigram entry could never match and would silently
-            # skew the rank weights — fail loudly instead
-            assert len(t) == 3, (lang, t)
-            if t not in w:
-                w[t] = n - i
-        out[lang] = w
-    _TRIGRAM_WEIGHTS = out
-    return out
+    _TRIGRAM_WEIGHTS = _weights_of(PROFILES)
+    return _TRIGRAM_WEIGHTS
+
+
+def _cyr_trigram_weights() -> dict[str, dict[str, int]]:
+    global _CYR_TRIGRAM_WEIGHTS
+    try:
+        return _CYR_TRIGRAM_WEIGHTS
+    except NameError:
+        pass
+    from ._trigrams import CYRILLIC_PROFILES
+
+    _CYR_TRIGRAM_WEIGHTS = _weights_of(CYRILLIC_PROFILES)
+    return _CYR_TRIGRAM_WEIGHTS
+
+
+def _text_trigram_counts(low: str):
+    """Per-word padded trigram counts of an already-lowercased sample."""
+    import re
+
+    global _word_re
+    if _word_re is None:
+        _word_re = re.compile(r"[^\W\d_]+", re.UNICODE)
+    from collections import Counter
+
+    tri: Counter = Counter()
+    for w in _word_re.findall(low):
+        p = f" {w} "
+        for i in range(len(p) - 2):
+            tri[p[i:i + 3]] += 1
+    return tri
+
+
+def _score_profiles(tri, weights, langs):
+    scores: dict[str, float] = {}
+    hits: dict[str, int] = {}
+    for lang in langs:
+        wmap = weights[lang]
+        s = 0
+        h = 0
+        for t, c in tri.items():
+            v = wmap.get(t)
+            if v:
+                s += v * c
+                h += 1
+        scores[lang] = float(s)
+        hits[lang] = h
+    return scores, hits
 
 
 def detect_latin_language(text: str,
@@ -177,9 +252,6 @@ def detect_latin_language(text: str,
     Detector::with_allowlist). Returns None when the signal is too weak or
     the margin too thin — the caller then keeps the default Latin
     segmenter, so an uncertain guess can never reroute segmentation."""
-    import re
-
-    global _word_re
     low = text[:_LATIN_SAMPLE_CHARS].lower()
     chars = set(low)
     if chars & _VIE_EXTRA or any(0x1EA0 <= ord(c) <= 0x1EF9 for c in chars):
@@ -191,44 +263,41 @@ def detect_latin_language(text: str,
     langs = [l for l in weights if allowed is None or l in allowed]
     if not langs:
         return None
-    if _word_re is None:
-        _word_re = re.compile(r"[^\W\d_]+", re.UNICODE)
-    words = _word_re.findall(low)
-    if not words:
+    tri = _text_trigram_counts(low)
+    if not tri:
         return None
-    from collections import Counter
-
-    tri: Counter = Counter()
-    for w in words:
-        p = f" {w} "
-        for i in range(len(p) - 2):
-            tri[p[i:i + 3]] += 1
-    scores: dict[str, float] = {}
-    hits: dict[str, int] = {}
-    for lang in langs:
-        wmap = weights[lang]
-        s = 0
-        h = 0
-        for t, c in tri.items():
-            v = wmap.get(t)
-            if v:
-                s += v * c
-                h += 1
-        scores[lang] = float(s)
-        hits[lang] = h
+    scores, hits = _score_profiles(tri, weights, langs)
     from ._trigrams import LETTER_BONUS
 
     for c in chars:
-        lang = LETTER_BONUS.get(c)
-        if lang in scores:
-            scores[lang] += 150.0
+        for lang in LETTER_BONUS.get(c, ()):
+            if lang in scores:
+                scores[lang] += 150.0
     ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
     best, bs = ranked[0]
     second = ranked[1][1] if len(ranked) > 1 else 0.0
-    if bs <= 0.0 or hits[best] < 4:
+    # pure-ASCII samples demand more evidence: a diacritic is itself a
+    # strong in-language signal, while ASCII keyword soup ("merge sort
+    # table window...") shares enough incidental trigrams with the
+    # Germanic profiles to win a thin margin. Distinct-profile-hit count
+    # separates cleanly: soup stays under ~10 hits, genuine English/Dutch
+    # prose lands 24-49 (function words dominate every profile's head).
+    min_hits = 12 if all(ord(c) < 128 for c in chars) else 4
+    if bs <= 0.0 or hits[best] < min_hits:
         return None
-    if second and bs < 1.10 * second:
-        return None
+    margin = 1.10
+    if second and bs < margin * second:
+        # Danish and Norwegian Bokmål are nearly the same written language
+        # — their mutual margin is structurally thin (whatlang confuses
+        # them too). When the top two ARE that pair, demand the margin
+        # against the best outsider instead, then pick the in-group winner.
+        group = next((g for g in _CONFUSABLE_GROUPS
+                      if best in g and ranked[1][0] in g), None)
+        if group is None:
+            return None
+        outsider = next((s for l, s in ranked[2:] if l not in group), 0.0)
+        if outsider and bs < margin * outsider:
+            return None
     # 'deu' is the one result that REROUTES SEGMENTATION (the German FST
     # decompounder), so it additionally requires a German-distinctive
     # codepoint (ä/ö/ü/ß). This keeps the batch ASCII fast path's parity

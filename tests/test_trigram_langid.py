@@ -164,3 +164,125 @@ def test_french_detection_keeps_default_segmentation():
         BENCH_FRA_LONG, DEFAULT_CONFIG.with_(allow_list=["fra"]))
         if t.kind == "word"]
     assert words == default
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r3 #6: extended inventory — 14 Latin profiles + vie/tur markers +
+# Cyrillic rus/ukr/bul trigram disambiguation (UDHR Article 1 translations,
+# public domain, natural prose with each language's function words)
+# ---------------------------------------------------------------------------
+
+import pytest
+
+UDHR1 = {
+    "pol": ("Wszyscy ludzie rodzą się wolni i równi pod względem swej "
+            "godności i swych praw. Są oni obdarzeni rozumem i sumieniem i "
+            "powinni postępować wobec innych w duchu braterstwa."),
+    "ces": ("Všichni lidé se rodí svobodní a sobě rovní co do důstojnosti a "
+            "práv. Jsou nadáni rozumem a svědomím a mají spolu jednat v "
+            "duchu bratrství."),
+    "ron": ("Toate ființele umane se nasc libere și egale în demnitate și "
+            "în drepturi. Ele sunt înzestrate cu rațiune și conștiință și "
+            "trebuie să se comporte unele față de altele în spiritul "
+            "fraternității."),
+    "dan": ("Alle mennesker er født frie og lige i værdighed og "
+            "rettigheder. De er udstyret med fornuft og samvittighed, og de "
+            "bør handle mod hverandre i en broderskabets ånd."),
+    "nob": ("Alle mennesker er født frie og med samme menneskeverd og "
+            "menneskerettigheter. De er utstyrt med fornuft og samvittighet "
+            "og bør handle mot hverandre i brorskapets ånd."),
+    "fin": ("Kaikki ihmiset syntyvät vapaina ja tasavertaisina arvoltaan ja "
+            "oikeuksiltaan. Heille on annettu järki ja omatunto, ja heidän "
+            "on toimittava toisiaan kohtaan veljeyden hengessä."),
+    "hun": ("Minden emberi lény szabadon születik és egyenlő méltósága és "
+            "joga van. Az emberek ésszel és lelkiismerettel bírván "
+            "egymással szemben testvéri szellemben kell hogy "
+            "viseltessenek."),
+    "spa": ("Todos los seres humanos nacen libres e iguales en dignidad y "
+            "derechos y, dotados como están de razón y conciencia, deben "
+            "comportarse fraternalmente los unos con los otros."),
+    "ita": ("Tutti gli esseri umani nascono liberi ed eguali in dignità e "
+            "diritti. Essi sono dotati di ragione e di coscienza e devono "
+            "agire gli uni verso gli altri in spirito di fratellanza."),
+    "por": ("Todos os seres humanos nascem livres e iguais em dignidade e "
+            "em direitos. Dotados de razão e de consciência, devem agir "
+            "uns para com os outros em espírito de fraternidade."),
+    "nld": ("Alle mensen worden vrij en gelijk in waardigheid en rechten "
+            "geboren. Zij zijn begiftigd met verstand en geweten, en "
+            "behoren zich jegens elkander in een geest van broederschap te "
+            "gedragen."),
+    "swe": ("Alla människor är födda fria och lika i värde och "
+            "rättigheter. De har utrustats med förnuft och samvete och bör "
+            "handla gentemot varandra i en anda av gemenskap."),
+    "tur": ("Bütün insanlar hür, haysiyet ve haklar bakımından eşit "
+            "doğarlar. Akıl ve vicdana sahiptirler ve birbirlerine karşı "
+            "kardeşlik zihniyeti ile hareket etmelidirler."),
+}
+
+
+@pytest.mark.parametrize("lang", sorted(UDHR1))
+def test_extended_latin_inventory(lang):
+    assert detect_latin_language(UDHR1[lang]) == lang
+
+
+def test_dan_nob_confusable_group():
+    """Danish vs Norwegian Bokmål margins are structurally thin (near-same
+    written language); the group rule demands the margin against the best
+    OUTSIDER instead of within the pair, so both still classify."""
+    assert detect_latin_language(UDHR1["dan"]) == "dan"
+    assert detect_latin_language(UDHR1["nob"]) == "nob"
+
+
+def test_romanian_not_vietnamese():
+    """ă is shared by Romanian — it must not trip the Vietnamese marker
+    (vie still decided by ơ/ư/đ and the U+1EA0-1EF9 tone block)."""
+    assert detect_latin_language(UDHR1["ron"]) == "ron"
+    assert detect_latin_language(BENCH_VIE) == "vie"
+    assert detect_latin_language("Đại Việt") == "vie"
+
+
+def test_ascii_keyword_soup_stays_none():
+    """Pure-ASCII text needs >=12 distinct profile hits — keyword soup
+    without function words must never classify (it previously squeaked
+    past the margin as 'nob' on incidental '-er/-or/-ter' trigrams)."""
+    assert detect_latin_language(
+        "merge sort table window filter row customer order hash join"
+    ) is None
+
+
+def test_allowlist_restricts_extended_inventory():
+    assert detect_latin_language(
+        UDHR1["pol"], frozenset({"pol", "ces"})) == "pol"
+    assert detect_latin_language(
+        UDHR1["fin"], frozenset({"fin", "hun", "ron"})) == "fin"
+
+
+UDHR1_CYR = {
+    "rus": ("Все люди рождаются свободными и равными в своем достоинстве и "
+            "правах. Они наделены разумом и совестью и должны поступать в "
+            "отношении друг друга в духе братства."),
+    "ukr": ("Всі люди народжуються вільними і рівними у своїй гідності та "
+            "правах. Вони наділені розумом і совістю і повинні діяти у "
+            "відношенні один до одного в дусі братерства."),
+    "bul": ("Всички хора се раждат свободни и равни по достойнство и "
+            "права. Те са надарени с разум и съвест и следва да се отнасят "
+            "помежду си в дух на братство."),
+}
+
+
+@pytest.mark.parametrize("lang", sorted(UDHR1_CYR))
+def test_cyrillic_trigram_disambiguation(lang):
+    """rus/ukr/bul without exclusive letters are settled by the trigram
+    model (VERDICT r3 #6); the exclusive-letter scan still short-circuits
+    bel/ukr/kaz/srp/mkd first."""
+    from sparkft.detection import _cyrillic_language
+    assert _cyrillic_language(UDHR1_CYR[lang]) == lang
+
+
+def test_cyrillic_exclusive_letters_still_win():
+    from sparkft.detection import _cyrillic_language
+    assert _cyrillic_language("дзяржаўны ўніверсітэт") == "bel"
+    assert _cyrillic_language("її рішення є остаточним") == "ukr"
+    # short ambiguous text falls back to the letter heuristics
+    assert _cyrillic_language("привет мир") == "rus"
+    assert _cyrillic_language("държава и народ") == "bul"
