@@ -670,6 +670,90 @@ def delete_docs(index_dir: str, doc_ids) -> int:
     return len(ids)
 
 
+def _compact_attribute_stores(spark, out_dir: str) -> None:
+    """Fold streamed attribute shards (attrs_raw/, written by
+    `incremental_index(attr_cols=...)`) into the bucketed AttributeStore
+    and AttributeIndex, dropping tombstoned docs — after compaction the
+    attribute artifacts match a fresh batch build over the live corpus
+    (VERDICT r3 #9). No-op when neither store nor streamed shards exist.
+
+    The union is written to a scratch dir first (Spark cannot safely
+    overwrite its own input), then swapped in with os.replace."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    attrs_meta = f"{out_dir}/attrs/_meta.json"
+    raw_dir = f"{out_dir}/attrs_raw"
+    tomb_dir = f"{out_dir}/tombstones"
+    has_store = os.path.isfile(attrs_meta)
+    has_raw = os.path.isdir(raw_dir)
+    has_tombs = os.path.isdir(tomb_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(tomb_dir))
+    if has_raw and not has_store:
+        raise ValueError(
+            f"{raw_dir} exists but {out_dir}/attrs does not: write the "
+            "batch AttributeStore (write_attribute_store) before "
+            "streaming attribute shards, so compaction knows the "
+            "bucket modulus and column set")
+    if not has_store or not (has_raw or has_tombs):
+        # no store to maintain, or nothing streamed AND nothing deleted —
+        # the store is already current
+        return
+
+    from .facets import write_attribute_index, write_attribute_store
+
+    with open(attrs_meta) as f:
+        store_meta = json.load(f)
+    base = spark.read.parquet(f"{out_dir}/attrs").drop("bucket")
+    cols = [c for c in base.columns if c != "doc_id"]
+    union = base
+    if has_raw:
+        # within the streamed shards the LATEST micro-batch wins per doc_id
+        # (shard=stream-<batch_id> is the hive partition column); Spark 4
+        # rewrites the rn=1 filter into a group-limit, no full sort
+        from pyspark.sql import Window
+
+        streamed = (
+            spark.read.parquet(raw_dir)
+            .withColumn("_b", F.regexp_extract("shard", r"stream-(\d+)", 1)
+                        .cast("long"))
+            .withColumn("_rn", F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.desc("_b"))))
+            .filter(F.col("_rn") == 1)
+            .select("doc_id", *cols)
+        )
+        # last write wins on doc_id collisions: streamed rows replace base
+        # rows (a re-ingested doc carries its newest attributes)
+        union = base.join(
+            streamed.select("doc_id"), "doc_id", "left_anti"
+        ).unionByName(streamed)
+    if has_tombs:
+        tombs = spark.read.parquet(tomb_dir).select("doc_id").distinct()
+        union = union.join(F.broadcast(tombs), "doc_id", "left_anti")
+
+    scratch = f"{out_dir}/.attrs_compact"
+    shutil.rmtree(scratch, ignore_errors=True)
+    write_attribute_store(spark, union, scratch, cols=tuple(cols),
+                          num_buckets=int(store_meta["num_buckets"]))
+    idx_meta = f"{out_dir}/attr_index/_meta.json"
+    if os.path.isfile(idx_meta):
+        with open(idx_meta) as f:
+            im = json.load(f)
+        write_attribute_index(spark, union, scratch,
+                              cols=tuple(im["cols"]),
+                              num_buckets=int(im["num_buckets"]))
+    for sub in ("attrs", "attr_index"):
+        new = f"{scratch}/{sub}"
+        if os.path.isdir(new):
+            shutil.rmtree(f"{out_dir}/{sub}", ignore_errors=True)
+            os.replace(new, f"{out_dir}/{sub}")
+    shutil.rmtree(scratch, ignore_errors=True)
+    # the folded shards are now part of the store; keeping them would
+    # double-apply "last write wins" against a FUTURE newer base row
+    shutil.rmtree(raw_dir, ignore_errors=True)
+
+
 def compact_index(spark, out_dir: str, num_buckets: int = 32,
                   salt_mod: int = 16, hot_token_count: int = 64,
                   seg_max: int = SEG_MAX) -> dict:
@@ -710,18 +794,25 @@ def compact_index(spark, out_dir: str, num_buckets: int = 32,
     # relative to postings — at scale Spark AQE would pick this anyway.
     tomb_dir = f"{out_dir}/tombstones"
     n_removed = 0
+    # Legacy indexes (stats.json without n_zero_docs) keep the old
+    # carry-forward N: base - removed. It is correct for tombstone-only
+    # compaction but goes stale when streaming ADDS docs; new builds write
+    # n_zero_docs so N can be re-derived from the live postings instead.
+    legacy_base = (prior.get("n_docs_base", prior.get("n_docs"))
+                   if "n_zero_docs" not in prior else None)
     if os.path.isdir(tomb_dir) and any(
         f.endswith(".parquet") for f in os.listdir(tomb_dir)
     ):
         tombs = spark.read.parquet(tomb_dir).select("doc_id").distinct()
-        # removed-doc count BEFORE filtering, so N can be carried forward
-        # from the prior stats (see below) instead of re-derived
-        n_removed = (
-            all_postings.select("doc_id")
-            .join(F.broadcast(tombs), "doc_id", "left_semi")
-            .agg(F.countDistinct("doc_id"))
-            .collect()[0][0]
-        )
+        if legacy_base is not None:
+            # removed-doc count BEFORE filtering, so the legacy N can be
+            # carried forward from the prior stats
+            n_removed = (
+                all_postings.select("doc_id")
+                .join(F.broadcast(tombs), "doc_id", "left_semi")
+                .agg(F.countDistinct("doc_id"))
+                .collect()[0][0]
+            )
         all_postings = all_postings.join(
             F.broadcast(tombs), "doc_id", "left_anti"
         )
@@ -731,23 +822,23 @@ def compact_index(spark, out_dir: str, num_buckets: int = 32,
         F.countDistinct("doc_id").alias("n"),
         F.count("*").alias("p"),
     ).collect()[0]
-    # N: carry the build's own doc count forward (minus docs the tombstones
-    # actually removed) rather than re-deriving it from postings — docs that
-    # tokenize to ZERO tokens have no posting rows, and countDistinct would
-    # silently drop them from N on an otherwise no-op compaction, shifting
-    # every idf. The subtraction anchors on n_docs_base (the pre-delete
-    # build count) and n_removed is recomputed over the FULL tombstone set
-    # each time, so re-running compaction is idempotent. Fallback to the
-    # postings-derived count when no prior stats.json exists (pure
-    # streaming ingest). Known approximation: a tombstoned zero-token doc
-    # is invisible to postings and keeps counting toward N until a fresh
-    # build.
-    n_docs_base = prior.get("n_docs_base", prior.get("n_docs"))
-    if n_docs_base is not None:
-        n_docs = max(int(n_docs_base) - int(n_removed), 1)
+    # N = live docs with >=1 token (from the post-tombstone postings, so
+    # streamed shard ADDS and deletes are both reflected) + the build's
+    # zero-token doc count (those have no posting rows; dropping them from
+    # N would shift every idf on an otherwise no-op compaction).
+    # Re-derived from data each run -> idempotent. Known approximations,
+    # both bounded by n_zero_docs: a tombstoned zero-token doc keeps
+    # counting toward N, and a STREAMED zero-token doc is never counted,
+    # until a fresh build.
+    if legacy_base is not None:
+        n_zero_docs = None  # unknown for legacy stats; stay on legacy path
+        n_docs = max(int(legacy_base) - int(n_removed), 1)
+        n_docs_base = int(legacy_base)  # PRE-delete base: n_removed is
+        # recomputed over the full tombstone set each run (idempotent)
     else:
-        n_docs_base = int(stats["n"]) or 1
-        n_docs = n_docs_base
+        n_zero_docs = int(prior.get("n_zero_docs", 0))
+        n_docs = max(int(stats["n"]) + n_zero_docs, 1)
+        n_docs_base = n_docs  # informational; future runs use n_zero_docs
     n_postings = int(stats["p"])
     avgdl = float(stats["tt"] or 0) / n_docs
     # map-side encoding subsumed hot-token salting (build_segments ignores
@@ -782,6 +873,8 @@ def compact_index(spark, out_dir: str, num_buckets: int = 32,
                             max_edits=tm["max_edits"],
                             max_word_len=tm["max_word_len"])
 
+    _compact_attribute_stores(spark, out_dir)
+
     seg_stats = spark.read.parquet(f"{out_dir}/segments").agg(
         F.countDistinct("token").alias("n_tokens")
     ).collect()[0]
@@ -796,6 +889,8 @@ def compact_index(spark, out_dir: str, num_buckets: int = 32,
         "hot_tokens": hot,
         "compacted": True,
     }
+    if n_zero_docs is not None:
+        out["n_zero_docs"] = n_zero_docs
     with open(stats_path, "w") as f:
         json.dump(out, f)
     return out
@@ -1019,6 +1114,16 @@ def build_index(
     total_tokens = sum(m["tokens"] for m in manifests)
     n_postings = sum(m["postings"] for m in manifests)
     avgdl = float(total_tokens) / n_docs
+    # zero-token docs have no posting rows; record their count so a later
+    # compaction can re-derive N from live postings (streamed adds +
+    # deletes) without losing them from every idf. Narrow-column
+    # countDistinct: partial aggregation keeps the shuffle tiny.
+    n_posting_docs = int(
+        spark.read.parquet(f"{out_dir}/postings_raw")
+        .filter(~F.col("token").startswith(SHA_PREFIX))
+        .agg(F.countDistinct("doc_id")).collect()[0][0]
+    )
+    n_zero_docs = max(n_docs - n_posting_docs, 0)
 
     # map-side encoding subsumed hot-token salting; no detection job runs
     # (the stats.json field stays for format compatibility, empty)
@@ -1072,6 +1177,7 @@ def build_index(
                 "docs_per_sec": result.docs_per_sec,
                 "wall_s": result.wall_s,
                 "skew_ratio": result.skew_ratio,
+                "n_zero_docs": n_zero_docs,
                 "stage_timings": timings,
             },
             f,

@@ -98,33 +98,50 @@ def incremental_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     checkpoint_dir: Optional[str] = None,
+    attr_cols: tuple = (),
 ):
     """foreachBatch sink: each micro-batch becomes a postings_raw shard with
     an atomic manifest (same layout as the batch build, so `build_index`'s
-    stage-2 merge + `IndexReader` work unchanged after compaction)."""
-    postings = stream_postings(stream_df, cfg, text_col, id_col)
+    stage-2 merge + `IndexReader` work unchanged after compaction).
 
+    attr_cols: document attribute columns (facet/sort/geo values) to carry
+    alongside the postings as attrs_raw/ shards — `compact_index` folds
+    them into the bucketed AttributeStore / AttributeIndex so streamed
+    docs are filterable/sortable/geo-searchable after compaction, exactly
+    as if they had been in the batch build (VERDICT r3 #9). Without it the
+    streamed docs index fine but carry no attributes."""
     os.makedirs(f"{out_dir}/manifests", exist_ok=True)
 
     def sink(batch_df, batch_id: int):
         t0 = time.time()
+        postings = stream_postings(batch_df, cfg, text_col, id_col)
         path = f"{out_dir}/postings_raw/shard=stream-{batch_id}"
-        batch_df.write.mode("overwrite").parquet(path)
+        postings.write.mode("overwrite").parquet(path)
         # count the WRITTEN files (parquet footer metadata, no recompute) —
-        # batch_df.count() would replay the whole tokenize pipeline
+        # postings.count() would replay the whole tokenize pipeline
         rows = batch_df.sparkSession.read.parquet(path).count()
+        if attr_cols:
+            from pyspark.sql import functions as F
+
+            (
+                batch_df.select(
+                    F.col(id_col).cast("long").alias("doc_id"), *attr_cols)
+                .write.mode("overwrite")
+                .parquet(f"{out_dir}/attrs_raw/shard=stream-{batch_id}")
+            )
         manifest = {
             "shard": f"stream-{batch_id}",
             "rows": rows,
             "wall_s": round(time.time() - t0, 3),
             "source": "structured-streaming",
+            "attr_cols": list(attr_cols),
         }
         mpath = f"{out_dir}/manifests/shard-stream-{batch_id}.json"
         with open(mpath + ".tmp", "w") as f:
             json.dump(manifest, f)
         os.replace(mpath + ".tmp", mpath)
 
-    writer = postings.writeStream.foreachBatch(sink).outputMode("append")
+    writer = stream_df.writeStream.foreachBatch(sink).outputMode("append")
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer

@@ -178,3 +178,144 @@ def test_running_token_df_stateful(spark, tmp_path):
     assert final["delta"] == 1
     # at least one token must have been updated across two batches
     assert any(r["batch_delta"] < r["cum_df"] for r in rows)
+
+
+def test_streaming_attr_typo_geo_compaction_consistency(spark, tmp_path):
+    """VERDICT r3 #9: shard append (with attr_cols) + compaction leaves the
+    AttributeStore, AttributeIndex, typo-variant artifact, and geo lookups
+    consistent with a FRESH batch build over the full corpus; a tombstoned
+    streamed doc disappears from all of them on the next compaction."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sparkft.corpus import generate_corpus
+    from sparkft.facets import (AttributeIndex, AttributeStore,
+                                write_attribute_index, write_attribute_store)
+    from sparkft.geo import geo_radius_ids
+    from sparkft.index_build import build_index, compact_index, delete_docs
+    from sparkft.search import IndexReader, wand_topk
+    from sparkft.streaming import incremental_index
+
+    def with_attrs(pdf):
+        df = spark.createDataFrame(pdf).withColumn(
+            "doc_id", F.xxhash64("repo", "path", "commit"))
+        return df.select(
+            "doc_id", F.col("content").alias("text"), "lang",
+            (F.pmod(F.col("doc_id"), F.lit(1800)) / 10.0 - 90.0).alias("lat"),
+            (F.pmod(F.col("doc_id"), F.lit(3600)) / 10.0 - 180.0).alias("lng"),
+        )
+
+    batch = with_attrs(generate_corpus(80, seed=21))
+    streamed = with_attrs(generate_corpus(40, seed=21, offset=80))
+
+    # --- incremental path: batch build + attr stores, then stream append ---
+    s_out = str(tmp_path / "sidx")
+    build_index(spark, batch, s_out, text_col="text", doc_id_col="doc_id",
+                num_shards=1, num_buckets=8, verify_sha=False,
+                typo_variants=True)
+    write_attribute_store(spark, batch, s_out,
+                          cols=("lang", "lat", "lng"), num_buckets=4)
+    write_attribute_index(spark, batch, s_out, cols=("lang",), num_buckets=4)
+
+    src = str(tmp_path / "src")
+    streamed.repartition(2).write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, lang string, lat double, lng double"
+    ).parquet(src)
+    q = incremental_index(stream, s_out,
+                          checkpoint_dir=str(tmp_path / "ck"),
+                          attr_cols=("lang", "lat", "lng")) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert os.path.isdir(f"{s_out}/attrs_raw")
+    compact_index(spark, s_out, num_buckets=8)
+    assert not os.path.isdir(f"{s_out}/attrs_raw")  # folded in
+
+    # --- fresh batch build over the full corpus ---
+    full = batch.unionByName(streamed)
+    b_out = str(tmp_path / "bidx")
+    build_index(spark, full, b_out, text_col="text", doc_id_col="doc_id",
+                num_shards=1, num_buckets=8, verify_sha=False,
+                typo_variants=True)
+    write_attribute_store(spark, full, b_out,
+                          cols=("lang", "lat", "lng"), num_buckets=4)
+    write_attribute_index(spark, full, b_out, cols=("lang",), num_buckets=4)
+
+    rs, rb = IndexReader(spark, s_out), IndexReader(spark, b_out)
+    ss, sb = AttributeStore(s_out), AttributeStore(b_out)
+    all_ids = np.sort(sb.doc_ids)
+    assert np.array_equal(np.sort(ss.doc_ids), all_ids)
+    for col in ("lang", "lat", "lng"):
+        got, want = ss.lookup(all_ids, col), sb.lookup(all_ids, col)
+        assert np.array_equal(got, want), col
+
+    is_, ib = AttributeIndex(s_out), AttributeIndex(b_out)
+    langs = {r["lang"] for r in full.select("lang").distinct().collect()}
+    for v in sorted(langs):
+        assert np.array_equal(is_.doc_ids("lang", v), ib.doc_ids("lang", v)), v
+
+    for term in ("windoe", "impot", "retrun"):
+        assert (rs.symspell().expand_with_distance(term)
+                == rb.symspell().expand_with_distance(term)), term
+
+    center = (12.0, 34.0)
+    g_s = geo_radius_ids(rs, ss, "import", center, 2_000_000)
+    g_b = geo_radius_ids(rb, sb, "import", center, 2_000_000)
+    assert np.array_equal(np.sort(g_s), np.sort(g_b))
+
+    # --- tombstone a STREAMED doc; next compaction drops it everywhere ---
+    victim = int(streamed.select("doc_id").first()["doc_id"])
+    delete_docs(s_out, [victim])
+    compact_index(spark, s_out, num_buckets=8)
+    ss2 = AttributeStore(s_out)
+    assert victim not in set(ss2.doc_ids.tolist())
+    is2 = AttributeIndex(s_out)
+    for v in sorted(langs):
+        assert victim not in set(is2.doc_ids("lang", v).tolist()), v
+    for query in ("import config", "fn parse"):
+        assert victim not in [d for d, _ in wand_topk(
+            IndexReader(spark, s_out), query, 50)]
+
+
+def test_streaming_append_updates_bm25_n(spark, tmp_path):
+    """Regression: compaction used to carry N forward from the prior batch
+    build, so streaming ADDS left N stale (idf over half the corpus went
+    negative and ranking diverged from a fresh build). N must equal the
+    full live corpus after append + compaction, and BM25 scores must match
+    the batch build over the same docs exactly."""
+    from pyspark.sql import functions as F
+
+    from sparkft.corpus import generate_corpus
+    from sparkft.index_build import build_index, compact_index
+    from sparkft.search import IndexReader, wand_topk
+    from sparkft.streaming import incremental_index
+
+    def docs_df(pdf):
+        return spark.createDataFrame(pdf).withColumn(
+            "doc_id", F.xxhash64("repo", "path", "commit")
+        ).select("doc_id", F.col("content").alias("text"))
+
+    first = docs_df(generate_corpus(60, seed=33))
+    added = docs_df(generate_corpus(60, seed=33, offset=60))
+
+    s_out = str(tmp_path / "sidx")
+    build_index(spark, first, s_out, text_col="text", doc_id_col="doc_id",
+                num_shards=1, num_buckets=8, verify_sha=False)
+    src = str(tmp_path / "src")
+    added.write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = incremental_index(stream, s_out, checkpoint_dir=str(tmp_path / "ck")) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    compact_index(spark, s_out, num_buckets=8)
+
+    full = first.unionByName(added)
+    b_out = str(tmp_path / "bidx")
+    build_index(spark, full, b_out, text_col="text", doc_id_col="doc_id",
+                num_shards=1, num_buckets=8, verify_sha=False)
+
+    rs, rb = IndexReader(spark, s_out), IndexReader(spark, b_out)
+    assert rs.N == rb.N == full.count()
+    assert rs.avgdl == rb.avgdl
+    for query in ("import config", "fn parse", "self return"):
+        assert wand_topk(rs, query, 10) == wand_topk(rb, query, 10)
