@@ -37,9 +37,27 @@ def bm25(tf, doc_len, df, N: int, avgdl: float) -> np.ndarray:
 
 
 def topk_indices(scores: np.ndarray, doc_ids: np.ndarray, k: int) -> np.ndarray:
-    """Deterministic top-k: (score desc, doc_id asc)."""
-    if len(scores) == 0:
+    """Deterministic top-k: (score desc, doc_id asc).
+
+    O(n) selection (argpartition) + an O(k log k) sort of the candidates —
+    a full lexsort of a million-candidate score array costs more than the
+    whole posting decode at serving time. Boundary ties are resolved by
+    doc_id asc: everything strictly above the kth score is in, the k-th
+    slot ties are filled by smallest doc_id."""
+    n = len(scores)
+    if n == 0 or k <= 0:
         return np.empty(0, dtype=np.int64)
-    order = np.lexsort((doc_ids, -scores))
-    return order[:k]
+    if k < n:
+        kth = np.partition(scores, n - k)[n - k]  # k-th largest score
+        above = np.flatnonzero(scores > kth)
+        need = k - len(above)
+        eq = np.flatnonzero(scores == kth)
+        if need < len(eq):  # tie at the boundary: smallest doc_ids win
+            eq = eq[np.argpartition(doc_ids[eq], need - 1)[:need]] \
+                if need > 0 else eq[:0]
+        cand = np.concatenate([above, eq])
+    else:
+        cand = np.arange(n)
+    order = np.lexsort((doc_ids[cand], -scores[cand]))
+    return cand[order[:k]]
 

@@ -403,6 +403,22 @@ class LazyPostingList:
             self.off = 0
             self._cur_ids = None
 
+    def full_arrays(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Decode the WHOLE list in one vectorized pass per segment row:
+        (doc_ids int64 ascending, tfs, lens). Used by the WAND degenerate-
+        case bailout — when the threshold isn't skipping blocks, one bulk
+        varint decode + bincount beats per-pivot cursor work by ~100x."""
+        ids_all, tfs_all, lens_all = [], [], []
+        for gaps_b, tfs_b, lens_b, _, _, _ in self._parts:
+            gaps = codec.decode_varints(gaps_b)
+            ids_all.append(u64_to_i64(np.cumsum(gaps, dtype=np.uint64)))
+            tfs_all.append(codec.decode_varints(tfs_b))
+            lens_all.append(codec.decode_varints(lens_b))
+        if len(ids_all) == 1:
+            return ids_all[0], tfs_all[0], lens_all[0]
+        return (np.concatenate(ids_all), np.concatenate(tfs_all),
+                np.concatenate(lens_all))
+
     def score_of(self, doc: int, N: int, avgdl: float) -> float:
         """BM25 contribution of `doc` in this list (0 if absent); decodes
         only the candidate block window, does not move the cursor. Scalar
@@ -423,23 +439,55 @@ class LazyPostingList:
         return 0.0
 
 
+def taat_arrays(reader: IndexReader, postings: dict,
+                allowed: Optional[set] = None
+                ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized exhaustive TAAT: -> (doc_ids, bm25_sums, match_counts),
+    tombstoned (and, when given, non-`allowed`) docs excluded.
+
+    Float determinism matches the historical per-posting dict loop exactly:
+    per-term score arrays are concatenated in sorted-term order and
+    np.bincount accumulates weights in input order, so every doc's partial
+    sums add in term order — bit-identical to `acc[d] += s` per term. The
+    per-posting Python loop this replaces cost ~6 us/posting; bincount is
+    ~100x that throughput, which is what makes exhaustive scoring viable
+    at million-posting query footprints."""
+    id_chunks, score_chunks = [], []
+    for term in sorted(postings):
+        ids, tfs, lens_, df, _, _ = postings[term]
+        id_chunks.append(u64_to_i64(ids))
+        score_chunks.append(scoring.bm25(tfs, lens_, df, reader.N,
+                                         reader.avgdl))
+    if not id_chunks:
+        e = np.empty(0, dtype=np.int64)
+        return e, np.empty(0, dtype=np.float64), e
+    all_ids = np.concatenate(id_chunks)
+    all_scores = np.concatenate(score_chunks)
+    uids, inv = np.unique(all_ids, return_inverse=True)
+    sums = np.bincount(inv, weights=all_scores, minlength=len(uids))
+    cnts = np.bincount(inv, minlength=len(uids))
+    keep = None
+    dead = reader.deleted
+    if dead:
+        keep = ~dead.mask(uids)
+    if allowed is not None:
+        allow_arr = np.fromiter(allowed, dtype=np.int64, count=len(allowed))
+        amask = np.isin(uids, allow_arr)
+        keep = amask if keep is None else (keep & amask)
+    if keep is not None:
+        uids, sums, cnts = uids[keep], sums[keep], cnts[keep]
+    return uids, sums, cnts.astype(np.int64)
+
+
 def taat_accumulate(reader: IndexReader, postings: dict
                     ) -> tuple[dict, dict]:
     """The one exhaustive TAAT accumulation every composite ranking shares:
     ({doc: BM25 sum}, {doc: distinct terms matched}), terms visited in
-    sorted order (deterministic float sums), tombstoned docs excluded."""
-    acc: dict[int, float] = {}
-    cnt: dict[int, int] = {}
-    dead = reader.deleted
-    for term in sorted(postings):
-        ids, tfs, lens_, df, _, _ = postings[term]
-        scores = scoring.bm25(tfs, lens_, df, reader.N, reader.avgdl)
-        for d, s in zip(u64_to_i64(ids).tolist(), scores.tolist()):
-            if d in dead:
-                continue
-            acc[d] = acc.get(d, 0.0) + s
-            cnt[d] = cnt.get(d, 0) + 1
-    return acc, cnt
+    sorted order (deterministic float sums), tombstoned docs excluded.
+    Dict facade over the vectorized `taat_arrays`."""
+    uids, sums, cnts = taat_arrays(reader, postings)
+    keys = uids.tolist()
+    return dict(zip(keys, sums.tolist())), dict(zip(keys, cnts.tolist()))
 
 
 def federated_topk(indexes: list[tuple[str, "IndexReader", float]],
@@ -480,11 +528,9 @@ def taat_topk(reader: IndexReader, query: str, k: int = 10,
     postings = reader.load_postings(terms)
     if not postings:
         return []
-    acc, _ = taat_accumulate(reader, postings)
-    if not acc:
+    doc_ids, scores, _ = taat_arrays(reader, postings)
+    if len(doc_ids) == 0:
         return []
-    doc_ids = np.fromiter(acc.keys(), dtype=np.int64, count=len(acc))
-    scores = np.fromiter(acc.values(), dtype=np.float64, count=len(acc))
     top = scoring.topk_indices(scores, doc_ids, k)
     return [(int(doc_ids[i]), float(scores[i])) for i in top]
 
@@ -506,6 +552,45 @@ def wand_topk(reader: IndexReader, query: str, k: int = 10,
     {"blocks_decoded", "blocks_total"}.
     """
     return wand_topk_terms(reader, reader.query_terms(query, cfg), k, stats)
+
+
+_WAND_BAIL_CHECK = 2048  # pivots between degenerate-case checks (~30 ms of
+# cursor work — the bound on what a bailout can waste)
+_EXHAUSTIVE_CUTOFF = 100_000  # total postings below which bulk decode +
+# bincount (~0.1 us/posting) always beats per-pivot cursors (~6 us/pivot)
+
+
+def _exhaustive_topk_from_lists(reader: IndexReader,
+                                lists: list["LazyPostingList"], k: int,
+                                allowed: Optional[set]
+                                ) -> list[tuple[int, float]]:
+    """Vectorized exhaustive BM25 top-k over already-loaded posting lists
+    (the WAND bailout target). Lists must be in sorted-term order; float
+    accumulation order and tie-breaks match taat_arrays/wand exactly."""
+    id_chunks, score_chunks = [], []
+    for li in lists:
+        ids, tfs, lens_ = li.full_arrays()
+        id_chunks.append(ids)
+        score_chunks.append(scoring.bm25(tfs, lens_, li.df, reader.N,
+                                         reader.avgdl))
+    all_ids = np.concatenate(id_chunks)
+    all_scores = np.concatenate(score_chunks)
+    uids, inv = np.unique(all_ids, return_inverse=True)
+    sums = np.bincount(inv, weights=all_scores, minlength=len(uids))
+    keep = None
+    dead = reader.deleted
+    if dead:
+        keep = ~dead.mask(uids)
+    if allowed is not None:
+        allow_arr = np.fromiter(allowed, dtype=np.int64, count=len(allowed))
+        amask = np.isin(uids, allow_arr)
+        keep = amask if keep is None else (keep & amask)
+    if keep is not None:
+        uids, sums = uids[keep], sums[keep]
+    if len(uids) == 0:
+        return []
+    top = scoring.topk_indices(sums, uids, k)
+    return [(int(uids[i]), float(sums[i])) for i in top]
 
 
 def wand_topk_terms(reader: IndexReader, terms: list[str], k: int = 10,
@@ -531,6 +616,16 @@ def wand_topk_terms(reader: IndexReader, terms: list[str], k: int = 10,
     lists = [li for li in lists if li.nblocks]
     if not lists:
         return []
+    if sum(li.df for li in lists) <= _EXHAUSTIVE_CUTOFF:
+        # small total footprint: one bulk decode + bincount beats cursor
+        # arithmetic regardless of how well the threshold would prune —
+        # WAND's block skipping only pays once there are many blocks to
+        # skip. Results identical (same float order, same tie-break).
+        if stats is not None:
+            stats["bailed_to_exhaustive"] = True
+            stats["blocks_decoded"] = sum(li.nblocks for li in lists)
+            stats["blocks_total"] = sum(li.nblocks for li in lists)
+        return _exhaustive_topk_from_lists(reader, lists, k, allowed)
 
     def full_score(doc: int) -> float:
         sc = 0.0
@@ -540,8 +635,30 @@ def wand_topk_terms(reader: IndexReader, terms: list[str], k: int = 10,
 
     heap: list[tuple[float, int]] = []  # min-heap of (score, -doc_id)
     threshold = -np.inf
+    iters = 0
+    nblocks_total = sum(li.nblocks for li in lists)
 
     while True:
+        iters += 1
+        if iters % _WAND_BAIL_CHECK == 0:
+            # Degenerate-case bailout: on flat score distributions (common
+            # code tokens, small-vocab corpora) the threshold never skips a
+            # block and WAND decays to a k-way merge paying Python cursor
+            # overhead per document. When the decode ratio over the blocks
+            # already passed shows no skipping, restart as ONE vectorized
+            # exhaustive pass (bulk varint decode + bincount) — identical
+            # results (same float order, same tie-break), ~100x the
+            # throughput. When pruning IS working (skewed ub distributions
+            # at scale), the ratio stays low and WAND runs to completion.
+            passed = sum(min(li.block + 1, li.nblocks) for li in lists)
+            decoded = sum(li.decoded_blocks for li in lists)
+            if (decoded >= 0.5 * passed
+                    and nblocks_total - passed > 4 * len(lists)):
+                if stats is not None:
+                    stats["bailed_to_exhaustive"] = True
+                    stats["blocks_decoded"] = decoded
+                    stats["blocks_total"] = nblocks_total
+                return _exhaustive_topk_from_lists(reader, lists, k, allowed)
         live = [li for li in lists if not li.exhausted()]
         if not live:
             break
@@ -898,14 +1015,16 @@ def grouped_conjunctive_topk(reader: IndexReader, groups: list[list[str]],
                                                         assume_unique=True)
         if len(cand) == 0:
             return []
-    cset = set(cand.tolist())
-    acc, _ = taat_accumulate(reader, postings)  # tombstones excluded here
-    out = [
-        (d, acc[d]) for d in acc
-        if d in cset and (allowed is None or d in allowed)
-    ]
-    out.sort(key=lambda t: (-t[1], t[0]))
-    return out[:k]
+    uids, sums, _ = taat_arrays(reader, postings)  # tombstones excluded here
+    keep = np.isin(uids, cand, assume_unique=True)  # both sorted unique
+    if allowed is not None:
+        allow_arr = np.fromiter(allowed, dtype=np.int64, count=len(allowed))
+        keep &= np.isin(uids, allow_arr)
+    uids, sums = uids[keep], sums[keep]
+    if len(uids) == 0:
+        return []
+    top = scoring.topk_indices(sums, uids, k)
+    return [(int(uids[i]), float(sums[i])) for i in top]
 
 
 def _relax_matching(reader: IndexReader, groups: list[list[str]],

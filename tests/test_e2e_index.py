@@ -125,7 +125,7 @@ def test_sha_invariant_enforced(spark, corpus, index):
     assert stats["n_docs"] == len(corpus)
 
 
-def test_wand_block_decode_is_lazy(spark, tmp_path):
+def test_wand_block_decode_is_lazy(spark, tmp_path, monkeypatch):
     """WAND must not decode every block. Skewed corpus: 'common' appears in
     all 3000 docs (~24 blocks), 'zzrare' in 3. For 'zzrare common' with k=3
     the heap fills with rare+common docs, the common list's upper bound
@@ -145,11 +145,18 @@ def test_wand_block_decode_is_lazy(spark, tmp_path):
     build_index(spark, df, out, num_shards=1, num_buckets=4,
                 doc_id_col="doc_id", verify_sha=False)
     reader = IndexReader(spark, out)
+    # pin the PRUNING machinery itself: the adaptive serving layer would
+    # route this tiny corpus (sum_df ~3k) straight to the vectorized
+    # exhaustive pass — right call at serving time, not what this asserts
+    import sparkft.search as _search
+    monkeypatch.setattr(_search, "_EXHAUSTIVE_CUTOFF", 0)
+    monkeypatch.setattr(_search, "_WAND_BAIL_CHECK", 1 << 30)
     stats: dict = {}
     got = wand_topk(reader, "zzrare common", 3, stats=stats)
     assert got == taat_topk(reader, "zzrare common", 3)
     assert stats["blocks_total"] >= 20
     assert stats["blocks_decoded"] < stats["blocks_total"] // 2, stats
+    assert not stats.get("bailed_to_exhaustive", False)
 
 
 def test_distributed_topk_equals_driver_loop(spark, corpus, index):
@@ -226,3 +233,39 @@ def u64_to_i64_set(ids_u64):
     from sparkft.index_build import u64_to_i64
 
     return u64_to_i64(ids_u64).tolist()
+
+
+def test_wand_degenerate_bailout_equals_taat(spark, tmp_path, monkeypatch):
+    """On flat score distributions (every term in most docs) WAND decays to
+    a k-way merge; the runtime check must bail to the vectorized exhaustive
+    pass with IDENTICAL results — including tombstone and allowed-set
+    gating."""
+    from sparkft.index_build import delete_docs
+    from sparkft.search import wand_topk_terms
+
+    rows = [{"doc_id": i, "repo": "r", "path": f"f{i}.txt", "commit": "c",
+             "content": f"alpha beta gamma w{i % 13}" + " alpha" * (i % 5)}
+            for i in range(3000)]
+    out = str(tmp_path / "flatidx")
+    build_index(spark, spark.createDataFrame(rows).repartition(4), out,
+                num_shards=1, num_buckets=4, doc_id_col="doc_id",
+                verify_sha=False)
+    delete_docs(out, [5, 17, 2900])
+    reader = IndexReader(spark, out)
+
+    import sparkft.search as _search
+    # force the RUNTIME bailout branch (not the upfront cutoff)
+    monkeypatch.setattr(_search, "_EXHAUSTIVE_CUTOFF", 0)
+    monkeypatch.setattr(_search, "_WAND_BAIL_CHECK", 64)
+    allowed = set(range(0, 3000, 3))
+    for allow in (None, allowed):
+        stats: dict = {}
+        got = wand_topk_terms(reader, ["alpha", "beta", "gamma"], 10,
+                              stats=stats, allowed=allow)
+        assert stats.get("bailed_to_exhaustive"), stats
+        monkeypatch.setattr(_search, "_WAND_BAIL_CHECK", 1 << 30)
+        pure = wand_topk_terms(reader, ["alpha", "beta", "gamma"], 10,
+                               allowed=allow)
+        monkeypatch.setattr(_search, "_WAND_BAIL_CHECK", 64)
+        assert got == pure
+        assert all(d not in (5, 17, 2900) for d, _ in got)
