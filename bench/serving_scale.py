@@ -39,6 +39,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 QUERIES = {
     "wand_bm25": ["import config parse", "fn return self", "class struct impl",
                   "table window merge", "hash join filter"],
+    # rare identifiers: query FOOTPRINT (sum of dfs) stays ~constant in
+    # corpus size, isolating the per-query fixed costs from the
+    # footprint-proportional ones
+    "rare_terms": ["sym12345", "sym54321 sym777", "sym31337 sym9999"],
     "typo": ["imoprt confg", "retrun slef", "clas strct"],
     "filter_lang": ["import config parse", "fn return self"],
     "facet_lang": ["import config parse", "fn return self"],
@@ -108,6 +112,7 @@ def measure(index_dir: str, reps: int, k: int = 10) -> dict:
 
     cat_fns = {
         "wand_bm25": lambda q: wand_topk(reader, q, k),
+        "rare_terms": lambda q: wand_topk(reader, q, k),
         "typo": lambda q: svc_typo.search(q, k),
         "filter_lang": lambda q: svc.search(q, k, filter=("lang", "py")),
         "facet_lang": lambda q: svc.search(q, k, facets=["lang"]),
