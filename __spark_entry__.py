@@ -191,7 +191,7 @@ def _engine_index(spark: SparkSession, sf_dir: str) -> str:
 
     from sparkft.index_build import build_index
 
-    key = hashlib.md5(f"{sf_dir}:v9rg".encode()).hexdigest()[:10]
+    key = hashlib.md5(f"{sf_dir}:v10gc".encode()).hexdigest()[:10]
     idx_dir = os.path.join(tempfile.gettempdir(), f"sparkft_entry_idx_{key}")
     if not os.path.exists(f"{idx_dir}/stats.json"):
         from sparkft.facets import write_attribute_index, write_attribute_store
@@ -202,11 +202,13 @@ def _engine_index(spark: SparkSession, sf_dir: str) -> str:
         # to the segments; written first so stats.json stays the
         # build-complete marker. lat/lng are the deterministic synthetic
         # coordinates (_GEO_LAT/_GEO_LNG — same derivation as the oracle).
+        geo_docs = (docs.withColumn("lat", _geo_lat())
+                    .withColumn("lng", _geo_lng()))
         write_attribute_store(
-            spark,
-            docs.withColumn("lat", _geo_lat()).withColumn("lng", _geo_lng()),
+            spark, geo_docs,
             idx_dir, cols=("lang", "n_chars", "source", "lat", "lng"))
-        write_attribute_index(spark, docs, idx_dir, cols=("lang", "source"))
+        write_attribute_index(spark, geo_docs, idx_dir,
+                              cols=("lang", "source", "_geo_cell"))
         build_index(
             spark, docs, idx_dir, text_col="text", doc_id_col="doc_id",
             num_shards=2, num_buckets=8, verify_sha=False, resume=True,
@@ -1177,9 +1179,10 @@ ORDER BY round(sc, 4) DESC, doc_id LIMIT 10
 
 
 def _geo_radius_engine_topk(spark, sf_dir):
-    """Engine path for `_geoRadius`: candidate distances from the
-    bucket-pruned attribute store, gating the shared WAND loop."""
-    from sparkft.facets import AttributeStore
+    """Engine path for `_geoRadius`: candidates from the _geo_cell grid
+    index (bounding-box cells of the cap -> haversine verify), gating the
+    shared WAND loop — the oracle thereby validates the cell-pruned path."""
+    from sparkft.facets import AttributeIndex, AttributeStore
     from sparkft.geo import geo_radius_topk
     from sparkft.search import IndexReader
 
@@ -1187,7 +1190,7 @@ def _geo_radius_engine_topk(spark, sf_dir):
     reader = IndexReader(spark, idx)
     hits = geo_radius_topk(reader, AttributeStore(idx),
                            " ".join(BM25_QUERY_TERMS), GEO_CENTER,
-                           GEO_RADIUS_M, 10)
+                           GEO_RADIUS_M, 10, attr_index=AttributeIndex(idx))
     return spark.createDataFrame(
         [(int(d), round(s, 4)) for d, s in hits], "doc_id long, score double"
     )

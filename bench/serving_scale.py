@@ -80,7 +80,8 @@ def build_at(spark, size: int, scratch: str) -> str:
     write_attribute_store(spark, docs, out,
                           cols=("lang", "n_chars", "lat", "lng"),
                           num_buckets=16)
-    write_attribute_index(spark, docs, out, cols=("lang",), num_buckets=16)
+    write_attribute_index(spark, docs, out, cols=("lang", "_geo_cell"),
+                          num_buckets=16)
     print(f"[build] {size}: {res.n_docs} docs in {time.time()-t0:.1f}s "
           f"({res.docs_per_sec} docs/s)", flush=True)
     return out

@@ -327,17 +327,32 @@ def write_attribute_index(spark, docs_df, index_dir: str,
     with value-then-doc_id sorted runs, so resolving `filter=(col, v)`
     reads ONE bucket of ONE attr partition (row groups outside `v` pruned
     by the sorted layout) instead of scanning a whole attribute column.
-    O(|matching ids|) per filter resolution, independent of corpus size."""
+    O(|matching ids|) per filter resolution, independent of corpus size.
+
+    The synthetic column name "_geo_cell" is derived from the frame's
+    lat/lng via geo.geo_cell_column when absent — keep lat/lng among the
+    ATTRIBUTE STORE's columns in that case so compaction (which re-derives
+    the index from the store's union) can recompute it."""
     import functools as _ft
     import json
 
     from pyspark.sql import functions as F
 
     out = f"{index_dir}/attr_index"
+
+    def _value_expr(col):
+        if col == "_geo_cell" and col not in docs_df.columns:
+            # derived geo grid cell (see geo.geo_cell_column): build-time
+            # sibling of Meilisearch's R-tree, resolved from lat/lng
+            from .geo import geo_cell_column
+
+            return geo_cell_column("lat", "lng")
+        return F.col(col).cast("string")
+
     frames = [
         docs_df.select(
             F.lit(col).alias("attr"),
-            F.col(col).cast("string").alias("value"),
+            _value_expr(col).alias("value"),
             F.col(doc_id_col).cast("long").alias("doc_id"),
         )
         for col in cols
@@ -380,6 +395,10 @@ class AttributeIndex:
         self.num_buckets = m["num_buckets"]
         self.cols = tuple(m["cols"])
         self.read_paths: list[str] = []
+        # multi-value lookups (geo cell sets) repeat identical value lists
+        # across queries; cache the merged id arrays, FIFO-capped
+        self._multi_cache: dict = {}
+        self._multi_cache_cap = 32
 
     def doc_ids(self, attr: str, value) -> np.ndarray:
         """Sorted int64 doc ids with `attr == value` (empty if none)."""
@@ -400,3 +419,42 @@ class AttributeIndex:
             columns=["doc_id"], filter=ds.field("value") == v)
         # arrow buffers are read-only views; np.sort copies
         return np.sort(np.asarray(tbl["doc_id"], dtype=np.int64))
+
+    def doc_ids_multi(self, attr: str, values) -> np.ndarray:
+        """Sorted unique doc ids with `attr` IN values — values are grouped
+        by bucket so the read cost is one isin-filtered dataset scan per
+        DISTINCT bucket touched (<= num_buckets), not one per value. Used
+        by the geo cell path, whose bounding boxes enumerate ~10^2 cells."""
+        import zlib
+        from collections import defaultdict
+
+        import pyarrow.dataset as ds
+
+        if attr not in self.cols:
+            raise KeyError(f"attribute {attr!r} not in attribute index "
+                           f"(cols={self.cols})")
+        vals = [str(v) for v in values]
+        key = (attr, tuple(sorted(set(vals))))
+        hit = self._multi_cache.get(key)
+        if hit is not None:
+            return hit
+        groups: dict = defaultdict(list)
+        for v in set(vals):
+            groups[zlib.crc32(v.encode("utf-8")) % self.num_buckets].append(v)
+        parts = []
+        for b in sorted(groups):
+            sub = f"{self.path}/attr={attr}/bucket={b}"
+            self.read_paths.append(sub)
+            if not os.path.isdir(sub):
+                continue
+            tbl = ds.dataset(sub, format="parquet").to_table(
+                columns=["doc_id"],
+                filter=ds.field("value").isin(groups[b]))
+            if tbl.num_rows:
+                parts.append(np.asarray(tbl["doc_id"], dtype=np.int64))
+        out = (np.unique(np.concatenate(parts)) if parts
+               else np.empty(0, dtype=np.int64))
+        if len(self._multi_cache) >= self._multi_cache_cap:
+            self._multi_cache.pop(next(iter(self._multi_cache)))
+        self._multi_cache[key] = out
+        return out

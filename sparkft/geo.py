@@ -21,6 +21,7 @@ hash-match.
 
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 import numpy as np
@@ -29,6 +30,78 @@ from .config import DEFAULT_CONFIG, TokenizerConfig
 from .facets import AttributeStore, matching_docs
 
 R_EARTH_M = 6371008.8  # IUGG mean Earth radius
+
+# ---------------------------------------------------------------------------
+# Geo cell grid: Meilisearch resolves _geoRadius through an R-tree over the
+# documents' points; the sparkft scale path is a fixed lat/lng grid stored in
+# the AttributeIndex (attr "_geo_cell", value "i:j"). A radius query
+# enumerates the cells intersecting the cap's bounding box (Matuschek's
+# exact spherical-cap bbox: dlat = rho, dlng = asin(sin rho / cos lat0)),
+# reads only those cells' doc-id lists, and haversine-verifies — so the geo
+# side of the filter is O(docs in the box), independent of the corpus and of
+# the query's term footprint.
+# ---------------------------------------------------------------------------
+
+GEO_CELL_ATTR = "_geo_cell"
+GEO_CELL_DEG = 5.0
+
+
+def geo_cell_column(lat_col: str = "lat", lng_col: str = "lng",
+                    cell_deg: float = GEO_CELL_DEG):
+    """Spark expression for a row's grid cell id "i:j" with
+    i = floor(lat/deg), j = floor(lng/deg) — the exact float ops the
+    query-side numpy enumeration uses, so cell membership is bit-identical
+    between build and serve."""
+    from pyspark.sql import functions as F
+
+    return F.concat_ws(
+        ":",
+        F.floor(F.col(lat_col) / F.lit(float(cell_deg))).cast("string"),
+        F.floor(F.col(lng_col) / F.lit(float(cell_deg))).cast("string"),
+    )
+
+
+def bbox_cells(center: tuple[float, float], radius_m: float,
+               cell_deg: float = GEO_CELL_DEG,
+               max_cells: int = 512) -> Optional[list[str]]:
+    """Grid cells intersecting the bounding box of the spherical cap
+    (center, radius_m) — a SUPERSET of the cells holding in-radius points.
+    Longitude wraps at the antimeridian; a cap reaching either pole spans
+    the full longitude range. Returns None when the box needs more than
+    max_cells cells (caller falls back to the unpruned path) or covers the
+    whole sphere."""
+    lat0, lng0 = float(center[0]), float(center[1])
+    rho = float(radius_m) / R_EARTH_M  # angular radius, radians
+    if rho >= math.pi:
+        return None  # cap covers the sphere
+    dlat = math.degrees(rho) + 1e-9
+    lat_lo, lat_hi = lat0 - dlat, lat0 + dlat
+    if lat_hi >= 90.0 or lat_lo <= -90.0:
+        # cap contains a pole: every longitude is reachable
+        lng_half = 180.0
+        lat_lo, lat_hi = max(lat_lo, -90.0), min(lat_hi, 90.0)
+    else:
+        # exact max |dlng| for a cap not containing a pole
+        # (sin rho < cos lat0 is guaranteed in this branch)
+        lng_half = math.degrees(
+            math.asin(min(1.0, math.sin(rho) / math.cos(math.radians(lat0))))
+        ) + 1e-9
+    i_lo = math.floor(lat_lo / cell_deg)
+    i_hi = math.floor(lat_hi / cell_deg)
+    j_lo = math.floor((lng0 - lng_half) / cell_deg)
+    j_hi = math.floor((lng0 + lng_half) / cell_deg)
+    ncols = int(round(360.0 / cell_deg))
+    half = ncols // 2
+    if (i_hi - i_lo + 1) * min(j_hi - j_lo + 1, ncols + 1) > max_cells:
+        return None  # cheap pre-check before materializing the j set
+    cols = {((j + half) % ncols) - half
+            for j in range(j_lo, min(j_hi, j_lo + ncols - 1) + 1)}
+    if -half in cols:
+        cols.add(half)  # a doc at exactly lng=180 floors into cell +half
+    cols = sorted(cols)
+    if (i_hi - i_lo + 1) * len(cols) > max_cells:
+        return None
+    return [f"{i}:{j}" for i in range(i_lo, i_hi + 1) for j in cols]
 
 
 def haversine_m(lat: np.ndarray, lng: np.ndarray,
@@ -49,10 +122,30 @@ def geo_radius_ids(reader, store: AttributeStore, query: str,
                    center: tuple[float, float], radius_m: float,
                    cfg: TokenizerConfig = DEFAULT_CONFIG,
                    lat_col: str = "lat", lng_col: str = "lng",
-                   terms: Optional[list] = None) -> np.ndarray:
-    """Sorted doc ids matching >= 1 query term AND within radius_m of
-    center — the `_geoRadius` candidate set (tombstones excluded by
-    matching_docs)."""
+                   terms: Optional[list] = None,
+                   attr_index=None) -> np.ndarray:
+    """Sorted doc ids within radius_m of center, usable as the allowed set
+    gating WAND (tombstones excluded).
+
+    With an AttributeIndex carrying `_geo_cell` (attr_index), the candidate
+    set is the docs in the cap's bounding-box CELLS — O(docs in the box),
+    independent of both corpus size and the query's term footprint; the
+    returned set is a radius-exact superset-intersection either way because
+    haversine verifies every candidate. Without one (or when the box
+    degenerates to most of the sphere), candidates are the docs matching
+    >= 1 query term (O(query postings))."""
+    if attr_index is not None and GEO_CELL_ATTR in attr_index.cols:
+        cells = bbox_cells(center, radius_m)
+        if cells is not None:
+            ids = attr_index.doc_ids_multi(GEO_CELL_ATTR, cells)
+            if reader.deleted and len(ids):
+                ids = ids[~reader.deleted.mask(ids)]
+            if len(ids) == 0:
+                return ids
+            d = haversine_m(store.lookup(ids, lat_col),
+                            store.lookup(ids, lng_col),
+                            center[0], center[1])
+            return ids[d <= radius_m]
     ids = matching_docs(reader, terms if terms is not None
                         else reader.query_terms(query, cfg))
     if len(ids) == 0:
@@ -66,17 +159,19 @@ def geo_radius_topk(reader, store: AttributeStore, query: str,
                     center: tuple[float, float], radius_m: float,
                     k: int = 10,
                     cfg: TokenizerConfig = DEFAULT_CONFIG,
-                    lat_col: str = "lat", lng_col: str = "lng"
-                    ) -> list[tuple[int, float]]:
+                    lat_col: str = "lat", lng_col: str = "lng",
+                    attr_index=None) -> list[tuple[int, float]]:
     """`filter: _geoRadius(...)`: BM25 top-k restricted to documents within
     the radius. The geo set gates the WAND scoring branch exactly like an
-    attribute filter (index-global BM25 stats, comparable scores)."""
+    attribute filter (index-global BM25 stats, comparable scores); the two
+    geo_radius_ids candidate strategies yield identical top-k because WAND
+    scores only docs containing >= 1 term either way."""
     from .search import wand_topk_terms
 
     terms = reader.query_terms(query, cfg)  # tokenize once, shared
     allowed = geo_radius_ids(reader, store, query, center, radius_m,
                              cfg=cfg, lat_col=lat_col, lng_col=lng_col,
-                             terms=terms)
+                             terms=terms, attr_index=attr_index)
     if len(allowed) == 0:
         return []
     return wand_topk_terms(reader, terms, k, allowed=set(allowed.tolist()))

@@ -246,9 +246,11 @@ class SearchService:
         if filter is not None and filter[0] == "_geoRadius":
             # Meilisearch geosearch: filter=("_geoRadius", ((lat, lng),
             # radius_m)) behind "_geo" in filterableAttributes. Resolved
-            # CANDIDATE-PRUNED: haversine runs only over the docs matching
-            # the (expanded) query terms via bucket-pruned attr lookups —
-            # O(candidates), never an attribute-store scan.
+            # CELL-PRUNED when the build wrote a _geo_cell attribute index
+            # (haversine over only the docs in the cap's bounding-box grid
+            # cells — O(docs in box)), else candidate-pruned: haversine
+            # over the docs matching the (expanded) query terms via
+            # bucket-pruned attr lookups. Never an attribute-store scan.
             if "_geo" not in self.settings.filterable_attributes:
                 raise ValueError("attribute '_geo' is not filterable")
             from .geo import geo_radius_ids
@@ -258,7 +260,8 @@ class SearchService:
                                 for t in g})
             allowed = set(geo_radius_ids(
                 self.reader, self.attrs, query, (glat, glng), radius_m,
-                cfg=self.cfg, terms=geo_terms).tolist())
+                cfg=self.cfg, terms=geo_terms,
+                attr_index=self.attr_index).tolist())
         else:
             allowed = self._allowed(filter)
         fetch = self.reader.N if estimate_total else offset + k
