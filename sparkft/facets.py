@@ -104,6 +104,11 @@ class AttributeStore:
                 if self._bucket_ids else 0
         # per-bucket cache: bucket -> (sorted doc_ids, {col: values})
         self._buckets: dict[int, tuple[np.ndarray, dict]] = {}
+        # factorization caches: col -> {value: global code} / [values],
+        # (bucket, col) -> int32 global-code array aligned to bucket order
+        self._cat_code: dict[str, dict] = {}
+        self._cats: dict[str, list] = {}
+        self._bucket_codes: dict[tuple, np.ndarray] = {}
         self._columns: Optional[list] = None
         # full-store view (lazy): globally doc_id-sorted concat of buckets
         self._full: Optional[tuple[np.ndarray, dict]] = None
@@ -183,6 +188,62 @@ class AttributeStore:
             out[mask] = vals
         return out
 
+    def _codes_for(self, b: int, col: str) -> np.ndarray:
+        """Int32 GLOBAL category codes for bucket `b`'s `col` values
+        (aligned with the bucket's doc order). Strings are touched once per
+        bucket — every later facet count is integer gather + bincount."""
+        got = self._bucket_codes.get((b, col))
+        if got is None:
+            _, cols = self._load_bucket(b)
+            local, inv = np.unique(cols[col], return_inverse=True)
+            code_of = self._cat_code.setdefault(col, {})
+            cats = self._cats.setdefault(col, [])
+            gmap = np.empty(len(local), dtype=np.int32)
+            for i, v in enumerate(local):
+                v = v.item() if hasattr(v, "item") else v
+                g = code_of.get(v)
+                if g is None:
+                    g = code_of[v] = len(cats)
+                    cats.append(v)
+                gmap[i] = g
+            got = gmap[inv]
+            self._bucket_codes[(b, col)] = got
+        return got
+
+    def lookup_codes(self, ids: np.ndarray, col: str
+                     ) -> tuple[np.ndarray, list]:
+        """(int32 category codes for `ids`, category values by code) — the
+        equality-only form of lookup(): one-time per-bucket factorization,
+        then pure integer gathers. Categories are shared store-wide, so
+        codes from different calls are comparable."""
+        ids = np.asarray(ids, dtype=np.int64)
+        if len(ids) == 0:
+            return np.empty(0, dtype=np.int32), self._cats.get(col, [])
+        if not self.num_buckets:
+            bids, _ = self._load_bucket(0)
+            pos = self._positions_in(bids, ids)
+            return self._codes_for(0, col)[pos], self._cats[col]
+        buckets = np.mod(ids, self.num_buckets)
+        out = np.empty(len(ids), dtype=np.int32)
+        for b in np.unique(buckets):
+            mask = buckets == b
+            bids, _ = self._load_bucket(int(b))
+            pos = self._positions_in(bids, ids[mask])
+            out[mask] = self._codes_for(int(b), col)[pos]
+        return out, self._cats[col]
+
+    @staticmethod
+    def _positions_in(bids: np.ndarray, ids: np.ndarray) -> np.ndarray:
+        if len(bids) == 0:
+            raise KeyError(
+                f"doc ids missing from attribute store: {ids[:5]}")
+        pos = np.searchsorted(bids, ids)
+        bad = (pos >= len(bids)) | (bids[np.minimum(pos, len(bids) - 1)] != ids)
+        if bad.any():
+            raise KeyError(
+                f"doc ids missing from attribute store: {ids[bad][:5]}")
+        return pos
+
     @staticmethod
     def _lookup_in(bucket: tuple[np.ndarray, dict], ids: np.ndarray,
                    col: str) -> np.ndarray:
@@ -234,9 +295,12 @@ def facet_counts(reader, store: AttributeStore, query: str, col: str,
     )
     if len(ids) == 0:
         return {}
-    vals, counts = np.unique(store.lookup(ids, col), return_counts=True)
-    return {v.item() if hasattr(v, "item") else v: int(c)
-            for v, c in zip(vals, counts)}
+    codes, cats = store.lookup_codes(ids, col)
+    cnt = np.bincount(codes, minlength=len(cats))
+    # value-sorted like the np.unique it replaces (stable response shape)
+    present = sorted((g for g in range(len(cats)) if cnt[g]),
+                     key=lambda g: cats[g])
+    return {cats[g]: int(cnt[g]) for g in present}
 
 
 def sort_topk(reader, store: AttributeStore, query: str, col: str,

@@ -225,19 +225,28 @@ class IndexReader:
         touches every posting anyway).
 
         Returns {term: (doc_ids u64, tfs, lens, df, block_max, block_last)}."""
-        out = {}
-        for tok, parts in self.load_segment_rows(terms).items():
-            ids = np.concatenate(
-                [codec.delta_decode(codec.decode_varints(p["doc_gaps"])) for p in parts]
-            )
-            tfs = np.concatenate([codec.decode_varints(p["tfs"]) for p in parts])
-            lens_ = np.concatenate([codec.decode_varints(p["lens"]) for p in parts])
-            bmax = np.concatenate([np.asarray(p["block_max"], dtype=np.float64) for p in parts])
-            blast = np.concatenate(
-                [np.asarray(p["block_last"], dtype=np.int64) for p in parts]
-            )
-            out[tok] = (ids, tfs, lens_, int(parts[0]["df"]), bmax, blast)
-        return out
+        return _decode_segment_rows(self.load_segment_rows(terms))
+
+
+def _decode_segment_rows(rows_by_tok: dict) -> dict:
+    """Bulk-decode segment rows (load_segment_rows output) into
+    {term: (doc_ids u64, tfs, lens, df, block_max, block_last)}."""
+    out = {}
+    for tok, parts in rows_by_tok.items():
+        ids = np.concatenate(
+            [codec.delta_decode(codec.decode_varints(p["doc_gaps"]))
+             for p in parts]
+        )
+        tfs = np.concatenate([codec.decode_varints(p["tfs"]) for p in parts])
+        lens_ = np.concatenate(
+            [codec.decode_varints(p["lens"]) for p in parts])
+        bmax = np.concatenate(
+            [np.asarray(p["block_max"], dtype=np.float64) for p in parts])
+        blast = np.concatenate(
+            [np.asarray(p["block_last"], dtype=np.int64) for p in parts]
+        )
+        out[tok] = (ids, tfs, lens_, int(parts[0]["df"]), bmax, blast)
+    return out
 
 
 def _prefix_upper(prefix: str) -> Optional[str]:
@@ -593,6 +602,45 @@ def _exhaustive_topk_from_lists(reader: IndexReader,
     return [(int(uids[i]), float(sums[i])) for i in top]
 
 
+_FILTER_DRIVE_FACTOR = 8  # candidate-driven scoring wins when the allowed
+# set is this many times smaller than the query's posting footprint: each
+# candidate costs ~2 binary searches + (amortized) one 128-posting block
+# decode, vs ~1 varint decode per posting + a union-wide unique/bincount
+# for the exhaustive plan
+
+
+def _candidate_driven_topk(reader: IndexReader,
+                           lists: list["LazyPostingList"], k: int,
+                           allowed: set) -> list[tuple[int, float]]:
+    """Filtered BM25 top-k driven by the ALLOWED set: per sorted-term list,
+    probe each admissible doc through the skip pointers and accumulate its
+    contribution — docs matching no term are dropped (never ranked), so
+    results equal the posting-driven plans bit-for-bit (same float
+    accumulation order, same tie-break)."""
+    cand = np.fromiter(allowed, dtype=np.int64, count=len(allowed))
+    cand.sort()
+    dead = reader.deleted
+    if dead and len(cand):
+        cand = cand[~dead.mask(cand)]
+    if len(cand) == 0:
+        return []
+    sums = np.zeros(len(cand), dtype=np.float64)
+    matched = np.zeros(len(cand), dtype=bool)
+    full_cache: dict = {}
+    for li in lists:  # sorted-term order -> deterministic accumulation
+        found, tfs, lens_ = _block_select(li, cand, full_cache)
+        if not found.any():
+            continue
+        matched |= found
+        sums[found] += scoring.bm25(tfs[found], lens_[found], li.df,
+                                    reader.N, reader.avgdl)
+    cand, sums = cand[matched], sums[matched]
+    if len(cand) == 0:
+        return []
+    top = scoring.topk_indices(sums, cand, k)
+    return [(int(cand[i]), float(sums[i])) for i in top]
+
+
 def wand_topk_terms(reader: IndexReader, terms: list[str], k: int = 10,
                     stats: Optional[dict] = None,
                     allowed: Optional[set] = None) -> list[tuple[int, float]]:
@@ -616,7 +664,8 @@ def wand_topk_terms(reader: IndexReader, terms: list[str], k: int = 10,
     lists = [li for li in lists if li.nblocks]
     if not lists:
         return []
-    if sum(li.df for li in lists) <= _EXHAUSTIVE_CUTOFF:
+    total_df = sum(li.df for li in lists)
+    if total_df <= _EXHAUSTIVE_CUTOFF:
         # small total footprint: one bulk decode + bincount beats cursor
         # arithmetic regardless of how well the threshold would prune —
         # WAND's block skipping only pays once there are many blocks to
@@ -626,6 +675,15 @@ def wand_topk_terms(reader: IndexReader, terms: list[str], k: int = 10,
             stats["blocks_decoded"] = sum(li.nblocks for li in lists)
             stats["blocks_total"] = sum(li.nblocks for li in lists)
         return _exhaustive_topk_from_lists(reader, lists, k, allowed)
+    if allowed is not None and len(allowed) * _FILTER_DRIVE_FACTOR < total_df:
+        # selective filter: drive by the allowed set instead of the
+        # postings — score ONLY admissible docs via skip-pointer block
+        # probes (the filtered-search plan choice: iterate-filter vs
+        # iterate-postings). O(|allowed| log) + decode of touched blocks,
+        # independent of the query's term footprint. Results identical.
+        if stats is not None:
+            stats["filter_driven"] = True
+        return _candidate_driven_topk(reader, lists, k, allowed)
 
     def full_score(doc: int) -> float:
         sc = 0.0
@@ -985,9 +1043,42 @@ def ranking_pipeline_topk(reader: IndexReader, query: str, k: int = 10,
     ]
 
 
+def _block_select(li: "LazyPostingList", targets: np.ndarray,
+                  full_cache: dict) -> tuple:
+    """(found_mask, tfs, lens) for sorted-int64 `targets` against one
+    posting list: which targets the list contains, with their tf/len at
+    the matching positions (undefined where found_mask is False). Decodes
+    only the blocks containing a target (skip-pointer math over
+    block_last, cached per list) — O(|targets|) block decodes — unless the
+    target set rivals the block count, where one bulk decode is cheaper."""
+    if li.nblocks == 0 or len(targets) == 0:
+        z = np.zeros(len(targets), dtype=bool)
+        return z, z, z
+    if len(targets) >= li.nblocks:
+        got = full_cache.get(li.term)
+        if got is None:
+            got = full_cache[li.term] = li.full_arrays()
+        ids, tfs, lens_ = got
+    else:
+        bidx = li.block_last.searchsorted(targets, "left")
+        chunks = [li._decode(int(b)) for b in np.unique(bidx[bidx < li.nblocks])]
+        if not chunks:
+            z = np.zeros(len(targets), dtype=bool)
+            return z, z, z
+        # blocks are disjoint ascending doc ranges: concat stays sorted
+        ids = np.concatenate([c[0] for c in chunks])
+        tfs = np.concatenate([c[1] for c in chunks])
+        lens_ = np.concatenate([c[2] for c in chunks])
+    pos = ids.searchsorted(targets)
+    pos_c = np.minimum(pos, len(ids) - 1)
+    found = (pos < len(ids)) & (ids[pos_c] == targets)
+    return found, tfs[pos_c], lens_[pos_c]
+
+
 def grouped_conjunctive_topk(reader: IndexReader, groups: list[list[str]],
                              k: int = 10,
-                             allowed: Optional[set] = None
+                             allowed: Optional[set] = None,
+                             _ctx: Optional[dict] = None
                              ) -> list[tuple[int, float]]:
     """Conjunction of DISJUNCTIONS (OR-within-AND): a document matches when
     it contains at least one variant from EVERY group — the semantics of a
@@ -995,36 +1086,113 @@ def grouped_conjunctive_topk(reader: IndexReader, groups: list[list[str]],
     is a variant group). Ranked by the BM25 sum over every matched variant,
     (score desc, doc_id asc) tie-break.
 
-    One load of the union's postings, then numpy set algebra per group
-    (union) and across groups (intersection) — O(query postings), never
-    O(index)."""
+    Scale path (footprint above _EXHAUSTIVE_CUTOFF): rare-first galloping —
+    the RAREST group's variants are the only lists fully decoded; every
+    other group is probed by candidate (skip-pointer block lookup, only
+    blocks containing a surviving candidate are decoded), and scoring
+    touches candidate blocks alone. Work is O(rarest group's postings +
+    |candidates| block probes), not O(union of postings) — on skewed
+    queries ("common common rare") the frequent lists stay undecoded.
+    Small footprints keep the bulk decode + bincount TAAT (faster below
+    the cutoff; results identical — same float op order, same tie-break).
+
+    `_ctx` (internal) shares segment rows / lazy cursors / decoded arrays
+    across the matching strategies' relaxation attempts, so dropping a
+    group re-probes without re-reading parquet."""
     if k <= 0 or not groups:
         return []
     union_terms = sorted({t for g in groups for t in g})
-    postings = reader.load_postings(union_terms)
-    if not postings:
+    ctx = _ctx if _ctx is not None else {}
+    rows_all = ctx.get("rows")
+    if rows_all is None or any(t not in ctx.get("rows_for", ())
+                               for t in union_terms):
+        rows_all = ctx["rows"] = reader.load_segment_rows(union_terms)
+        ctx["rows_for"] = set(union_terms)
+    rows = {t: rows_all[t] for t in union_terms if t in rows_all}
+    if not rows:
         return []
-    # per-group doc-id unions; a group with no postings empties the AND
-    cand = None
+    # a group with no postings at all empties the AND
     for g in groups:
-        arrs = [u64_to_i64(postings[t][0]) for t in g if t in postings]
-        if not arrs:
+        if not any(t in rows for t in g):
             return []
-        docs = np.unique(np.concatenate(arrs))
-        cand = docs if cand is None else np.intersect1d(cand, docs,
-                                                        assume_unique=True)
-        if len(cand) == 0:
+    total_df = sum(int(parts[0]["df"]) for parts in rows.values())
+    if total_df <= _EXHAUSTIVE_CUTOFF:
+        postings = ctx.get("postings")
+        if postings is None or any(t not in postings for t in rows):
+            postings = ctx["postings"] = _decode_segment_rows(rows_all)
+        postings = {t: postings[t] for t in rows}
+        cand = None
+        for g in groups:
+            arrs = [u64_to_i64(postings[t][0]) for t in g if t in postings]
+            docs = np.unique(np.concatenate(arrs))
+            cand = docs if cand is None else np.intersect1d(
+                cand, docs, assume_unique=True)
+            if len(cand) == 0:
+                return []
+        uids, sums, _ = taat_arrays(reader, postings)  # tombstones out here
+        keep = np.isin(uids, cand, assume_unique=True)  # both sorted unique
+        if allowed is not None:
+            allow_arr = np.fromiter(allowed, dtype=np.int64,
+                                    count=len(allowed))
+            keep &= np.isin(uids, allow_arr)
+        uids, sums = uids[keep], sums[keep]
+        if len(uids) == 0:
             return []
-    uids, sums, _ = taat_arrays(reader, postings)  # tombstones excluded here
-    keep = np.isin(uids, cand, assume_unique=True)  # both sorted unique
+        top = scoring.topk_indices(sums, uids, k)
+        return [(int(uids[i]), float(sums[i])) for i in top]
+
+    # ---- galloping path ----
+    lists = ctx.setdefault("lists", {})
+    for t, parts in rows.items():
+        if t not in lists:
+            lists[t] = LazyPostingList(
+                t, parts, float(scoring.idf(reader.N, int(parts[0]["df"]))))
+    full_cache = ctx.setdefault("full", {})
+    gdf = [sum(lists[t].df for t in g if t in lists) for g in groups]
+    order = sorted(range(len(groups)), key=lambda i: gdf[i])
+    # rarest group: full union of its variants is the candidate seed
+    seed_arrays = []
+    for t in groups[order[0]]:
+        if t in lists:
+            got = full_cache.get(t)
+            if got is None:
+                got = full_cache[t] = lists[t].full_arrays()
+            seed_arrays.append(got[0])
+    cand = np.unique(np.concatenate(seed_arrays))
+    if reader.deleted:
+        cand = cand[~reader.deleted.mask(cand)]
     if allowed is not None:
         allow_arr = np.fromiter(allowed, dtype=np.int64, count=len(allowed))
-        keep &= np.isin(uids, allow_arr)
-    uids, sums = uids[keep], sums[keep]
-    if len(uids) == 0:
+        cand = cand[np.isin(cand, allow_arr)]
+    # remaining groups, ascending footprint: probe candidates, keep matches
+    for gi in order[1:]:
+        if len(cand) == 0:
+            return []
+        member = np.zeros(len(cand), dtype=bool)
+        for t in groups[gi]:
+            li = lists.get(t)
+            if li is None or li.nblocks == 0:
+                continue
+            rem = np.flatnonzero(~member)
+            if len(rem) == 0:
+                break
+            found, _, _ = _block_select(li, cand[rem], full_cache)
+            member[rem[found]] = True
+        cand = cand[member]
+    if len(cand) == 0:
         return []
-    top = scoring.topk_indices(sums, uids, k)
-    return [(int(uids[i]), float(sums[i])) for i in top]
+    # score candidates only, accumulating per-term in sorted-term order —
+    # the identical float64 addition order as taat_arrays' bincount
+    sums = np.zeros(len(cand), dtype=np.float64)
+    for t in sorted(rows):
+        li = lists[t]
+        found, tfs, lens_ = _block_select(li, cand, full_cache)
+        if not found.any():
+            continue
+        sums[found] += scoring.bm25(tfs[found], lens_[found], li.df,
+                                    reader.N, reader.avgdl)
+    top = scoring.topk_indices(sums, cand, k)
+    return [(int(cand[i]), float(sums[i])) for i in top]
 
 
 def _relax_matching(reader: IndexReader, groups: list[list[str]],
@@ -1036,9 +1204,11 @@ def _relax_matching(reader: IndexReader, groups: list[list[str]],
     per attempt) so facets-only searches learn the terms_used, but
     returns no hits."""
     probe_k = k if k > 0 else 1
+    ctx: dict = {}  # attempts share segment rows / cursors / decoded arrays
     for live in attempts:
         sub = [groups[i] for i in live]
-        hits = grouped_conjunctive_topk(reader, sub, probe_k, allowed=allowed)
+        hits = grouped_conjunctive_topk(reader, sub, probe_k, allowed=allowed,
+                                        _ctx=ctx)
         if hits:
             if stats is not None:
                 stats["groups_used"] = sub

@@ -254,9 +254,11 @@ def test_wand_degenerate_bailout_equals_taat(spark, tmp_path, monkeypatch):
     reader = IndexReader(spark, out)
 
     import sparkft.search as _search
-    # force the RUNTIME bailout branch (not the upfront cutoff)
+    # force the RUNTIME bailout branch (not the upfront cutoff, and not the
+    # selective-filter candidate-driven plan — tested separately below)
     monkeypatch.setattr(_search, "_EXHAUSTIVE_CUTOFF", 0)
     monkeypatch.setattr(_search, "_WAND_BAIL_CHECK", 64)
+    monkeypatch.setattr(_search, "_FILTER_DRIVE_FACTOR", 1 << 30)
     allowed = set(range(0, 3000, 3))
     for allow in (None, allowed):
         stats: dict = {}
@@ -269,3 +271,10 @@ def test_wand_degenerate_bailout_equals_taat(spark, tmp_path, monkeypatch):
         monkeypatch.setattr(_search, "_WAND_BAIL_CHECK", 64)
         assert got == pure
         assert all(d not in (5, 17, 2900) for d, _ in got)
+    # the candidate-driven filtered plan must agree with all of the above
+    monkeypatch.setattr(_search, "_FILTER_DRIVE_FACTOR", 8)
+    stats = {}
+    driven = wand_topk_terms(reader, ["alpha", "beta", "gamma"], 10,
+                             stats=stats, allowed=allowed)
+    assert stats.get("filter_driven"), stats
+    assert driven == pure
