@@ -322,16 +322,34 @@ def sort_topk(reader, store: AttributeStore, query: str, col: str,
     if len(ids) == 0:
         return []
     vals = store.lookup(ids, col)
-    if descending and not np.issubdtype(vals.dtype, np.number):
-        # reversed collation via ordinal codes: np.unique's sorted-unique
-        # inverse preserves the collation order, and negating the codes
-        # reverses it — works for strings (or any comparable dtype) with
-        # no per-row Python
+    if not np.issubdtype(vals.dtype, np.number):
+        # collation via ordinal codes: np.unique's sorted-unique inverse
+        # preserves the collation order (negated to reverse it) — works
+        # for strings (or any comparable dtype) with no per-row Python
         _, inv = np.unique(vals, return_inverse=True)
-        key = -inv
+        key = -inv if descending else inv
     else:
         key = -vals if descending else vals
-    order = np.lexsort((ids, key))
+    n = len(ids)
+    pick = None
+    if k < n:
+        # O(n) top-k selection (argpartition), not an O(n log n) full sort
+        # of the candidate set; boundary ties resolved by doc_id asc like
+        # the lexsort. NaN keys (possible for float attrs) break the
+        # ==/< boundary logic -> full sort fallback.
+        kth = np.partition(key, k - 1)[k - 1]
+        if not (isinstance(kth, np.floating) and np.isnan(kth)):
+            below = np.flatnonzero(key < kth)
+            need = k - len(below)
+            eq = np.flatnonzero(key == kth)
+            if 0 < need < len(eq):
+                eq = eq[np.argpartition(ids[eq], need - 1)[:need]]
+            elif need <= 0:
+                eq = eq[:0]
+            pick = np.concatenate([below, eq])
+    if pick is None:
+        pick = np.arange(n)
+    order = pick[np.lexsort((ids[pick], key[pick]))]
     top = order[:k]
     return [(int(ids[i]), vals[i].item() if hasattr(vals[i], "item") else vals[i])
             for i in top]

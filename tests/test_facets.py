@@ -206,3 +206,24 @@ def test_tombstones_leave_facets_and_sort(spark, built, tmp_path):
     want_sorted = sorted(((d, int(r["n_chars"])) for d, r in live.items()),
                          key=lambda t: (-t[1], t[0]))[:10]
     assert sort_topk(reader, store, QUERY, "n_chars", 10) == want_sorted
+
+
+def test_sort_topk_selection_boundary_ties(spark, built):
+    """The O(n) argpartition selection inside sort_topk must agree with a
+    full sort at every k, especially across tie boundaries (few distinct
+    values => the k-th slot is almost always tied)."""
+    out, rows = built
+    reader = IndexReader(spark, out)
+    store = AttributeStore(out)
+    m = _expected_matches(rows, reader.query_terms(QUERY))
+    for col, cast in (("repo", str), ("n_chars", int)):
+        pairs = [(int(r["doc_id"]), cast(r[col])) for r in m.values()]
+        exp_asc = sorted(pairs, key=lambda t: (t[1], t[0]))
+        # (value desc, doc_id asc): stable reverse on the value only
+        exp_desc = sorted(sorted(pairs), key=lambda t: t[1], reverse=True)
+        n = len(pairs)
+        for k in (1, 2, 3, 7, n - 1, n, n + 5):
+            got = sort_topk(reader, store, QUERY, col, k, descending=False)
+            assert got == exp_asc[:k], ("asc", col, k)
+            got = sort_topk(reader, store, QUERY, col, k, descending=True)
+            assert got == exp_desc[:k], ("desc", col, k)
