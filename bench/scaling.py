@@ -193,6 +193,23 @@ spark.stop()
             sys.stderr.write(r.stderr[-3000:])
             raise SystemExit("corpus generation failed")
 
+    # Input corpus on tmpfs, same rationale as spark.local.dir / index
+    # output (round-4): the first legs of the round-4 run read the corpus
+    # parquet from the COLD shared virtio disk (first local[2] stage1 was
+    # 105 s vs 31 s once page-cached), injecting a warm-up trend the
+    # interleaving then splits unevenly across levels. A real cluster
+    # reads input from distributed storage whose aggregate throughput
+    # scales with executors; the one cold sandbox disk does not. Copying
+    # the corpus to RAM before the first leg removes that non-scaling
+    # resource from the measurement entirely.
+    if os.path.isdir("/dev/shm"):
+        import shutil as _sh
+
+        shm_corpus = f"/dev/shm/sparkft_scaling_corpus_{n_docs}"
+        if not os.path.isdir(shm_corpus):
+            _sh.copytree(corpus_path, shm_corpus)
+        corpus_path = shm_corpus
+
     # ---- protocol: K interleaved (2, 8) pairs, idle-host gate per leg ----
     legs: list[dict] = []
     for i in range(pairs):
@@ -248,7 +265,12 @@ fresh JVM per leg, Python worker pool warmed before timing, worker-side
 Arrow pinned to 1 thread. **{pairs} interleaved (local[2], local[8]) pairs**
 — interleaving spreads any host drift across both levels — with an
 **idle-host precondition** (1-min loadavg < 2.0, waited with backoff,
-recorded per leg). THE headline number is the ratio of per-level MEDIANS.
+recorded per leg). Input corpus, shuffle dir, and index output all live on
+tmpfs (round-4 protocol note: a real cluster's input/shuffle/output
+bandwidth scales with executors; the sandbox's one shared virtio disk does
+not, and a cold first read of it injected a warm-up trend into the early
+legs of the round-4 cold run — disclosed in BENCH/BASELINE.md). THE
+headline number is the ratio of per-level MEDIANS.
 
 ## Headline
 

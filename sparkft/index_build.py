@@ -596,11 +596,24 @@ def _write_positions(all_postings, out_dir: str, num_buckets: int) -> None:
         .partitionBy("bucket")
         # token-sorted + bounded row groups: phrase lookups prune to the
         # row groups containing their terms (same rationale as segments)
-        .option("parquet.block.size", str(512 * 1024))
-        .option("parquet.page.size.row.check.min", "8")
-        .option("parquet.page.size.row.check.max", "64")
+        .options(**_rowgroup_options())
         .parquet(f"{out_dir}/positions")
     )
+
+
+def _rowgroup_options() -> dict:
+    """Parquet writer options bounding segment/position row groups (the
+    index's b-tree granularity). SPARKFT_SEG_BLOCK_BYTES tunes the target
+    (default 512 KiB; "0" disables bounding entirely — Spark defaults —
+    for A/B measurement of the writer overhead)."""
+    block = int(os.environ.get("SPARKFT_SEG_BLOCK_BYTES", str(512 * 1024)))
+    if block <= 0:
+        return {}
+    return {
+        "parquet.block.size": str(block),
+        "parquet.page.size.row.check.min": "8",
+        "parquet.page.size.row.check.max": "64",
+    }
 
 
 def build_segments(spark, postings, out_dir: str, avgdl: float,
@@ -652,9 +665,7 @@ def build_segments(spark, postings, out_dir: str, avgdl: float,
         # row lands in between, and the whole bucket closes as ONE row
         # group (observed). Forcing a check every <=64 rows keeps groups
         # near the target even under orders-of-magnitude row-size skew.
-        .option("parquet.block.size", str(512 * 1024))
-        .option("parquet.page.size.row.check.min", "8")
-        .option("parquet.page.size.row.check.max", "64")
+        .options(**_rowgroup_options())
         .parquet(f"{out_dir}/segments")
     )
 

@@ -109,7 +109,15 @@ def incremental_index(
     them into the bucketed AttributeStore / AttributeIndex so streamed
     docs are filterable/sortable/geo-searchable after compaction, exactly
     as if they had been in the batch build (VERDICT r3 #9). Without it the
-    streamed docs index fine but carry no attributes."""
+    streamed docs index fine but carry no attributes.
+
+    Consistency contract between compactions: plain search (postings)
+    sees appended shards as soon as `compact_index` folds them; the
+    ATTRIBUTE surfaces (filter / sort / facets / _geo, incl. the
+    _geo_cell grid path) always reflect the LAST compaction — a doc whose
+    attrs sit in attrs_raw is not yet filterable (store lookups raise on
+    its id; index lookups don't list it). This mirrors an async-indexing
+    search engine serving its last committed snapshot."""
     os.makedirs(f"{out_dir}/manifests", exist_ok=True)
 
     def sink(batch_df, batch_id: int):
