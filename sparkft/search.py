@@ -119,6 +119,16 @@ class IndexReader:
         # folds them out. Held as a doc-id-sorted int64 array probed by
         # binary search (TombstoneSet, the roaring-bitmap stand-in): 8
         # bytes/id instead of a Python-object set, vectorized bulk masking.
+        # Decoded-postings cache (the serving block cache every engine
+        # keeps): term -> the load_postings tuple, FIFO-evicted by total
+        # cached posting count. Safe per reader instance: an IndexReader
+        # is a snapshot of one immutable segment store (compaction writes
+        # a new store; callers re-open). SPARKFT_POSTING_CACHE_VALUES
+        # tunes the cap (0 disables; default ~16M postings ~= 400 MB).
+        self._decoded_cache: dict = {}
+        self._decoded_vals = 0
+        self._decoded_cap = int(os.environ.get(
+            "SPARKFT_POSTING_CACHE_VALUES", str(16_000_000)))
         self.deleted = TombstoneSet()
         tomb = f"{index_dir}/tombstones"
         if os.path.isdir(tomb) and any(
@@ -220,12 +230,35 @@ class IndexReader:
             parts.sort(key=lambda r: r["part"])
         return by_tok
 
+    def _cache_put(self, term: str, tup) -> None:
+        n = len(tup[0])
+        if self._decoded_cap <= 0 or n > self._decoded_cap:
+            return
+        while self._decoded_cache and self._decoded_vals + n > self._decoded_cap:
+            k = next(iter(self._decoded_cache))
+            self._decoded_vals -= len(self._decoded_cache.pop(k)[0])
+        self._decoded_cache[term] = tup
+        self._decoded_vals += n
+
     def load_postings(self, terms: list[str]):
         """Read + decode posting lists for `terms` (eager; the TAAT scorer
-        touches every posting anyway).
+        touches every posting anyway), through the decoded-postings cache.
 
         Returns {term: (doc_ids u64, tfs, lens, df, block_max, block_last)}."""
-        return _decode_segment_rows(self.load_segment_rows(terms))
+        out = {}
+        missing = []
+        for t in terms:
+            got = self._decoded_cache.get(t)
+            if got is not None:
+                out[t] = got
+            else:
+                missing.append(t)
+        if missing:
+            for t, tup in _decode_segment_rows(
+                    self.load_segment_rows(missing)).items():
+                self._cache_put(t, tup)
+                out[t] = tup
+        return out
 
 
 def _decode_segment_rows(rows_by_tok: dict) -> dict:
@@ -569,6 +602,24 @@ _EXHAUSTIVE_CUTOFF = 100_000  # total postings below which bulk decode +
 # bincount (~0.1 us/posting) always beats per-pivot cursors (~6 us/pivot)
 
 
+def _full_arrays_cached(reader: IndexReader, li: "LazyPostingList"
+                        ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """li.full_arrays() through the reader's decoded-postings cache.
+    Reads a load_postings entry when one exists (same decode, u64 ids);
+    otherwise caches the cursor's bulk decode under a ("fa", term) key —
+    a separate namespace so the load_postings tuple shape (which carries
+    block metadata) is never faked."""
+    got = reader._decoded_cache.get(li.term)
+    if got is not None:
+        return u64_to_i64(got[0]), got[1], got[2]
+    got = reader._decoded_cache.get(("fa", li.term))
+    if got is not None:
+        return got
+    ids, tfs, lens_ = li.full_arrays()
+    reader._cache_put(("fa", li.term), (ids, tfs, lens_))
+    return ids, tfs, lens_
+
+
 def _exhaustive_topk_from_lists(reader: IndexReader,
                                 lists: list["LazyPostingList"], k: int,
                                 allowed: Optional[set]
@@ -578,7 +629,7 @@ def _exhaustive_topk_from_lists(reader: IndexReader,
     accumulation order and tie-breaks match taat_arrays/wand exactly."""
     id_chunks, score_chunks = [], []
     for li in lists:
-        ids, tfs, lens_ = li.full_arrays()
+        ids, tfs, lens_ = _full_arrays_cached(reader, li)
         id_chunks.append(ids)
         score_chunks.append(scoring.bm25(tfs, lens_, li.df, reader.N,
                                          reader.avgdl))
@@ -628,7 +679,8 @@ def _candidate_driven_topk(reader: IndexReader,
     matched = np.zeros(len(cand), dtype=bool)
     full_cache: dict = {}
     for li in lists:  # sorted-term order -> deterministic accumulation
-        found, tfs, lens_ = _block_select(li, cand, full_cache)
+        found, tfs, lens_ = _block_select(li, cand, full_cache,
+                                          reader=reader)
         if not found.any():
             continue
         matched |= found
@@ -1044,20 +1096,23 @@ def ranking_pipeline_topk(reader: IndexReader, query: str, k: int = 10,
 
 
 def _block_select(li: "LazyPostingList", targets: np.ndarray,
-                  full_cache: dict) -> tuple:
+                  full_cache: dict, reader=None) -> tuple:
     """(found_mask, tfs, lens) for sorted-int64 `targets` against one
     posting list: which targets the list contains, with their tf/len at
     the matching positions (undefined where found_mask is False). Decodes
     only the blocks containing a target (skip-pointer math over
     block_last, cached per list) — O(|targets|) block decodes — unless the
-    target set rivals the block count, where one bulk decode is cheaper."""
+    target set rivals the block count, where one bulk decode is cheaper
+    (through the reader's decoded-postings cache when a reader is given)."""
     if li.nblocks == 0 or len(targets) == 0:
         z = np.zeros(len(targets), dtype=bool)
         return z, z, z
     if len(targets) >= li.nblocks:
         got = full_cache.get(li.term)
         if got is None:
-            got = full_cache[li.term] = li.full_arrays()
+            got = (_full_arrays_cached(reader, li) if reader is not None
+                   else li.full_arrays())
+            full_cache[li.term] = got
         ids, tfs, lens_ = got
     else:
         bidx = li.block_last.searchsorted(targets, "left")
@@ -1156,7 +1211,7 @@ def grouped_conjunctive_topk(reader: IndexReader, groups: list[list[str]],
         if t in lists:
             got = full_cache.get(t)
             if got is None:
-                got = full_cache[t] = lists[t].full_arrays()
+                got = full_cache[t] = _full_arrays_cached(reader, lists[t])
             seed_arrays.append(got[0])
     cand = np.unique(np.concatenate(seed_arrays))
     if reader.deleted:
@@ -1176,7 +1231,8 @@ def grouped_conjunctive_topk(reader: IndexReader, groups: list[list[str]],
             rem = np.flatnonzero(~member)
             if len(rem) == 0:
                 break
-            found, _, _ = _block_select(li, cand[rem], full_cache)
+            found, _, _ = _block_select(li, cand[rem], full_cache,
+                                        reader=reader)
             member[rem[found]] = True
         cand = cand[member]
     if len(cand) == 0:
@@ -1186,7 +1242,8 @@ def grouped_conjunctive_topk(reader: IndexReader, groups: list[list[str]],
     sums = np.zeros(len(cand), dtype=np.float64)
     for t in sorted(rows):
         li = lists[t]
-        found, tfs, lens_ = _block_select(li, cand, full_cache)
+        found, tfs, lens_ = _block_select(li, cand, full_cache,
+                                          reader=reader)
         if not found.any():
             continue
         sums[found] += scoring.bm25(tfs[found], lens_[found], li.df,
