@@ -67,6 +67,35 @@ def main() -> int:
         .count()
     )
 
+    # Host calibration (round-4): the sandbox VM's Spark job-dispatch
+    # latency and JVM compute throughput drift BETWEEN rounds by 3-5x
+    # (same-host A/B in BENCH/HOST_DRIFT_r4.md showed HEAD faster than the
+    # round-3 code while absolute bench numbers tripled). Two fixed probes,
+    # measured steady-state and reported ALONGSIDE the timings (never added
+    # to the total), let cross-round comparisons separate host drift from
+    # code changes: `dispatch_ms` = one trivial 32-task job (pure
+    # scheduling + task-launch tax, paid by every query in this suite);
+    # `jvm_kernel_ms` = sum(id*2) over 100M longs (whole-stage-codegen
+    # arithmetic throughput).
+    def _median(xs):
+        s = sorted(xs)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+    tiny = spark.range(1000).repartition(cpus)
+    tiny.count()  # warm (plan + codegen)
+    tiny.count()
+    dispatch_ms = round(1000 * _median(
+        [(lambda t0: (tiny.count(), time.time() - t0)[1])(time.time())
+         for _ in range(5)]), 1)
+    from pyspark.sql import functions as F
+
+    kern = spark.range(100_000_000).agg(F.sum(F.col("id") * 2))
+    kern.collect()  # warm
+    jvm_kernel_ms = round(1000 * _median(
+        [(lambda t0: (kern.collect(), time.time() - t0)[1])(time.time())
+         for _ in range(3)]), 1)
+
     qs = entry.queries()
     # the engine-path entries share one positional segment index; build it
     # once here under its own metric so each engine query's number reflects
@@ -211,6 +240,8 @@ def main() -> int:
                 "sf": sf,
                 "index_docs_per_sec": docs_per_sec,
                 "cpus": cpus,
+                "host_dispatch_ms": dispatch_ms,
+                "host_jvm_kernel_ms": jvm_kernel_ms,
             }
         )
     )
@@ -229,6 +260,8 @@ def main() -> int:
                 "index_docs_per_sec": docs_per_sec,
                 "n_queries": len(timings),
                 "cpus": cpus,
+                "host_dispatch_ms": dispatch_ms,
+                "host_jvm_kernel_ms": jvm_kernel_ms,
             }
         )
     )

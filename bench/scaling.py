@@ -309,7 +309,7 @@ Generated by `python bench/scaling.py {n_docs} --pairs {pairs}`.
     fname = "SCALING_RUN.md" if pairs >= 3 else "SCALING_RUN_smoke.md"
     with open(os.path.join(ROOT, "BENCH", fname), "w") as f:
         f.write(md)
-    print(f"wrote BENCH/SCALING_RUN.md (median eff N-4N {round(eff, 3)})",
+    print(f"wrote BENCH/{fname} (median eff N-4N {round(eff, 3)})",
           file=sys.stderr)
     return 0
 
