@@ -67,8 +67,10 @@ def write_attribute_store(spark, docs_df, index_dir: str,
     )
     # record the MODULUS: empty buckets write no dir, so inferring it from
     # the dirs present would change the hash and probe the wrong bucket
+    # (cols recorded too, so compaction can validate the attribute index's
+    # column set against the store without reading parquet footers)
     with open(f"{out}/_meta.json", "w") as f:
-        json.dump({"num_buckets": num_buckets}, f)
+        json.dump({"num_buckets": num_buckets, "cols": list(cols)}, f)
     return out
 
 

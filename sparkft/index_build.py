@@ -702,6 +702,55 @@ def delete_docs(index_dir: str, doc_ids) -> int:
     return len(ids)
 
 
+def _validate_attr_stores_for_compaction(out_dir: str) -> None:
+    """Fail FAST (before the expensive segment rebuild) on attribute-store
+    configurations _compact_attribute_stores cannot service:
+
+    - streamed attribute shards without a batch AttributeStore (no bucket
+      modulus / column set to fold them into);
+    - an attribute index whose column set is not a subset of the store's —
+      compaction re-derives the per-value index from the store's columns
+      only (the original source DataFrame is gone), so an index built via
+      `write_attribute_index(..., cols=("lang","category"))` over a store
+      holding only ("lang",) is unrecoverable here and previously aborted
+      compaction midway with an AnalysisException AFTER segments were
+      rebuilt."""
+    attrs_meta = f"{out_dir}/attrs/_meta.json"
+    has_store = os.path.isfile(attrs_meta)
+    if os.path.isdir(f"{out_dir}/attrs_raw") and not has_store:
+        raise ValueError(
+            f"{out_dir}/attrs_raw exists but {out_dir}/attrs does not: "
+            "write the batch AttributeStore (write_attribute_store) before "
+            "streaming attribute shards, so compaction knows the bucket "
+            "modulus and column set")
+    idx_meta = f"{out_dir}/attr_index/_meta.json"
+    if has_store and os.path.isfile(idx_meta):
+        with open(attrs_meta) as f:
+            store_cols = set(json.load(f).get("cols", ()) or ())
+        if not store_cols:
+            # legacy store meta (pre cols-recording): read the column set
+            # from the parquet schema instead
+            import pyarrow.dataset as _ds
+
+            store_cols = {
+                n for n in _ds.dataset(
+                    f"{out_dir}/attrs", format="parquet",
+                    partitioning="hive").schema.names
+                if n not in ("doc_id", "bucket")
+            }
+        with open(idx_meta) as f:
+            idx_cols = set(json.load(f).get("cols", ()))
+        missing = sorted(idx_cols - store_cols)
+        if missing:
+            raise ValueError(
+                f"attribute index at {out_dir}/attr_index was built over "
+                f"column(s) {missing} that the AttributeStore does not "
+                f"keep (store cols: {sorted(store_cols)}); compaction "
+                "rebuilds the index from the store, so include those "
+                "columns in write_attribute_store(cols=...) or drop/"
+                "rebuild the attribute index before compacting")
+
+
 def _compact_attribute_stores(spark, out_dir: str) -> None:
     """Fold streamed attribute shards (attrs_raw/, written by
     `incremental_index(attr_cols=...)`) into the bucketed AttributeStore
@@ -807,6 +856,7 @@ def compact_index(spark, out_dir: str, num_buckets: int = 32,
     from .spark_util import ensure_shipped
 
     ensure_shipped(spark)
+    _validate_attr_stores_for_compaction(out_dir)
     prior: dict = {}
     stats_path = f"{out_dir}/stats.json"
     if os.path.exists(stats_path):

@@ -47,6 +47,7 @@ def topk_indices(scores: np.ndarray, doc_ids: np.ndarray, k: int) -> np.ndarray:
     n = len(scores)
     if n == 0 or k <= 0:
         return np.empty(0, dtype=np.int64)
+    cand = None
     if k < n:
         kth = np.partition(scores, n - k)[n - k]  # k-th largest score
         above = np.flatnonzero(scores > kth)
@@ -56,7 +57,13 @@ def topk_indices(scores: np.ndarray, doc_ids: np.ndarray, k: int) -> np.ndarray:
             eq = eq[np.argpartition(doc_ids[eq], need - 1)[:need]] \
                 if need > 0 else eq[:0]
         cand = np.concatenate([above, eq])
-    else:
+        if len(cand) < k:
+            # NaN scores poison the >/== boundary selection (a NaN kth
+            # selects nothing; NaNs elsewhere leave the set under-full).
+            # Degenerate input — fall back to the full lexsort, which
+            # ranks NaN last (same policy as facets.sort_topk).
+            cand = None
+    if cand is None:
         cand = np.arange(n)
     order = np.lexsort((doc_ids[cand], -scores[cand]))
     return cand[order[:k]]

@@ -140,3 +140,32 @@ def test_build_determinism_row_identical(spark, tmp_path):
             )
         )
     assert rows[0] == rows[1]
+
+
+def test_topk_indices_nan_scores_rank_last():
+    """Review r4: NaN scores used to poison the argpartition boundary
+    selection (a NaN kth selected NOTHING; NaNs below the boundary left
+    the set under-full). Degenerate stats (avgdl=0, NaN federation
+    weight) must degrade to 'NaN ranks last', matching the historical
+    full lexsort."""
+    import numpy as np
+
+    from sparkft.scoring import topk_indices
+
+    s = np.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0,
+                  np.nan, np.nan, np.nan])
+    d = np.arange(10, dtype=np.int64)
+    top = topk_indices(s, d, 3)
+    assert [int(d[i]) for i in top] == [6, 5, 4]
+
+    rng = np.random.default_rng(11)
+    for trial in range(300):
+        n = int(rng.integers(1, 40))
+        k = int(rng.integers(1, 50))
+        sc = rng.integers(0, 4, n).astype(float)
+        if trial % 2:
+            sc[rng.random(n) < 0.35] = np.nan
+        ids = rng.permutation(n).astype(np.int64)
+        got = list(topk_indices(sc, ids, k))
+        ref = list(np.lexsort((ids, -sc))[:k])
+        assert got == ref

@@ -227,3 +227,43 @@ def test_sort_topk_selection_boundary_ties(spark, built):
             assert got == exp_asc[:k], ("asc", col, k)
             got = sort_topk(reader, store, QUERY, col, k, descending=True)
             assert got == exp_desc[:k], ("desc", col, k)
+
+
+def test_compaction_rejects_attr_index_wider_than_store(spark, tmp_path):
+    """Review r4: an attribute index built over columns the AttributeStore
+    does not keep cannot be re-derived at compaction (the source DataFrame
+    is gone). compact_index must fail FAST with a clear error, before the
+    segment rebuild — not with an AnalysisException halfway through."""
+    import json
+
+    import pytest
+
+    from sparkft.corpus import generate_corpus
+    from sparkft.facets import write_attribute_index, write_attribute_store
+    from sparkft.index_build import (
+        _validate_attr_stores_for_compaction, build_index)
+
+    out = str(tmp_path / "idx")
+    docs = spark.createDataFrame(generate_corpus(60, seed=5))
+    build_index(spark, docs, out, num_shards=1, num_buckets=4)
+    from pyspark.sql import functions as F
+
+    attrs = (docs.withColumn("doc_id",
+                             F.xxhash64("repo", "path", "commit"))
+             .select("doc_id", "lang",
+                     F.length("content").alias("n_chars")))
+    write_attribute_store(spark, attrs, out, cols=("lang",), num_buckets=4)
+    write_attribute_index(spark, attrs, out, cols=("lang", "n_chars"),
+                          num_buckets=4)
+    with pytest.raises(ValueError, match="n_chars"):
+        _validate_attr_stores_for_compaction(out)
+    # matching column sets validate clean (legacy meta without cols too)
+    write_attribute_index(spark, attrs, out, cols=("lang",), num_buckets=4)
+    _validate_attr_stores_for_compaction(out)
+    meta = f"{out}/attrs/_meta.json"
+    with open(meta) as f:
+        m = json.load(f)
+    m.pop("cols")
+    with open(meta, "w") as f:
+        json.dump(m, f)  # legacy store meta: falls back to parquet schema
+    _validate_attr_stores_for_compaction(out)
