@@ -22,7 +22,10 @@ same file formats.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+import hashlib
+import json
+import os
+from dataclasses import asdict, dataclass, field, replace
 from typing import Optional, Sequence
 
 
@@ -90,3 +93,105 @@ class TokenizerConfig:
 
 
 DEFAULT_CONFIG = TokenizerConfig()
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer contract fingerprint
+#
+# An inverted index is only coherent if every posting in it — and every
+# query served against it — was produced by the SAME tokenization behavior.
+# Mixing tokenizers (a shard appended after a dictionary upgrade, a resumed
+# build after a config edit, a query routed through a different allow_list)
+# is silent recall loss: old shards hold 'bundesbank', new ones
+# 'bundes'+'bank', and nothing errors until users notice missing results.
+#
+# The fingerprint digests everything that can change the lemma stream for a
+# given input text:
+#   - every TokenizerConfig field except create_char_map (char maps annotate
+#     token metadata for highlighting; the lemma stream is identical),
+#   - the content of the shipped segmentation/normalization data files,
+#   - the content of any injected dictionary/lexicon the config points at,
+#   - TOKENIZER_BEHAVIOR_VERSION, bumped manually when CODE changes alter
+#     tokenization for an unchanged config (algorithm fixes, new normalizer
+#     steps) — data and config changes are caught automatically, code
+#     changes need the explicit bump.
+#
+# build_index/incremental_index stamp it into stats.json and every shard
+# manifest; resume/append/compaction and IndexReader.query_terms compare and
+# fail fast on mismatch (index_build.py / search.py). Indexes written before
+# this guard (no fingerprint recorded) pass unchecked.
+# ---------------------------------------------------------------------------
+
+TOKENIZER_BEHAVIOR_VERSION = 1
+
+# digest cache keyed by (path, mtime_ns, size) — injected CJK dictionaries
+# run to several MB and fingerprints are computed per build/reader, not once
+_FILE_DIGEST_CACHE: dict = {}
+
+
+def _file_digest(path: str) -> str:
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    got = _FILE_DIGEST_CACHE.get(key)
+    if got is None:
+        h = hashlib.sha256()
+        with open(path, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        got = _FILE_DIGEST_CACHE[key] = h.hexdigest()
+    return got
+
+
+def _shipped_data_digest() -> str:
+    """One digest over every shipped data file that feeds tokenization
+    (segmentation dictionaries, separator tables, normalizer charmaps).
+    Memoized for the process: the files are read-only package data."""
+    got = _FILE_DIGEST_CACHE.get("__shipped__")
+    if got is None:
+        data_dir = os.path.join(os.path.dirname(__file__), "data")
+        h = hashlib.sha256()
+        for name in sorted(os.listdir(data_dir)):
+            h.update(name.encode())
+            h.update(_file_digest(os.path.join(data_dir, name)).encode())
+        got = _FILE_DIGEST_CACHE["__shipped__"] = h.hexdigest()
+    return got
+
+
+def tokenizer_fingerprint(cfg: TokenizerConfig = DEFAULT_CONFIG) -> str:
+    """sha256 hex digest of the tokenizer behavior contract for `cfg`."""
+    # configs pointing at injected dictionary files are not memoized: the
+    # contract is the file CONTENT, which can change under the same path
+    cacheable = (cfg.chinese_dict_path is None
+                 and cfg.japanese_lexicon_path is None
+                 and cfg.korean_lexicon_path is None)
+    if cacheable:
+        got = _FINGERPRINT_CACHE.get(cfg)
+        if got is not None:
+            return got
+    d = asdict(cfg)
+    d.pop("create_char_map")  # metadata-only: lemma stream unaffected
+    for k, v in list(d.items()):
+        if isinstance(v, frozenset):
+            d[k] = sorted(v)
+        elif isinstance(v, tuple):
+            d[k] = list(v)
+    for k in ("chinese_dict_path", "japanese_lexicon_path",
+              "korean_lexicon_path"):
+        if d[k] is not None:
+            # the CONTENT is the contract; the path is just where it lives
+            d[k] = _file_digest(d[k])
+    payload = json.dumps(
+        {
+            "behavior_version": TOKENIZER_BEHAVIOR_VERSION,
+            "config": d,
+            "shipped_data": _shipped_data_digest(),
+        },
+        sort_keys=True,
+    )
+    got = hashlib.sha256(payload.encode()).hexdigest()
+    if cacheable:
+        _FINGERPRINT_CACHE[cfg] = got
+    return got
+
+
+_FINGERPRINT_CACHE: dict = {}

@@ -38,7 +38,7 @@ from typing import Iterator, Optional
 
 import numpy as np
 
-from .config import DEFAULT_CONFIG, TokenizerConfig
+from .config import DEFAULT_CONFIG, TokenizerConfig, tokenizer_fingerprint
 
 SEG_MAX = 1 << 20  # max postings per segment row
 SHA_PREFIX = "\x00sha256:"
@@ -835,6 +835,38 @@ def _compact_attribute_stores(spark, out_dir: str) -> None:
     shutil.rmtree(raw_dir, ignore_errors=True)
 
 
+def _check_shard_fingerprints(out_dir: str, stats_fp=None):
+    """All shard manifests (batch and streamed) must record the SAME
+    tokenizer fingerprint — one divergent shard poisons the merged index.
+    Returns the consensus fingerprint, or None when nothing recorded one
+    (pre-guard index). Raises naming the divergent shards otherwise."""
+    mdir = f"{out_dir}/manifests"
+    by_fp: dict = {}
+    if os.path.isdir(mdir):
+        for fname in sorted(os.listdir(mdir)):
+            if not fname.startswith("shard-") or not fname.endswith(".json"):
+                continue
+            with open(f"{mdir}/{fname}") as f:
+                fp = json.load(f).get("tokenizer_fingerprint")
+            if fp is not None:
+                by_fp.setdefault(fp, []).append(fname)
+    if stats_fp is not None:
+        by_fp.setdefault(stats_fp, []).append("stats.json")
+    if len(by_fp) > 1:
+        detail = "; ".join(
+            f"{fp[:12]}…: {', '.join(names)}" for fp, names in sorted(by_fp.items())
+        )
+        raise ValueError(
+            "tokenizer contract violated: shards of this index were written "
+            f"with DIFFERENT tokenizer fingerprints ({detail}). Merging them "
+            "would silently mix incompatible lemma streams (e.g. compounds "
+            "split in some shards, whole in others). Rebuild the divergent "
+            "shards with the index's original config, or rebuild the whole "
+            "index (resume=False) under the new one."
+        )
+    return next(iter(by_fp), None)
+
+
 def compact_index(spark, out_dir: str, num_buckets: int = 32,
                   salt_mod: int = 16, hot_token_count: int = 64,
                   seg_max: int = SEG_MAX) -> dict:
@@ -862,6 +894,12 @@ def compact_index(spark, out_dir: str, num_buckets: int = 32,
     if os.path.exists(stats_path):
         with open(stats_path) as f:
             prior = json.load(f)
+    # Tokenizer contract: every shard folded into one segment store must
+    # have been tokenized identically, or the merged postings are silently
+    # inconsistent (same surface word under different lemmas depending on
+    # which shard a doc landed in). Shards from before the guard carry no
+    # fingerprint and pass unchecked.
+    index_fp = _check_shard_fingerprints(out_dir, prior.get("tokenizer_fingerprint"))
 
     all_postings = (
         spark.read.option("mergeSchema", "true")
@@ -971,6 +1009,8 @@ def compact_index(spark, out_dir: str, num_buckets: int = 32,
         "hot_tokens": hot,
         "compacted": True,
     }
+    if index_fp is not None:
+        out["tokenizer_fingerprint"] = index_fp
     if n_zero_docs is not None:
         out["n_zero_docs"] = n_zero_docs
     with open(stats_path, "w") as f:
@@ -1061,6 +1101,20 @@ def build_index(
 
     ensure_shipped(spark)
     t0 = time.time()
+    # Tokenizer contract (config.py:tokenizer_fingerprint): stamped into
+    # every shard manifest and stats.json; resume against shards written
+    # under a different tokenizer would mix lemma streams — fail instead.
+    build_fp = tokenizer_fingerprint(cfg)
+    existing_fp = _check_shard_fingerprints(out_dir)
+    if existing_fp is not None and existing_fp != build_fp:
+        raise ValueError(
+            "tokenizer contract violated: existing shards under "
+            f"{out_dir} were tokenized with fingerprint "
+            f"{existing_fp[:12]}… but this build's config fingerprints as "
+            f"{build_fp[:12]}…. Resuming would mix incompatible lemma "
+            "streams. Pass resume=False to rebuild from scratch, or the "
+            "original TokenizerConfig to finish the old build."
+        )
     if doc_id_col is None:
         docs = corpus_df.withColumn("doc_id", F.xxhash64(*[F.col(c) for c in id_cols]))
     else:
@@ -1133,6 +1187,7 @@ def build_index(
                 "tokens_per_sec": round(tokens / max(wall, 1e-9), 1),
                 "skew_ratio": round(max(counts) / (sum(counts) / len(counts)), 3)
                 if counts else 1.0,
+                "tokenizer_fingerprint": build_fp,
             }
             mpath = f"{out_dir}/manifests/shard-{k}.json"
             with open(mpath + ".tmp", "w") as f:
@@ -1260,6 +1315,7 @@ def build_index(
                 "wall_s": result.wall_s,
                 "skew_ratio": result.skew_ratio,
                 "n_zero_docs": n_zero_docs,
+                "tokenizer_fingerprint": build_fp,
                 "stage_timings": timings,
             },
             f,

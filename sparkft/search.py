@@ -26,7 +26,7 @@ from typing import Optional
 import numpy as np
 
 from . import codec, scoring
-from .config import DEFAULT_CONFIG, TokenizerConfig
+from .config import DEFAULT_CONFIG, TokenizerConfig, tokenizer_fingerprint
 from .index_build import _token_bucket, i64_to_u64, u64_to_i64
 
 
@@ -138,9 +138,29 @@ class IndexReader:
             self.deleted = TombstoneSet(t["doc_id"].to_numpy(
                 zero_copy_only=False))
 
+    def verify_config(self, cfg: TokenizerConfig) -> None:
+        """Index/query tokenizer symmetry guard: a query tokenized under a
+        different contract than the index (other dictionaries, allow_list,
+        normalizer set) produces lemmas the postings don't contain — silent
+        recall loss, the exact bug class ADVICE r3 flagged. Indexes written
+        before the fingerprint existed pass unchecked."""
+        index_fp = self.stats.get("tokenizer_fingerprint")
+        if index_fp is None:
+            return
+        query_fp = tokenizer_fingerprint(cfg)  # memoized per config
+        if query_fp != index_fp:
+            raise ValueError(
+                f"tokenizer contract violated: index {self.dir} was built "
+                f"with tokenizer fingerprint {index_fp[:12]}… but this "
+                f"query's config fingerprints as {query_fp[:12]}…. Doc and "
+                "query lemmas would diverge (zero recall on affected "
+                "terms); query with the index's original TokenizerConfig."
+            )
+
     def query_terms(self, query: str, cfg: TokenizerConfig = DEFAULT_CONFIG) -> list[str]:
         from .tokenizer import tokenize_batch
 
+        self.verify_config(cfg)
         _, lemmas = tokenize_batch([query], cfg, words_only=True)
         return sorted({t for t in lemmas if t})
 

@@ -118,6 +118,28 @@ def incremental_index(
     attrs sit in attrs_raw is not yet filterable (store lookups raise on
     its id; index lookups don't list it). This mirrors an async-indexing
     search engine serving its last committed snapshot."""
+    from .config import tokenizer_fingerprint
+    from .index_build import _check_shard_fingerprints
+
+    # Tokenizer contract, checked BEFORE any micro-batch runs: appending
+    # shards tokenized under a different config/dictionary than the
+    # existing index silently mixes lemma streams — new docs' compounds
+    # split where old ones are whole, and nothing errors until recall
+    # drops. Pre-guard indexes (no fingerprint recorded) accept appends.
+    stream_fp = tokenizer_fingerprint(cfg)
+    stats_fp = None
+    if os.path.exists(f"{out_dir}/stats.json"):
+        with open(f"{out_dir}/stats.json") as f:
+            stats_fp = json.load(f).get("tokenizer_fingerprint")
+    existing_fp = _check_shard_fingerprints(out_dir, stats_fp)
+    if existing_fp is not None and existing_fp != stream_fp:
+        raise ValueError(
+            f"tokenizer contract violated: index at {out_dir} was built "
+            f"with tokenizer fingerprint {existing_fp[:12]}… but this "
+            f"stream's config fingerprints as {stream_fp[:12]}…. Appending "
+            "would mix incompatible lemma streams. Rebuild the index under "
+            "the new config, or stream with the index's original config."
+        )
     os.makedirs(f"{out_dir}/manifests", exist_ok=True)
 
     def sink(batch_df, batch_id: int):
@@ -143,6 +165,7 @@ def incremental_index(
             "wall_s": round(time.time() - t0, 3),
             "source": "structured-streaming",
             "attr_cols": list(attr_cols),
+            "tokenizer_fingerprint": stream_fp,
         }
         mpath = f"{out_dir}/manifests/shard-stream-{batch_id}.json"
         with open(mpath + ".tmp", "w") as f:

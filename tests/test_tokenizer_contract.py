@@ -1,0 +1,172 @@
+"""Tokenizer contract guard: an index, its appended shards, and the queries
+served against it must all share ONE tokenization behavior, or recall decays
+silently (old shards hold 'bundesbank', new ones 'bundes'+'bank'). The
+fingerprint (config.tokenizer_fingerprint) is stamped at build time and
+checked at resume, streaming append, compaction, and query time."""
+
+import json
+import os
+
+import pytest
+
+from sparkft.config import (
+    DEFAULT_CONFIG,
+    TokenizerConfig,
+    tokenizer_fingerprint,
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .appName("sparkft-tokcontract")
+        .getOrCreate()
+    )
+    yield s
+
+
+@pytest.fixture(scope="module")
+def built_index(spark, tmp_path_factory):
+    from sparkft.corpus import generate_corpus
+    from sparkft.index_build import build_index
+
+    out = str(tmp_path_factory.mktemp("tokfp") / "idx")
+    pdf = generate_corpus(60, seed=3)
+    build_index(spark, spark.createDataFrame(pdf), out, num_shards=2)
+    return out
+
+
+def test_fingerprint_deterministic_and_sensitive():
+    fp = tokenizer_fingerprint(DEFAULT_CONFIG)
+    assert fp == tokenizer_fingerprint(TokenizerConfig())
+    assert len(fp) == 64
+    # any lemma-stream-affecting field changes the fingerprint
+    assert tokenizer_fingerprint(
+        DEFAULT_CONFIG.with_(german_segmentation=False)) != fp
+    assert tokenizer_fingerprint(
+        DEFAULT_CONFIG.with_(allow_list=("eng",))) != fp
+    assert tokenizer_fingerprint(
+        DEFAULT_CONFIG.with_(stop_words={"the"})) != fp
+    # create_char_map only annotates highlight metadata — same lemma stream,
+    # same contract (highlighters may enable it against any index)
+    assert tokenizer_fingerprint(
+        DEFAULT_CONFIG.with_(create_char_map=True)) == fp
+
+
+def test_fingerprint_tracks_injected_dictionary_content(tmp_path):
+    p = tmp_path / "dict.txt"
+    p.write_text("foobar 100 n\n")
+    cfg = DEFAULT_CONFIG.with_(chinese_dict_path=str(p))
+    fp1 = tokenizer_fingerprint(cfg)
+    assert fp1 != tokenizer_fingerprint(DEFAULT_CONFIG)
+    # same path, different content -> different contract
+    p.write_text("foobar 100 n\nbazqux 50 n\n")
+    assert tokenizer_fingerprint(cfg) != fp1
+
+
+def test_build_stamps_stats_and_manifests(built_index):
+    fp = tokenizer_fingerprint(DEFAULT_CONFIG)
+    with open(f"{built_index}/stats.json") as f:
+        assert json.load(f)["tokenizer_fingerprint"] == fp
+    for fname in os.listdir(f"{built_index}/manifests"):
+        with open(f"{built_index}/manifests/{fname}") as f:
+            assert json.load(f)["tokenizer_fingerprint"] == fp
+
+
+def test_resume_under_different_config_fails_fast(spark, built_index):
+    from sparkft.corpus import generate_corpus
+    from sparkft.index_build import build_index
+
+    pdf = generate_corpus(60, seed=3)
+    with pytest.raises(ValueError, match="tokenizer contract"):
+        build_index(spark, spark.createDataFrame(pdf), built_index,
+                    cfg=DEFAULT_CONFIG.with_(latin_camelcase=False),
+                    num_shards=2)
+
+
+def test_query_under_different_config_fails_fast(spark, built_index):
+    from sparkft.search import IndexReader, wand_topk
+
+    reader = IndexReader(spark, built_index)
+    # matching config serves fine
+    assert isinstance(wand_topk(reader, "spark index", 5), list)
+    with pytest.raises(ValueError, match="tokenizer contract"):
+        wand_topk(reader, "spark index", 5,
+                  cfg=DEFAULT_CONFIG.with_(stop_words={"spark"}))
+
+
+def test_streaming_append_under_different_config_fails_fast(
+        spark, built_index):
+    from pyspark.sql import functions as F
+
+    from sparkft.corpus import generate_corpus
+    from sparkft.streaming import incremental_index
+
+    src = f"{built_index}_src"
+    pdf = generate_corpus(20, seed=9)
+    (spark.createDataFrame(pdf)
+     .withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
+     .select("doc_id", F.col("content").alias("text"))
+     .write.mode("overwrite").parquet(src))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    # the guard trips at sink CONSTRUCTION, before any micro-batch runs
+    with pytest.raises(ValueError, match="tokenizer contract"):
+        incremental_index(
+            stream, built_index,
+            cfg=DEFAULT_CONFIG.with_(german_segmentation=False))
+
+
+def test_compaction_rejects_mixed_shards(spark, built_index, tmp_path):
+    import shutil
+
+    from sparkft.index_build import compact_index
+
+    idx = str(tmp_path / "mixed")
+    shutil.copytree(built_index, idx)
+    mpath = sorted(
+        f"{idx}/manifests/{f}" for f in os.listdir(f"{idx}/manifests"))[0]
+    with open(mpath) as f:
+        m = json.load(f)
+    m["tokenizer_fingerprint"] = "0" * 64
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    with pytest.raises(ValueError, match="DIFFERENT tokenizer fingerprints"):
+        compact_index(spark, idx)
+
+
+def test_legacy_index_without_fingerprint_passes(spark, built_index,
+                                                 tmp_path):
+    """Indexes written before the guard carry no fingerprint: every check
+    is a no-op (resume, append, query, compaction all proceed)."""
+    import shutil
+
+    from sparkft.index_build import compact_index
+    from sparkft.search import IndexReader, wand_topk
+
+    idx = str(tmp_path / "legacy")
+    shutil.copytree(built_index, idx)
+    with open(f"{idx}/stats.json") as f:
+        stats = json.load(f)
+    stats.pop("tokenizer_fingerprint")
+    with open(f"{idx}/stats.json", "w") as f:
+        json.dump(stats, f)
+    for fname in os.listdir(f"{idx}/manifests"):
+        p = f"{idx}/manifests/{fname}"
+        with open(p) as f:
+            m = json.load(f)
+        m.pop("tokenizer_fingerprint", None)
+        with open(p, "w") as f:
+            json.dump(m, f)
+
+    reader = IndexReader(spark, idx)
+    # any config serves a pre-guard index (nothing to compare against)
+    assert isinstance(
+        wand_topk(reader, "spark", 5,
+                  cfg=DEFAULT_CONFIG.with_(stop_words={"the"})), list)
+    out = compact_index(spark, idx)
+    assert "tokenizer_fingerprint" not in out
