@@ -121,7 +121,8 @@ def main() -> int:
         "tokenize_doc_lengths", "term_frequencies", "bm25_topk",
         "bm25_engine_topk", "phrase_match",
         "dedup_exact", "minhash_signatures", "lsh_band_buckets",
-        "ngram_jaccard_pairs", "simhash", "embedding_cosine_topk",
+        "ngram_jaccard_pairs", "dedup_clusters", "simhash",
+        "embedding_cosine_topk",
         "ivf_cosine_topk",
         "quality_scores", "doc_fingerprint",
         "pricing_summary", "top_customers", "orders_window_rank",

@@ -166,6 +166,67 @@ def jaccard_pairs_lsh(sh: DataFrame, threshold: float = 0.1) -> DataFrame:
                                   threshold)
 
 
+def connected_components(edges: DataFrame, max_iter: int = 64) -> DataFrame:
+    """(doc_id, component) over an undirected edge list (d1, d2) — component
+    is the MIN doc_id in each component (deterministic canonical label).
+    Only nodes appearing in at least one edge are returned (singletons have
+    no near-dup cluster).
+
+    This is the step after near-dup pair generation in a dedup pipeline:
+    pairs say 'a~b, b~c'; keeping one doc per CLUSTER needs the transitive
+    closure. Algorithm: min-label propagation with pointer jumping
+    (comp := comp[comp] each round, the parallel path-halving of a
+    distributed union-find), so convergence is O(log diameter) rounds, not
+    O(diameter) — a 1M-doc near-dup chain converges in ~20 rounds where
+    naive propagation needs 1M. Each round is two key-joins + a groupBy
+    (all partial-aggregated); labels are localCheckpoint'd per round to
+    truncate the iterative lineage (at cluster scale, checkpoint to the
+    reliable store instead). Invariant comp(x) <= x (labels only decrease,
+    monotone => convergent); termination is an exact changed-row count,
+    not a checksum."""
+    e = (edges.select(F.col("d1").cast("long").alias("u"),
+                      F.col("d2").cast("long").alias("v"))
+         .filter(F.col("u") != F.col("v")))
+    e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))) \
+         .distinct().localCheckpoint()
+    lab = (e.groupBy("u").agg(F.min("v").alias("nmin"))
+           .select(F.col("u").alias("id"),
+                   F.least("u", "nmin").alias("comp"))
+           .localCheckpoint())
+    for _ in range(max_iter):
+        # propagate the neighbor's current label across each edge…
+        via = (e.join(lab.withColumnRenamed("id", "v"), "v")
+               .select(F.col("u").alias("id"), "comp"))
+        lab2 = (lab.union(via).groupBy("id").agg(F.min("comp").alias("comp")))
+        # …then jump: comp := comp(comp). Every comp value is itself a node
+        # id present in lab (it is the min of a set of node ids), so the
+        # self-join always resolves; coalesce guards the root row join.
+        j = lab2.select(F.col("id").alias("comp"),
+                        F.col("comp").alias("jumped"))
+        lab2 = (lab2.join(j, "comp", "left")
+                .select("id", F.coalesce("jumped", "comp").alias("comp"))
+                .localCheckpoint())
+        changed = (lab2.join(lab.withColumnRenamed("comp", "prev"), "id")
+                   .filter(F.col("comp") != F.col("prev")).limit(1).count())
+        lab = lab2
+        if changed == 0:
+            return lab.select(F.col("id").alias("doc_id"),
+                              F.col("comp").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "pointer jumping bounds rounds by O(log n); this input either has "
+        f"more than 2^{max_iter} nodes or labels are not monotone (bug)")
+
+
+def near_dup_clusters(sh: DataFrame, threshold: float = 0.1) -> DataFrame:
+    """Near-duplicate clusters over a shingle frame: MinHash -> LSH banding
+    -> candidate pairs -> exact Jaccard verify -> connected components.
+    The full production dedup plan; downstream keeps min(doc_id) per
+    component and drops the rest."""
+    pairs = jaccard_pairs_lsh(sh, threshold).select("d1", "d2")
+    return connected_components(pairs)
+
+
 def jaccard_pairs(sh: DataFrame, threshold: float = 0.1) -> DataFrame:
     """Exact all-pairs n-gram Jaccard (self-join on shingle). SMALL-DATA
     ORACLE ONLY: on a Zipfian shingle distribution the self-join is
