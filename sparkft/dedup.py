@@ -197,7 +197,11 @@ def connected_components(edges: DataFrame, max_iter: int = 64) -> DataFrame:
         # propagate the neighbor's current label across each edge…
         via = (e.join(lab.withColumnRenamed("id", "v"), "v")
                .select(F.col("u").alias("id"), "comp"))
-        lab2 = (lab.union(via).groupBy("id").agg(F.min("comp").alias("comp")))
+        # materialized BEFORE the self-join below: without this the
+        # propagate aggregation appears twice in the physical plan (once
+        # per join side) and every round pays it double
+        lab2 = (lab.union(via).groupBy("id").agg(F.min("comp").alias("comp"))
+                .localCheckpoint())
         # …then jump: comp := comp(comp). Every comp value is itself a node
         # id present in lab (it is the min of a set of node ids), so the
         # self-join always resolves; coalesce guards the root row join.
