@@ -182,8 +182,8 @@ def connected_components(edges: DataFrame, max_iter: int = 64) -> DataFrame:
     (all partial-aggregated); labels are localCheckpoint'd per round to
     truncate the iterative lineage (at cluster scale, checkpoint to the
     reliable store instead). Invariant comp(x) <= x (labels only decrease,
-    monotone => convergent); termination is an exact changed-row count,
-    not a checksum."""
+    monotone => convergent); termination is an exact did-any-label-change
+    existence check (limit(1) short-circuits the scan), not a checksum."""
     e = (edges.select(F.col("d1").cast("long").alias("u"),
                       F.col("d2").cast("long").alias("v"))
          .filter(F.col("u") != F.col("v")))
