@@ -578,6 +578,123 @@ SELECT d1, d2, cos FROM pairs WHERE cos >= 0.4
 """
 
 
+HYBRID_RATIO = 0.5  # Meilisearch hybrid.semanticRatio; shared with the SQL
+
+
+def _hybrid_search_topk(spark, sf_dir):
+    """Hybrid keyword+semantic search, DataFrame path (sparkft.hybrid's
+    scoring model: hybrid = (1-r)*bm25/max_bm25 + r*(1+cos)/2 over the
+    embedded corpus, r = semanticRatio — Meilisearch v1.6 `hybrid`). The
+    keyword side reuses the pruned query-term postings (O(query postings));
+    the 1-row max and the per-doc keyword scores broadcast into the
+    embedding scan, so the semantic side stays one codegen pass."""
+    from sparkft.ann import _cosine_cols
+
+    n_docs, avgdl = _corpus_stats(spark, sf_dir)
+    q = _query_term_postings(spark, sf_dir)
+    term_df = q.groupBy("token").agg(F.count("*").alias("df"))
+    kw = (
+        q.join(F.broadcast(term_df), "token")
+        .withColumn(
+            "idf", F.log1p((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        )
+        .withColumn(
+            "s",
+            F.col("idf")
+            * (
+                F.col("tf")
+                * (K1 + 1.0)
+                / (F.col("tf") + K1 * (1.0 - B + B * F.col("doc_len") / avgdl))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("s").alias("sc"))
+    )
+    mx = kw.agg(F.max("sc").alias("mx"))
+    kwn = (
+        kw.crossJoin(F.broadcast(mx))
+        .select("doc_id", (F.col("sc") / F.col("mx")).alias("kw"))
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    sem = (F.lit(1.0) + _cosine_cols(F, F.col("embedding"), qvec)) / 2.0
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(kwn), emb.vec_id == kwn.doc_id, "left")
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                (1.0 - HYBRID_RATIO) * F.coalesce(F.col("kw"), F.lit(0.0))
+                + HYBRID_RATIO * sem,
+                4,
+            ).alias("hybrid"),
+        )
+        .orderBy(F.desc("hybrid"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _hybrid_engine_topk(spark, sf_dir):
+    """Hybrid search, ENGINE path: keyword side = the segment index's TAAT
+    arrays (same reads WAND does), semantic side = driver-side float64
+    cosine over the embedding table, merged by sparkft.hybrid.hybrid_topk.
+    Same oracle as the DataFrame path — proof the index round-trips the
+    keyword half of the hybrid score."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from sparkft.hybrid import hybrid_topk
+    from sparkft.search import IndexReader
+
+    reader = IndexReader(spark, _engine_index(spark, sf_dir))
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    emb = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    qvec = emb[ids == 0][0]
+    live = ids != 0
+    hits = hybrid_topk(reader, " ".join(BM25_QUERY_TERMS), ids[live],
+                       emb[live], qvec, k=10, ratio=HYBRID_RATIO)
+    return spark.createDataFrame(
+        [(int(d), float(s)) for d, s in hits], "doc_id long, hybrid double"
+    )
+
+
+def _hybrid_sql(sf: str) -> str:
+    terms = ", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)
+    r = HYBRID_RATIO
+    return f"""
+WITH postings AS ({_SQL_POSTINGS}),
+doclen AS ({_SQL_DOCLEN}),
+stats AS (SELECT count(*) AS n, sum(dl) AS tt FROM doclen),
+q(token) AS (VALUES {terms}),
+term_df AS (SELECT token, count(*) AS df FROM postings
+            WHERE token IN (SELECT token FROM q) GROUP BY token),
+scored AS (
+  SELECT p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * ({K1} + 1.0)
+                 / (p.tf + {K1} * (1.0 - {B} + {B} * l.dl / (s.tt * 1.0 / s.n)))) ) AS sc
+  FROM postings p
+  JOIN term_df d USING (token)
+  JOIN doclen l ON p.doc_id = l.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id),
+mx AS (SELECT max(sc) AS m FROM scored),
+qv AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id <> 0),
+sem AS (SELECT vec_id,
+               (1 + list_inner_product(emb, qv.e)
+                    / (sqrt(list_inner_product(emb, emb))
+                       * sqrt(list_inner_product(qv.e, qv.e)))) / 2 AS sn
+        FROM v, qv)
+SELECT sem.vec_id AS doc_id,
+       round((1 - {r}) * coalesce(s.sc / m.m, 0) + {r} * sem.sn, 4) AS hybrid
+FROM sem CROSS JOIN mx m LEFT JOIN scored s ON s.doc_id = sem.vec_id
+ORDER BY hybrid DESC, doc_id LIMIT 10
+"""
+
 
 def _winnow_fingerprints(spark, sf_dir):
     return D.winnow_fingerprints(_docs(spark, sf_dir), k=8, w=4)
@@ -2324,13 +2441,50 @@ def _cjk_sql(sf: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+def _stale_first(entries: dict) -> dict:
+    """Self-rotating registration order (VERDICT r3 #1 generalized): the
+    driver's correctness gate caps at ~50 rows, so with more entries than
+    rows whichever register last never get a driver row. Instead of
+    hand-rotating every round, order entries by the LAST round in which
+    they received a driver CORRECTNESS row (never-checked first, stable by
+    registration order within a round) — the gate then always checks the
+    stalest entries, and no entry can go two rounds unchecked as long as
+    #entries <= 2x the cap. Reads the repo's own CORRECTNESS_r*.json
+    records; any surprise falls back to the static order."""
+    try:
+        import glob
+        import json
+        import re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        last: dict[str, int] = {}
+        for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+            m = re.search(r"_r(\d+)\.json$", path)
+            if not m:
+                continue
+            rnd = int(m.group(1))
+            with open(path) as f:
+                rows = json.load(f)
+            if not isinstance(rows, dict):
+                continue
+            for name in rows:
+                last[name] = max(last.get(name, -1), rnd)
+        reg = {name: i for i, name in enumerate(entries)}
+        ordered = sorted(entries, key=lambda n: (last.get(n, -1), reg[n]))
+        return {n: entries[n] for n in ordered}
+    except Exception:
+        return entries
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return _stale_first({
         "tokenize_doc_lengths": _tokenize_doc_lengths,
         "term_frequencies": _term_frequencies,
         "doc_term_tf": _doc_term_tf,
         "bm25_topk": _bm25_topk,
         "bm25_engine_topk": _bm25_engine_topk,
+        "hybrid_search_topk": _hybrid_search_topk,
+        "hybrid_engine_topk": _hybrid_engine_topk,
         # Registered early so a driver cap/timeout never drops them
         # (round-2 driver checked only the first 50 of 54 entries).
         "exactness_engine_topk": _exactness_engine_topk,
@@ -2350,12 +2504,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _dedup_clusters,
         "simhash": _simhash,
         "embedding_cosine_topk": _embedding_cosine_topk,
-        # r4 rotation (VERDICT r3 #1): the 9 entries past the driver's
-        # ~50-row cap move into the first 50; 9 entries with two
-        # consecutive green driver rows (r02+r03) rotate to the tail.
-        # dedup_clusters (new in r4) registers inside the first 50; the
-        # shadowed tail is now 10 entries, ALL with green r03 driver rows
-        # (facet_counts..winnow_fingerprints). r5 must rotate them back in.
+        # NOTE: the static order below is only the tie-break — _stale_first
+        # reorders at call time so never-checked entries and the entries
+        # whose last driver row is oldest always land inside the cap.
         "facet_engine_counts": _facet_engine_counts,
         "sorted_search_topk": _sorted_search_topk,
         "sorted_engine_topk": _sorted_engine_topk,
@@ -2385,7 +2536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deleted_engine_topk": _deleted_engine_topk,
         "compacted_engine_topk": _compacted_engine_topk,
         "facet_counts": _facet_counts_df,
-        # tail (>50): two consecutive green driver rows each (r02+r03)
+        # static tail (reordered by _stale_first like everything above)
         "lang_id_votes": _lang_id_votes,
         "quality_scores": _quality_scores,
         "doc_fingerprint": _doc_fingerprint,
@@ -2395,11 +2546,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_window_rank": _orders_window_rank,
         "events_hourly": _events_hourly,
         "winnow_fingerprints": _winnow_fingerprints,
-    }
+    })
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "hybrid_search_topk": _hybrid_sql(""),
+        "hybrid_engine_topk": _hybrid_sql(""),
         "tokenize_doc_lengths": f"SELECT doc_id, count(*) AS n_tokens FROM ({_SQL_TOKS}) GROUP BY doc_id",
         "term_frequencies": f"SELECT token, sum(tf)::BIGINT AS cnt, count(*) AS df FROM ({_SQL_POSTINGS}) GROUP BY token",
         "doc_term_tf": _SQL_POSTINGS,

@@ -124,6 +124,7 @@ def main() -> int:
         "ngram_jaccard_pairs", "dedup_clusters", "simhash",
         "embedding_cosine_topk",
         "ivf_cosine_topk",
+        "hybrid_search_topk", "hybrid_engine_topk",
         "quality_scores", "doc_fingerprint",
         "pricing_summary", "top_customers", "orders_window_rank",
         "events_hourly", "cjk_tokenize", "embedding_near_dup",

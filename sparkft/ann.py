@@ -27,12 +27,15 @@ def _cosine_cols(F, emb_col, qvec: list[float]):
 
 
 def brute_force_topk(df, qvec: list[float], k: int = 10,
-                     id_col: str = "vec_id", emb_col: str = "embedding"):
+                     id_col: str = "vec_id", emb_col: str = "embedding",
+                     round_to: int | None = 6):
     from pyspark.sql import functions as F
 
     cos = _cosine_cols(F, F.col(emb_col), qvec)
+    if round_to is not None:
+        cos = F.round(cos, round_to)
     return (
-        df.select(F.col(id_col), F.round(cos, 6).alias("cos"))
+        df.select(F.col(id_col), cos.alias("cos"))
         .orderBy(F.desc("cos"), F.asc(id_col))
         .limit(k)
     )
@@ -99,7 +102,8 @@ def ivf_build(spark, df, n_centroids: int = 16, iters: int = 5, seed: int = 42,
 
 
 def ivf_topk(assigned_df, cents: np.ndarray, qvec: list[float], k: int = 10,
-             probes: int = 4, id_col: str = "vec_id", emb_col: str = "embedding"):
+             probes: int = 4, id_col: str = "vec_id", emb_col: str = "embedding",
+             round_to: int | None = 6):
     """Probe the `probes` nearest centroids, exact cosine within them."""
     from pyspark.sql import functions as F
 
@@ -107,7 +111,7 @@ def ivf_topk(assigned_df, cents: np.ndarray, qvec: list[float], k: int = 10,
     q = q / (np.linalg.norm(q) + 1e-12)
     order = (cents @ q).argsort()[::-1][:probes]
     cand = assigned_df.filter(F.col("centroid").isin([int(c) for c in order]))
-    return brute_force_topk(cand, qvec, k, id_col, emb_col)
+    return brute_force_topk(cand, qvec, k, id_col, emb_col, round_to)
 
 
 def hyperplane_planes(n_planes: int = 16, dim: int = 64, seed: int = 5):

@@ -1,0 +1,177 @@
+"""Hybrid keyword+semantic retrieval — Meilisearch's `hybrid` search
+parameter (`{"hybrid": {"semanticRatio": r, "embedder": ...}}`, stable since
+Meilisearch v1.6; the reference tokenizer feeds exactly that engine, see
+charabia/README.md "used in Meilisearch").
+
+Meilisearch runs BOTH a keyword search and a vector search for the query and
+merges the two rankings by `semanticRatio`. We pin an explicit,
+oracle-checkable scoring model for the merge:
+
+    kw_norm(d)  = bm25(d) / max over keyword candidates of bm25   (0 if d
+                  matches no query term; 0 everywhere when nothing matches)
+    sem_norm(d) = (1 + cosine(embedding(d), qvec)) / 2            (in [0,1])
+    hybrid(d)   = (1 - ratio) * kw_norm(d) + ratio * sem_norm(d)
+
+ranked by (round(hybrid, 4) DESC, doc_id ASC). The ranked universe is the
+EMBEDDED corpus (Meilisearch's semantic side only sees documents the
+embedder has vectorized; the entry corpus embeds every document), with
+tombstoned docs excluded like every other serving path.
+
+Scale shape (the 100 TB story):
+
+- the keyword side is O(query postings) — the same pruned posting reads and
+  vectorized TAAT accumulation block-max WAND uses (`search.taat_arrays`);
+- for every doc OUTSIDE the keyword-candidate set kw_norm is 0, so hybrid
+  order among non-candidates equals cosine order (x -> ratio*(1+x)/2 is
+  monotone). Exact top-k therefore needs only (a) full hybrid scores for
+  the candidate set and (b) a cosine top-k among non-candidates — (b) is
+  the ANN problem `ann.ivf_topk` already solves with centroid-pruned
+  scans. `hybrid_topk` computes (b) brute-force (the exactness oracle
+  path); `hybrid_topk_ivf` swaps in the IVF probe (recall-bounded like any
+  IVF, identical at probes=ALL — asserted by test).
+
+Ratio edge cases match Meilisearch's: ratio=0 is pure keyword ranking
+(semantic never consulted for order beyond tie-shape), ratio=1 is pure
+semantic ranking.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from .config import DEFAULT_CONFIG, TokenizerConfig
+from .search import IndexReader, taat_arrays
+from . import scoring
+
+
+def _cosines(emb: np.ndarray, qvec: np.ndarray) -> np.ndarray:
+    """Cosine of every row of `emb` (n, d) against `qvec` (d,), float64,
+    zero-norm rows -> 0 (never NaN into the ranking)."""
+    e = emb.astype(np.float64, copy=False)
+    q = qvec.astype(np.float64, copy=False)
+    dots = e @ q
+    nrm = np.sqrt((e * e).sum(axis=1)) * float(np.sqrt((q * q).sum()))
+    out = np.zeros(len(e), dtype=np.float64)
+    nz = nrm > 0
+    out[nz] = dots[nz] / nrm[nz]
+    return out
+
+
+def _keyword_norms(reader: IndexReader, query: str,
+                   cfg: TokenizerConfig) -> tuple[np.ndarray, np.ndarray]:
+    """(candidate doc_ids sorted asc, kw_norm per candidate): exhaustive
+    BM25 over the query's disjunctive candidate set, normalized by the max
+    candidate score (the keyword half of the hybrid formula)."""
+    terms = reader.query_terms(query, cfg)
+    postings = reader.load_postings(terms)
+    if not postings:
+        e = np.empty(0, dtype=np.int64)
+        return e, np.empty(0, dtype=np.float64)
+    ids, sums, _ = taat_arrays(reader, postings)
+    if len(ids) == 0:
+        return ids, sums
+    mx = sums.max()
+    return ids, (sums / mx if mx > 0 else sums)
+
+
+def hybrid_topk(reader: IndexReader, query: str, emb_ids: np.ndarray,
+                emb: np.ndarray, qvec, k: int = 10, ratio: float = 0.5,
+                cfg: TokenizerConfig = DEFAULT_CONFIG
+                ) -> list[tuple[int, float]]:
+    """Exact hybrid top-k over the embedded corpus: [(doc_id, score)],
+    ranked (round(hybrid, 4) DESC, doc_id ASC). `emb_ids` (n,) int64 and
+    `emb` (n, d) are the embedded docs (any order); `qvec` the query
+    embedding. Brute-force on the semantic side — the exactness baseline
+    `hybrid_topk_ivf` is checked against."""
+    emb_ids = np.asarray(emb_ids, dtype=np.int64)
+    qvec = np.asarray(qvec, dtype=np.float64)
+    if emb_ids.ndim != 1 or len(emb_ids) != len(emb):
+        raise ValueError("emb_ids and emb row count mismatch")
+    # the ranked universe: embedded docs, tombstones out
+    if reader.deleted:
+        live = ~reader.deleted.mask(emb_ids)
+        emb_ids, emb = emb_ids[live], emb[live]
+    if len(emb_ids) == 0 or k <= 0:
+        return []
+    sem = (1.0 + _cosines(emb, qvec)) / 2.0
+    cand_ids, kw = _keyword_norms(reader, query, cfg)
+    kw_of = np.zeros(len(emb_ids), dtype=np.float64)
+    if len(cand_ids):
+        pos = np.searchsorted(cand_ids, emb_ids)
+        pos_c = np.minimum(pos, len(cand_ids) - 1)
+        hit = cand_ids[pos_c] == emb_ids
+        kw_of[hit] = kw[pos_c[hit]]
+    hybrid = np.round((1.0 - ratio) * kw_of + ratio * sem, 4)
+    top = scoring.topk_indices(hybrid, emb_ids, k)
+    return [(int(emb_ids[i]), float(hybrid[i])) for i in top]
+
+
+def hybrid_topk_ivf(reader: IndexReader, query: str, emb_ids: np.ndarray,
+                    emb: np.ndarray, assigned_df, cents: np.ndarray, qvec,
+                    k: int = 10, ratio: float = 0.5, probes: int = 4,
+                    cfg: TokenizerConfig = DEFAULT_CONFIG,
+                    id_col: str = "vec_id", emb_col: str = "embedding"
+                    ) -> list[tuple[int, float]]:
+    """The scale path: keyword candidates scored exactly (O(query
+    postings)), the non-candidate pool reduced to its cosine top-k via the
+    IVF probe (`ann.ivf_topk` over `assigned_df`/`cents`), then one exact
+    merge. With probes >= len(cents) the probe set covers the corpus and
+    the result equals `hybrid_topk` (asserted by test); fewer probes trade
+    recall on the semantic-only tail for a ~probes/len(cents) scan, the
+    standard IVF contract.
+
+    `emb_ids`/`emb` back the candidate-set cosine lookups (at cluster
+    scale: a bucket-pruned attribute-store read of the candidates'
+    embeddings — the candidate set is O(query postings), never the
+    corpus); `assigned_df` is the distributed centroid-assigned table."""
+    from pyspark.sql import functions as F
+
+    from .ann import ivf_topk
+
+    emb_ids = np.asarray(emb_ids, dtype=np.int64)
+    qvec = np.asarray(qvec, dtype=np.float64)
+    if reader.deleted:
+        live = ~reader.deleted.mask(emb_ids)
+        emb_ids, emb = emb_ids[live], emb[live]
+    if len(emb_ids) == 0 or k <= 0:
+        return []
+    order = np.argsort(emb_ids, kind="stable")
+    emb_ids_s, emb_s = emb_ids[order], emb[order]
+    cand_ids, kw = _keyword_norms(reader, query, cfg)
+    # keep only candidates that are in the embedded universe
+    if len(cand_ids):
+        pos = np.searchsorted(emb_ids_s, cand_ids)
+        pos_c = np.minimum(pos, len(emb_ids_s) - 1)
+        hit = emb_ids_s[pos_c] == cand_ids
+        cand_ids, kw, cand_pos = cand_ids[hit], kw[hit], pos_c[hit]
+    else:
+        cand_pos = np.empty(0, dtype=np.int64)
+    scores: dict[int, float] = {}
+    if len(cand_ids):
+        sem_c = (1.0 + _cosines(emb_s[cand_pos], qvec)) / 2.0
+        hyb = np.round((1.0 - ratio) * kw + ratio * sem_c, 4)
+        scores.update(zip(cand_ids.tolist(), hyb.tolist()))
+    # semantic-only tail: cosine top-k among NON-candidates via IVF probe.
+    # (anti-join on the candidate set; candidate sets are query-footprint
+    # sized, broadcastable)
+    pool = assigned_df
+    if len(cand_ids):
+        spark = assigned_df.sparkSession
+        cand_sdf = spark.createDataFrame(
+            [(int(c),) for c in cand_ids.tolist()], f"{id_col} long")
+        pool = assigned_df.join(F.broadcast(cand_sdf), id_col, "left_anti")
+    if reader.deleted:
+        dead = [int(d) for d in reader.deleted.as_array().tolist()]
+        if dead:
+            pool = pool.filter(~F.col(id_col).isin(dead))
+    tail = ivf_topk(pool, cents, [float(x) for x in qvec], k=k,
+                    probes=probes, id_col=id_col, emb_col=emb_col,
+                    round_to=None).collect()
+    for row in tail:
+        scores[int(row[0])] = round(ratio * (1.0 + float(row[1])) / 2.0, 4)
+    ids = np.fromiter(scores.keys(), dtype=np.int64, count=len(scores))
+    vals = np.fromiter(scores.values(), dtype=np.float64, count=len(scores))
+    top = scoring.topk_indices(vals, ids, k)
+    return [(int(ids[i]), float(vals[i])) for i in top]

@@ -740,7 +740,12 @@ def _validate_attr_stores_for_compaction(out_dir: str) -> None:
             }
         with open(idx_meta) as f:
             idx_cols = set(json.load(f).get("cols", ()))
-        missing = sorted(idx_cols - store_cols)
+        # "_geo_cell" is a DERIVED index column: write_attribute_index
+        # recomputes it from the store's lat/lng (facets._value_expr), so
+        # compaction can service it as long as the inputs are kept
+        derivable = ({"_geo_cell"}
+                     if {"lat", "lng"} <= store_cols else set())
+        missing = sorted(idx_cols - store_cols - derivable)
         if missing:
             raise ValueError(
                 f"attribute index at {out_dir}/attr_index was built over "

@@ -267,3 +267,61 @@ def test_compaction_rejects_attr_index_wider_than_store(spark, tmp_path):
     with open(meta, "w") as f:
         json.dump(m, f)  # legacy store meta: falls back to parquet schema
     _validate_attr_stores_for_compaction(out)
+
+
+def test_compaction_accepts_derived_geo_cell(spark, tmp_path):
+    """Regression (round-4 bench `compacted_index_prep` failure): the
+    `_geo_cell` index column is DERIVED from the store's lat/lng by
+    write_attribute_index, so the fail-fast must accept an attr index
+    carrying it when lat/lng are stored — and compaction must actually
+    rebuild it (the exact layout bench.py's _deleted_index compacts)."""
+    import os
+
+    import pytest
+
+    from sparkft.corpus import generate_corpus
+    from sparkft.facets import write_attribute_index, write_attribute_store
+    from sparkft.index_build import (
+        _validate_attr_stores_for_compaction, build_index, compact_index,
+        delete_docs)
+
+    out = str(tmp_path / "gidx")
+    docs = spark.createDataFrame(generate_corpus(60, seed=6))
+    build_index(spark, docs, out, num_shards=1, num_buckets=4)
+    from pyspark.sql import functions as F
+
+    attrs = (docs.withColumn("doc_id",
+                             F.xxhash64("repo", "path", "commit"))
+             .select("doc_id", "lang",
+                     (F.pmod(F.xxhash64("path"), F.lit(140)) - 70
+                      ).cast("double").alias("lat"),
+                     (F.pmod(F.xxhash64("repo"), F.lit(360)) - 180
+                      ).cast("double").alias("lng")))
+    write_attribute_store(spark, attrs, out, cols=("lang", "lat", "lng"),
+                          num_buckets=4)
+    write_attribute_index(spark, attrs, out,
+                          cols=("lang", "_geo_cell"), num_buckets=4)
+    _validate_attr_stores_for_compaction(out)  # derivable: must not raise
+    # ... but WITHOUT lat/lng in the store it stays unservable
+    write_attribute_store(spark, attrs, out, cols=("lang",), num_buckets=4)
+    with pytest.raises(ValueError, match="_geo_cell"):
+        _validate_attr_stores_for_compaction(out)
+    write_attribute_store(spark, attrs, out, cols=("lang", "lat", "lng"),
+                          num_buckets=4)
+    # end-to-end: delete + compact rebuilds the derived geo index
+    dead = [int(r[0]) for r in attrs.select("doc_id").limit(3).collect()]
+    delete_docs(out, dead)
+    compact_index(spark, out, num_buckets=4)
+    assert os.path.isfile(f"{out}/attr_index/_meta.json")
+    import pyarrow.dataset as ds
+
+    from sparkft.facets import AttributeIndex
+
+    idx = AttributeIndex(out)
+    assert "_geo_cell" in idx.cols
+    got_ids = set(
+        ds.dataset(f"{out}/attr_index/attr=_geo_cell", format="parquet",
+                   partitioning="hive")
+        .to_table(columns=["doc_id"])["doc_id"].to_pylist())
+    assert got_ids  # rebuilt, non-empty
+    assert not (got_ids & set(dead))  # tombstones folded out

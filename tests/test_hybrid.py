@@ -1,0 +1,166 @@
+"""Hybrid keyword+semantic search (sparkft.hybrid — Meilisearch's
+`hybrid`/semanticRatio): independent pure-python brute-force parity, the
+ratio=0/ratio=1 edge cases, tombstone exclusion, and the IVF-merged scale
+path at probes=ALL (where it must equal the exact path)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from sparkft.hybrid import hybrid_topk, hybrid_topk_ivf
+from sparkft.index_build import build_index, delete_docs
+from sparkft.search import IndexReader
+
+WORDS = ["merge", "sort", "table", "scan", "join", "filter",
+         "hash", "row", "key", "value"]
+QUERY = "merge sort"
+N, DIM = 120, 16
+K1, B = 1.2, 0.75
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .appName("sparkft-hybrid")
+        .getOrCreate()
+    )
+    yield s
+
+
+@pytest.fixture(scope="module")
+def setup(spark, tmp_path_factory):
+    rng = np.random.default_rng(7)
+    texts = [
+        " ".join(rng.choice(WORDS, size=int(rng.integers(5, 25))).tolist())
+        for _ in range(N)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = str(tmp_path_factory.mktemp("hidx"))
+    build_index(spark, docs, out, text_col="text", doc_id_col="doc_id",
+                num_shards=2, num_buckets=4, verify_sha=False)
+    emb = rng.normal(size=(N, DIM))
+    ids = np.arange(N, dtype=np.int64)
+    qvec = rng.normal(size=DIM)
+    return IndexReader(spark, out), ids, emb, qvec, texts
+
+
+def brute_hybrid(texts, ids, emb, qvec, ratio, k, exclude=frozenset()):
+    """Independent oracle: BM25 from split() token counts (the corpus is
+    plain lowercase words, so tokenizer output == split), cosine in plain
+    python loops, the module's documented formula on top."""
+    toks = [t.split() for t in texts]
+    n = len([i for i in ids if int(i) not in exclude])
+    dls = {int(i): len(toks[int(i)]) for i in ids}
+    avgdl = sum(len(toks[int(i)]) for i in ids if int(i) not in exclude) / n
+    terms = QUERY.split()
+    df = {
+        w: sum(1 for i in ids if int(i) not in exclude and w in toks[int(i)])
+        for w in terms
+    }
+    kw = {}
+    for i in ids:
+        d = int(i)
+        if d in exclude:
+            continue
+        s = 0.0
+        for w in sorted(terms):
+            tf = toks[d].count(w)
+            if tf == 0 or df[w] == 0:
+                continue
+            idf = math.log1p((n - df[w] + 0.5) / (df[w] + 0.5))
+            s += idf * (tf * (K1 + 1.0)
+                        / (tf + K1 * (1.0 - B + B * dls[d] / avgdl)))
+        if s > 0:
+            kw[d] = s
+    mx = max(kw.values()) if kw else 0.0
+    rows = []
+    qn = math.sqrt(sum(x * x for x in qvec))
+    for pos, i in enumerate(ids):
+        d = int(i)
+        if d in exclude:
+            continue
+        e = emb[pos]
+        cos = float(np.dot(e, qvec)) / (math.sqrt(float(np.dot(e, e))) * qn)
+        sem = (1.0 + cos) / 2.0
+        kwn = (kw.get(d, 0.0) / mx) if mx > 0 else 0.0
+        rows.append((d, round((1.0 - ratio) * kwn + ratio * sem, 4)))
+    rows.sort(key=lambda t: (-t[1], t[0]))
+    return rows[:k]
+
+
+def test_brute_force_parity(setup):
+    reader, ids, emb, qvec, texts = setup
+    got = hybrid_topk(reader, QUERY, ids, emb, qvec, k=15, ratio=0.5)
+    want = brute_hybrid(texts, ids, emb, qvec, 0.5, 15)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    assert got == pytest.approx(want)
+
+
+def test_ratio_zero_is_pure_keyword(setup):
+    reader, ids, emb, qvec, texts = setup
+    got = hybrid_topk(reader, QUERY, ids, emb, qvec, k=10, ratio=0.0)
+    want = brute_hybrid(texts, ids, emb, qvec, 0.0, 10)
+    assert got == pytest.approx(want)
+
+
+def test_ratio_one_is_pure_semantic(setup):
+    reader, ids, emb, qvec, texts = setup
+    got = hybrid_topk(reader, QUERY, ids, emb, qvec, k=10, ratio=1.0)
+    want = brute_hybrid(texts, ids, emb, qvec, 1.0, 10)
+    assert got == pytest.approx(want)
+    # ratio=1 order must equal cosine order
+    cos = (emb @ qvec) / (np.linalg.norm(emb, axis=1) * np.linalg.norm(qvec))
+    order = np.lexsort((ids, -np.round((1 + cos) / 2, 4)))[:10]
+    assert [d for d, _ in got] == [int(ids[i]) for i in order]
+
+
+def test_no_matching_terms_is_semantic_only(setup):
+    reader, ids, emb, qvec, _ = setup
+    got = hybrid_topk(reader, "zzzzunknown", ids, emb, qvec, k=5, ratio=0.5)
+    sem = hybrid_topk(reader, "zzzzunknown", ids, emb, qvec, k=5, ratio=1.0)
+    assert [d for d, _ in got] == [d for d, _ in sem]
+    # kw side contributes 0: scores are half the ratio=1 scores (each side
+    # rounds to 4dp independently, so allow one rounding quantum)
+    for (_, a), (_, b) in zip(got, sem):
+        assert a == pytest.approx(0.5 * b, abs=1e-4)
+
+
+def test_ivf_merge_equals_exact_at_probes_all(spark, setup):
+    from pyspark.sql import functions as F
+
+    from sparkft.ann import ivf_build
+
+    reader, ids, emb, qvec, _ = setup
+    edf = spark.createDataFrame(
+        [(int(i), [float(x) for x in emb[p]]) for p, i in enumerate(ids)],
+        "vec_id long, embedding array<double>",
+    )
+    assigned, cents = ivf_build(spark, edf, n_centroids=4)
+    got = hybrid_topk_ivf(reader, QUERY, ids, emb, assigned, cents, qvec,
+                          k=10, ratio=0.5, probes=len(cents))
+    want = hybrid_topk(reader, QUERY, ids, emb, qvec, k=10, ratio=0.5)
+    assert got == pytest.approx(want)
+
+
+def test_tombstones_excluded(spark, setup, tmp_path_factory):
+    reader, ids, emb, qvec, texts = setup
+    base = hybrid_topk(reader, QUERY, ids, emb, qvec, k=3, ratio=0.5)
+    dead = {base[0][0]}
+    delete_docs(reader.dir, list(dead))
+    reader2 = IndexReader(spark, reader.dir)
+    got = hybrid_topk(reader2, QUERY, ids, emb, qvec, k=10, ratio=0.5)
+    assert all(d not in dead for d, _ in got)
+    # NOTE live-until-merge: stats keep the deleted doc until compaction,
+    # so the surviving docs' kw side is unchanged — compare against the
+    # brute oracle computed over the FULL corpus, then filtered.
+    want = [r for r in brute_hybrid(texts, ids, emb, qvec, 0.5, N)
+            if r[0] not in dead][:10]
+    assert got == pytest.approx(want)
