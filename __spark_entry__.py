@@ -696,6 +696,52 @@ ORDER BY hybrid DESC, doc_id LIMIT 10
 """
 
 
+RANKING_SCORE_THRESHOLD = 0.98  # cuts into the top-10 at sf0.01 (4 survive)
+
+
+def _ranking_score_topk(spark, sf_dir):
+    """Meilisearch showRankingScore + rankingScoreThreshold over the engine
+    index: normalized [0,1] relevance per hit (bm25/max_bm25 — the same
+    model the hybrid merge uses), hits under the threshold dropped even if
+    that leaves fewer than k (the whole point of the feature)."""
+    from sparkft.search import IndexReader, ranking_score_topk
+
+    reader = IndexReader(spark, _engine_index(spark, sf_dir))
+    hits = ranking_score_topk(reader, " ".join(BM25_QUERY_TERMS), 10,
+                              threshold=RANKING_SCORE_THRESHOLD)
+    return spark.createDataFrame(
+        [(int(d), float(s), float(r)) for d, s, r in hits],
+        "doc_id long, score double, ranking_score double",
+    )
+
+
+def _ranking_score_sql(sf: str) -> str:
+    terms = ", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)
+    return f"""
+WITH postings AS ({_SQL_POSTINGS}),
+doclen AS ({_SQL_DOCLEN}),
+stats AS (SELECT count(*) AS n, sum(dl) AS tt FROM doclen),
+q(token) AS (VALUES {terms}),
+term_df AS (SELECT token, count(*) AS df FROM postings
+            WHERE token IN (SELECT token FROM q) GROUP BY token),
+scored AS (
+  SELECT p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * ({K1} + 1.0)
+                 / (p.tf + {K1} * (1.0 - {B} + {B} * l.dl / (s.tt * 1.0 / s.n)))) ) AS sc
+  FROM postings p
+  JOIN term_df d USING (token)
+  JOIN doclen l ON p.doc_id = l.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id),
+mx AS (SELECT max(sc) AS m FROM scored)
+SELECT doc_id, round(sc, 4) AS score, round(sc / m.m, 4) AS ranking_score
+FROM scored CROSS JOIN mx m
+WHERE round(sc / m.m, 4) >= {RANKING_SCORE_THRESHOLD}
+ORDER BY round(sc, 4) DESC, doc_id LIMIT 10
+"""
+
+
 def _winnow_fingerprints(spark, sf_dir):
     return D.winnow_fingerprints(_docs(spark, sf_dir), k=8, w=4)
 
@@ -2485,6 +2531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_engine_topk": _bm25_engine_topk,
         "hybrid_search_topk": _hybrid_search_topk,
         "hybrid_engine_topk": _hybrid_engine_topk,
+        "ranking_score_topk": _ranking_score_topk,
         # Registered early so a driver cap/timeout never drops them
         # (round-2 driver checked only the first 50 of 54 entries).
         "exactness_engine_topk": _exactness_engine_topk,
@@ -2553,6 +2600,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "hybrid_search_topk": _hybrid_sql(""),
         "hybrid_engine_topk": _hybrid_sql(""),
+        "ranking_score_topk": _ranking_score_sql(""),
         "tokenize_doc_lengths": f"SELECT doc_id, count(*) AS n_tokens FROM ({_SQL_TOKS}) GROUP BY doc_id",
         "term_frequencies": f"SELECT token, sum(tf)::BIGINT AS cnt, count(*) AS df FROM ({_SQL_POSTINGS}) GROUP BY token",
         "doc_term_tf": _SQL_POSTINGS,

@@ -597,6 +597,52 @@ def taat_topk(reader: IndexReader, query: str, k: int = 10,
     return [(int(doc_ids[i]), float(scores[i])) for i in top]
 
 
+def ranking_score_topk(reader: IndexReader, query: str, k: int = 10,
+                       threshold: float = 0.0,
+                       cfg: TokenizerConfig = DEFAULT_CONFIG,
+                       terms: Optional[list] = None,
+                       allowed: Optional[set] = None
+                       ) -> list[tuple[int, float, float]]:
+    """Meilisearch `showRankingScore` + `rankingScoreThreshold` (v1.3 /
+    v1.8): every hit carries a normalized [0,1] relevance score and hits
+    below the threshold are dropped (possibly leaving fewer than k).
+    Meilisearch derives its score from per-rule rank buckets; this engine
+    pins the oracle-checkable model the hybrid merge already uses:
+    ranking_score = bm25 / max(bm25 over the query's candidates).
+
+    Returns [(doc_id, score, ranking_score)] ordered by (round(score, 4)
+    DESC, doc_id ASC); score and ranking_score are rounded to 4dp and the
+    threshold compares against the ROUNDED ranking_score, so the SQL
+    oracle filters on exactly the same quantity.
+
+    Scale: one exhaustive vectorized TAAT pass (O(query postings), the
+    same reads WAND does). A WAND form exists — the top-1 score is the
+    max, so a second WAND pass with score floor threshold*max prunes like
+    any other bound — but the two-pass trade only pays when candidates
+    >> k; the vectorized single pass is the default.
+
+    Pass `terms` to score an EXPANDED term set (typo/synonyms, as the
+    service layer does) and `allowed` to restrict candidates — the
+    normalization max is then over the set actually being ranked."""
+    if terms is None:
+        terms = reader.query_terms(query, cfg)
+    postings = reader.load_postings(terms)
+    if not postings:
+        return []
+    doc_ids, sums, _ = taat_arrays(reader, postings, allowed=allowed)
+    if len(doc_ids) == 0:
+        return []
+    mx = sums.max()
+    rs = np.round(sums / mx, 4) if mx > 0 else np.zeros_like(sums)
+    keep = rs >= threshold
+    doc_ids, sums, rs = doc_ids[keep], sums[keep], rs[keep]
+    if len(doc_ids) == 0:
+        return []
+    rounded = np.round(sums, 4)
+    top = scoring.topk_indices(rounded, doc_ids, k)
+    return [(int(doc_ids[i]), float(rounded[i]), float(rs[i])) for i in top]
+
+
 def wand_topk(reader: IndexReader, query: str, k: int = 10,
               cfg: TokenizerConfig = DEFAULT_CONFIG,
               stats: Optional[dict] = None) -> list[tuple[int, float]]:

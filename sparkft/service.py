@@ -223,7 +223,9 @@ class SearchService:
                facets: Optional[list] = None,
                highlight: bool = False,
                offset: int = 0,
-               estimate_total: bool = False) -> dict:
+               estimate_total: bool = False,
+               show_ranking_score: bool = False,
+               ranking_score_threshold: Optional[float] = None) -> dict:
         """Meilisearch-shaped response:
         {"hits": [{"doc_id", "score"|attr, "_formatted"?, ...}],
          "offset": ..., "facetDistribution"?: {col: {value: count}},
@@ -298,6 +300,32 @@ class SearchService:
                 total = len(pairs)
                 hits = [{"doc_id": d, col: v}
                         for d, v in pairs[offset:offset + k]]
+        elif show_ranking_score or ranking_score_threshold is not None:
+            # Meilisearch showRankingScore / rankingScoreThreshold: served
+            # under the default relevance ranking only — the normalized
+            # score model (bm25/max_bm25, search.ranking_score_topk) is
+            # defined over the disjunctive candidate set, and sorted /
+            # composite-strategy rankings don't carry a single BM25 order
+            # to normalize. Explicit error beats a silently-wrong score.
+            if self.settings.matching_strategy != "any":
+                raise ValueError(
+                    "ranking scores are served under the default relevance "
+                    "ranking (matching_strategy 'any') only")
+            from .search import ranking_score_topk
+
+            terms_used = sorted({t for g in self._word_groups(query)
+                                 for t in g})
+            trip = ranking_score_topk(
+                self.reader, query, fetch,
+                threshold=(ranking_score_threshold or 0.0), cfg=self.cfg,
+                terms=terms_used, allowed=allowed)
+            total = len(trip)
+            hits = []
+            for d, s, r in trip[offset:offset + k]:
+                h = {"doc_id": d, "score": s}
+                if show_ranking_score:
+                    h["_rankingScore"] = r
+                hits.append(h)
         else:
             ranked, terms_used = self._ranked(query, fetch, allowed)
             total = len(ranked)
