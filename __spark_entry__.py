@@ -696,6 +696,36 @@ ORDER BY hybrid DESC, doc_id LIMIT 10
 """
 
 
+def _repetition_metrics(spark, sf_dir):
+    """Gopher-style duplicate word / n-gram fractions per document (the
+    standard repetition quality gate for LLM training corpora) — one
+    shuffle-free codegen projection (dedup.repetition_metrics)."""
+    return D.repetition_metrics(_docs(spark, sf_dir))
+
+
+_REPETITION_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+  FROM documents)
+SELECT doc_id,
+  len(w) AS n_words,
+  CASE WHEN len(w) > 0
+       THEN round(1.0 - len(list_distinct(w)) * 1.0 / len(w), 4)
+       ELSE 0.0 END AS dup_word_frac,
+  CASE WHEN len(w) >= 2
+       THEN round(1.0 - len(list_distinct(list_transform(range(1, len(w)),
+                    i -> w[i] || ' ' || w[i+1]))) * 1.0 / (len(w) - 1), 4)
+       ELSE 0.0 END AS dup_2gram_frac,
+  CASE WHEN len(w) >= 3
+       THEN round(1.0 - len(list_distinct(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) * 1.0
+                  / (len(w) - 2), 4)
+       ELSE 0.0 END AS dup_3gram_frac
+FROM w
+"""
+
+
 RANKING_SCORE_THRESHOLD = 0.98  # cuts into the top-10 at sf0.01 (4 survive)
 
 
@@ -2532,6 +2562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search_topk": _hybrid_search_topk,
         "hybrid_engine_topk": _hybrid_engine_topk,
         "ranking_score_topk": _ranking_score_topk,
+        "repetition_metrics": _repetition_metrics,
         # Registered early so a driver cap/timeout never drops them
         # (round-2 driver checked only the first 50 of 54 entries).
         "exactness_engine_topk": _exactness_engine_topk,
@@ -2601,6 +2632,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_search_topk": _hybrid_sql(""),
         "hybrid_engine_topk": _hybrid_sql(""),
         "ranking_score_topk": _ranking_score_sql(""),
+        "repetition_metrics": _REPETITION_SQL,
         "tokenize_doc_lengths": f"SELECT doc_id, count(*) AS n_tokens FROM ({_SQL_TOKS}) GROUP BY doc_id",
         "term_frequencies": f"SELECT token, sum(tf)::BIGINT AS cnt, count(*) AS df FROM ({_SQL_POSTINGS}) GROUP BY token",
         "doc_term_tf": _SQL_POSTINGS,

@@ -303,6 +303,46 @@ def simhash_hamming(col_a_lo, col_a_hi, col_b_lo, col_b_hi) -> "F.Column":
     )
 
 
+def repetition_metrics(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+    Models" §A1.1 repetition filters — a standard LLM-training-data quality
+    gate): per doc, the fraction of duplicate words and duplicate word
+    n-grams (n=2,3). High duplicate-n-gram fractions mark boilerplate,
+    keyword stuffing, and degenerate generations.
+
+        dup_word_frac  = 1 - distinct(words)  / count(words)
+        dup_ngram_frac = 1 - distinct(ngrams) / count(ngrams)   (0 if none)
+
+    Entirely per-row array expressions (split/transform/array_distinct) in
+    one JVM codegen projection — NO explode, NO shuffle, embarrassingly
+    parallel at any corpus size (the scale contrast to shingles(): shingle
+    JOINS need the exploded relation; per-doc ratios never do)."""
+    from .spark_util import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    out = df.select(F.col(id_col).alias("doc_id"), words.alias("w"))
+    cols = [
+        F.size("w").alias("n_words"),
+        F.when(F.size("w") > 0,
+               F.round(1.0 - F.size(F.array_distinct("w")) / F.size("w"), 4))
+        .otherwise(0.0).alias("dup_word_frac"),
+    ]
+    for n in (2, 3):
+        terms = ", ".join(f"w[i+{k}]" for k in range(n))
+        grams = F.expr(
+            f"transform(sequence(0, size(w) - {n}), i -> concat_ws(' ', {terms}))"
+        )
+        cols.append(
+            F.when(F.size("w") >= n,
+                   F.round(1.0 - F.size(F.array_distinct(grams))
+                           / (F.size("w") - n + 1), 4))
+            .otherwise(0.0).alias(f"dup_{n}gram_frac")
+        )
+    return out.select("doc_id", *cols)
+
+
 def quality_scores(postings: DataFrame, stopwords: list[str]) -> DataFrame:
     return postings.groupBy("doc_id").agg(
         F.sum("tf").alias("n_tokens"),
