@@ -50,6 +50,9 @@ QUERIES = {
     "geo_radius": ["import config parse", "fn return self"],
     "prefix": ["imp", "conf", "ret"],
     "matching_last": ["import config zzzqqq", "fn return self"],
+    # normalized-score serving (round-4 showRankingScore/threshold): one
+    # exhaustive TAAT pass over the query footprint — should track wand
+    "ranking_score": ["import config parse", "fn return self"],
 }
 
 
@@ -99,7 +102,7 @@ def time_call(fn, reps: int) -> float:
 
 def measure(index_dir: str, reps: int, k: int = 10) -> dict:
     from sparkft.search import (IndexReader, matching_last_topk, prefix_topk,
-                                wand_topk)
+                                ranking_score_topk, wand_topk)
     from sparkft.service import IndexSettings, SearchService
 
     reader = IndexReader(None, index_dir)
@@ -122,6 +125,8 @@ def measure(index_dir: str, reps: int, k: int = 10) -> dict:
             q, k, filter=("_geoRadius", ((12.0, 34.0), 2_000_000))),
         "prefix": lambda q: prefix_topk(reader, q, k),
         "matching_last": lambda q: matching_last_topk(reader, q, k),
+        "ranking_score": lambda q: ranking_score_topk(reader, q, k,
+                                                      threshold=0.5),
     }
     out = {}
     for cat, qs in QUERIES.items():
