@@ -217,3 +217,36 @@ def test_distinct_rule_single_window(spark):
     # attribute value), so the window never materializes whole groups
     assert "WindowGroupLimit" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_hybrid_broadcasts_keyword_side(spark):
+    """hybrid_search_topk: the per-doc keyword scores and the 1-row max
+    must BROADCAST into the embedding scan (they are query-footprint
+    sized), and the embedding parquet scan must prune to the two columns
+    the query needs — no sort-merge join, no full-width scan."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["hybrid_search_topk"](spark, SF)
+    df.collect()  # materialize so AQE finalizes the plan
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # embeddings scan reads only vec_id + embedding
+    emb_read = [ln for ln in plan.splitlines()
+                if "ReadSchema" in ln and "embedding" in ln]
+    assert emb_read and all("label" not in ln for ln in emb_read)
+
+
+def test_repetition_metrics_single_projection(spark):
+    """repetition_metrics must stay one per-row projection: no Generate
+    (explode), no aggregation, no KEY shuffle. (The only Exchange allowed
+    is ensure_parallelism's RoundRobin spread of the single-row-group demo
+    parquet — a no-op on a real multi-split scan.)"""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["repetition_metrics"](spark, SF)
+    plan = plan_of(df)
+    assert "hashpartitioning" not in plan.lower()
+    assert "rangepartitioning" not in plan.lower()
+    assert "Generate" not in plan
+    assert "HashAggregate" not in plan
