@@ -164,3 +164,26 @@ def test_tombstones_excluded(spark, setup, tmp_path_factory):
     want = [r for r in brute_hybrid(texts, ids, emb, qvec, 0.5, N)
             if r[0] not in dead][:10]
     assert got == pytest.approx(want)
+
+
+def test_embedding_set_parity(spark, setup):
+    """EmbeddingSet (precomputed unit-normalized serving form) must return
+    BIT-IDENTICAL results to the direct arrays path, including under
+    tombstones, shuffled input order, and zero-norm rows."""
+    from sparkft.hybrid import EmbeddingSet
+
+    reader, ids, emb, qvec, _ = setup
+    # note: module-ordered after test_tombstones_excluded, so the index
+    # carries a tombstone here — good: the live-mask path is exercised
+    rng = np.random.default_rng(99)
+    perm = rng.permutation(len(ids))
+    emb2 = emb.copy()
+    emb2[7] = 0.0  # zero-norm row -> cosine 0, not NaN
+    es = EmbeddingSet(ids[perm], emb2[perm])  # arbitrary input order
+    direct = hybrid_topk(reader, QUERY, ids, emb2, qvec, k=12, ratio=0.5)
+    via_set = hybrid_topk(reader, QUERY, None, es, qvec, k=12, ratio=0.5)
+    assert via_set == direct
+    # ratio edges through the set too
+    for r in (0.0, 1.0):
+        assert hybrid_topk(reader, QUERY, None, es, qvec, k=5, ratio=r) == \
+            hybrid_topk(reader, QUERY, ids, emb2, qvec, k=5, ratio=r)
