@@ -78,10 +78,21 @@ def _is_control(c: str) -> bool:
     return ud.category(c) == "Cc" and not c.isspace()
 
 
+# Unicode category Cc is BY DEFINITION exactly U+0000-U+001F + U+007F-U+009F
+# (a closed set, stable across Unicode versions), so the non-space control
+# set is precomputable — the per-char ud.category() scan this replaces was
+# ~26% of the whole scalar tokenize path on mixed corpora.
+_CTRL_CHARS = frozenset(
+    c for c in map(chr, list(range(0x20)) + list(range(0x7F, 0xA0)))
+    if _is_control(c)
+)
+_CTRL_DELETE = {ord(c): None for c in _CTRL_CHARS}
+
+
 def strip_control(s: str) -> str:
-    if any(_is_control(c) for c in s):
-        return "".join(c for c in s if not _is_control(c))
-    return s
+    if _CTRL_CHARS.isdisjoint(s):
+        return s
+    return s.translate(_CTRL_DELETE)
 
 
 # --- N4 classifier (classify.rs:20-69) ---
@@ -303,7 +314,11 @@ def normalize_lemma(
         return lemma, kind
 
     # --- lossy ---
-    if script in _CASED_SCRIPTS and any(c.isupper() for c in lemma):
+    # islower() is a C-speed short-circuit: True implies no isupper chars
+    # (all cased chars lowercase), so the per-char scan runs only on the
+    # uncommon not-already-lowercase lemmas — identical semantics
+    if (script in _CASED_SCRIPTS and not lemma.islower()
+            and any(c.isupper() for c in lemma)):
         lemma = lowercase(lemma)
     if script == T.LATIN:
         if not lemma.isascii():
