@@ -352,3 +352,26 @@ def test_lang_id_ngram(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r["lang"] for r in lang_id_ngram(df).collect()}
     assert got == {1: "eng", 2: "deu", 3: "fra", 4: "spa"}
+
+
+def test_stale_first_ordering(tmp_path, monkeypatch):
+    """queries() registration self-rotation: entries with no driver
+    CORRECTNESS row ever come first, then oldest-row-first, stable by
+    registration order within a round; unreadable records fall back to
+    the static order instead of raising."""
+    import json
+
+    import __spark_entry__ as entry
+
+    entries = {"a": 1, "b": 2, "c": 3, "d": 4}
+    here = str(tmp_path)
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"a": {}, "c": {}}))
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({"a": {}}))
+    monkeypatch.setattr(entry.os.path, "dirname", lambda p: here)
+    got = list(entry._stale_first(entries))
+    # b,d never checked (reg order); c last seen r02; a last seen r03
+    assert got == ["b", "d", "c", "a"]
+    # corrupt record -> fallback to static order, no exception
+    (tmp_path / "CORRECTNESS_r04.json").write_text("{not json")
+    assert list(entry._stale_first(entries)) == list(entries)
