@@ -1257,6 +1257,35 @@ def _facet_engine_counts(spark, sf_dir):
     )
 
 
+def _facet_stats_engine(spark, sf_dir):
+    """Meilisearch `facetStats` (min/max of a numeric facet over the docs
+    matching >= 1 query term), engine path: candidate ids from the segment
+    store + one bucket-pruned attribute gather + vectorized min/max."""
+    from sparkft.facets import AttributeStore, facet_stats
+    from sparkft.search import IndexReader
+
+    idx = _engine_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    st = facet_stats(reader, AttributeStore(idx),
+                     " ".join(BM25_QUERY_TERMS), "n_chars")
+    return spark.createDataFrame(
+        [(float(st["min"]), float(st["max"]))],
+        "min_n_chars double, max_n_chars double",
+    )
+
+
+_FACET_STATS_SQL = f"""
+WITH m AS (SELECT DISTINCT doc_id FROM ({{toks}}) WHERE token IN ({{terms}}))
+SELECT min(n_chars)::DOUBLE AS min_n_chars, max(n_chars)::DOUBLE AS max_n_chars
+FROM documents JOIN m USING (doc_id)
+"""
+
+
+def _facet_stats_sql(sf: str) -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return _FACET_STATS_SQL.format(toks=_SQL_TOKS, terms=terms)
+
+
 def _sorted_search_topk(spark, sf_dir):
     """The `sort` ranking rule (Meilisearch), DataFrame path: docs matching
     >= 1 query term ordered by the n_chars attribute DESC (doc_id ASC
@@ -2563,6 +2592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_engine_topk": _hybrid_engine_topk,
         "ranking_score_topk": _ranking_score_topk,
         "repetition_metrics": _repetition_metrics,
+        "facet_stats_engine": _facet_stats_engine,
         # Registered early so a driver cap/timeout never drops them
         # (round-2 driver checked only the first 50 of 54 entries).
         "exactness_engine_topk": _exactness_engine_topk,
@@ -2633,6 +2663,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_engine_topk": _hybrid_sql(""),
         "ranking_score_topk": _ranking_score_sql(""),
         "repetition_metrics": _REPETITION_SQL,
+        "facet_stats_engine": _facet_stats_sql(""),
         "tokenize_doc_lengths": f"SELECT doc_id, count(*) AS n_tokens FROM ({_SQL_TOKS}) GROUP BY doc_id",
         "term_frequencies": f"SELECT token, sum(tf)::BIGINT AS cnt, count(*) AS df FROM ({_SQL_POSTINGS}) GROUP BY token",
         "doc_term_tf": _SQL_POSTINGS,

@@ -125,7 +125,7 @@ def main() -> int:
         "embedding_cosine_topk",
         "ivf_cosine_topk",
         "hybrid_search_topk", "hybrid_engine_topk",
-        "ranking_score_topk", "repetition_metrics",
+        "ranking_score_topk", "repetition_metrics", "facet_stats_engine",
         "quality_scores", "doc_fingerprint",
         "pricing_summary", "top_customers", "orders_window_rank",
         "events_hourly", "cjk_tokenize", "embedding_near_dup",

@@ -305,6 +305,31 @@ def facet_counts(reader, store: AttributeStore, query: str, col: str,
     return {cats[g]: int(cnt[g]) for g in present}
 
 
+def facet_stats(reader, store: AttributeStore, query: str, col: str,
+                cfg: TokenizerConfig = DEFAULT_CONFIG,
+                terms: Optional[list] = None,
+                allowed=None) -> dict:
+    """Meilisearch `facetStats`: {"min": .., "max": ..} of a NUMERIC facet
+    over the docs matching >= 1 query term (same candidate set
+    facetDistribution counts, tombstones excluded; {} when nothing
+    matches). One bucket-pruned attribute gather + a vectorized min/max —
+    O(candidates) like facet_counts, never O(corpus)."""
+    ids = _mask_allowed(
+        matching_docs(reader, terms if terms is not None
+                      else reader.query_terms(query, cfg)),
+        allowed,
+    )
+    if len(ids) == 0:
+        return {}
+    vals = store.lookup(ids, col)
+    if not np.issubdtype(vals.dtype, np.number):
+        raise TypeError(
+            f"facetStats is defined for numeric facets; {col!r} is "
+            f"{vals.dtype} (Meilisearch likewise only returns facetStats "
+            "for numeric values)")
+    return {"min": float(np.min(vals)), "max": float(np.max(vals))}
+
+
 def sort_topk(reader, store: AttributeStore, query: str, col: str,
               k: int = 10, descending: bool = True,
               cfg: TokenizerConfig = DEFAULT_CONFIG,

@@ -339,14 +339,27 @@ class SearchService:
             out["estimatedTotalHits"] = total
 
         if facets:
+            from .facets import facet_stats
+
             fd: dict = {}
+            fs: dict = {}
             for col in facets:
                 if col not in self.settings.filterable_attributes:
                     raise ValueError(f"attribute {col!r} is not filterable")
                 fd[col] = facet_counts(self.reader, self.attrs, query, col,
                                        cfg=self.cfg, terms=terms_used,
                                        allowed=facet_allowed)
+                try:
+                    st = facet_stats(self.reader, self.attrs, query, col,
+                                     cfg=self.cfg, terms=terms_used,
+                                     allowed=facet_allowed)
+                except TypeError:
+                    st = None  # non-numeric facet: Meilisearch omits it too
+                if st:
+                    fs[col] = st
             out["facetDistribution"] = fd
+            if fs:
+                out["facetStats"] = fs
 
         if highlight and hits:
             from .highlight import format_highlight

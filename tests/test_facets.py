@@ -325,3 +325,21 @@ def test_compaction_accepts_derived_geo_cell(spark, tmp_path):
         .to_table(columns=["doc_id"])["doc_id"].to_pylist())
     assert got_ids  # rebuilt, non-empty
     assert not (got_ids & set(dead))  # tombstones folded out
+
+
+def test_facet_stats(spark, built):
+    """facetStats: min/max of a numeric facet over the query's candidate
+    set — equals a python recompute; non-numeric facets raise; empty
+    candidate set -> {}."""
+    from sparkft.facets import facet_stats
+
+    out, rows = built
+    reader = IndexReader(spark, out)
+    store = AttributeStore(out)
+    st = facet_stats(reader, store, QUERY, "n_chars")
+    m = _expected_matches(rows, reader.query_terms(QUERY))
+    vals = [int(r["n_chars"]) for r in m.values()]
+    assert st == {"min": float(min(vals)), "max": float(max(vals))}
+    with pytest.raises(TypeError, match="numeric"):
+        facet_stats(reader, store, QUERY, "repo")
+    assert facet_stats(reader, store, "zzzznope", "n_chars") == {}

@@ -330,3 +330,21 @@ def test_conjunctive_facets_match_hits(built):
         assert res["facetDistribution"]["repo"] == dict(want), strategy
         assert (sum(res["facetDistribution"]["repo"].values())
                 == res["estimatedTotalHits"]), strategy
+
+
+def test_facet_stats_in_response(built):
+    """Numeric facets add facetStats (min/max over the same candidate set
+    facetDistribution counts); string facets are counted but contribute no
+    stats — Meilisearch shape."""
+    from sparkft.facets import AttributeStore, facet_stats
+    from sparkft.search import IndexReader
+
+    out, _, _ = built
+    svc = SearchService(out, IndexSettings(
+        filterable_attributes=("repo", "n_chars")))
+    res = svc.search("merge sort", 5, facets=["repo", "n_chars"])
+    reader = IndexReader(None, out)
+    want = facet_stats(reader, AttributeStore(out), "merge sort", "n_chars")
+    assert res["facetStats"] == {"n_chars": want}
+    assert "repo" not in res["facetStats"]
+    assert set(res["facetDistribution"]) == {"repo", "n_chars"}
