@@ -726,6 +726,55 @@ FROM w
 """
 
 
+QUOTED_QUERY = '"merge sort" table'  # Meilisearch phrase syntax inside q
+
+
+def _quoted_phrase_search_topk(spark, sf_dir):
+    """Meilisearch quoted-phrase query syntax: docs containing the exact
+    adjacent phrase "merge sort" (positional-index gate), ranked by BM25
+    over ALL the query's words {merge, sort, table} with index-global
+    stats (search.quoted_query_topk)."""
+    from sparkft.search import IndexReader, quoted_query_topk
+
+    reader = IndexReader(spark, _engine_index(spark, sf_dir))
+    hits = quoted_query_topk(reader, QUOTED_QUERY, 10)
+    return spark.createDataFrame(
+        [(int(d), round(s, 4)) for d, s in hits], "doc_id long, score double"
+    )
+
+
+def _quoted_phrase_sql(sf: str) -> str:
+    terms = ", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)
+    return f"""
+WITH postings AS ({_SQL_POSTINGS}),
+doclen AS ({_SQL_DOCLEN}),
+stats AS (SELECT count(*) AS n, sum(dl) AS tt FROM doclen),
+q(token) AS (VALUES {terms}),
+term_df AS (SELECT token, count(*) AS df FROM postings
+            WHERE token IN (SELECT token FROM q) GROUP BY token),
+w AS (
+  SELECT doc_id, i AS pos, arr[i] AS token
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS arr
+        FROM documents), unnest(range(1, len(arr) + 1)) AS t(i)),
+ph AS (SELECT DISTINCT a.doc_id FROM w a JOIN w b
+       ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       WHERE a.token = 'merge' AND b.token = 'sort'),
+scored AS (
+  SELECT p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * ({K1} + 1.0)
+                 / (p.tf + {K1} * (1.0 - {B} + {B} * l.dl / (s.tt * 1.0 / s.n)))) ) AS sc
+  FROM postings p
+  JOIN term_df d USING (token)
+  JOIN doclen l ON p.doc_id = l.doc_id
+  CROSS JOIN stats s
+  WHERE p.doc_id IN (SELECT doc_id FROM ph)
+  GROUP BY p.doc_id)
+SELECT doc_id, round(sc, 4) AS score FROM scored
+ORDER BY round(sc, 4) DESC, doc_id LIMIT 10
+"""
+
+
 RANKING_SCORE_THRESHOLD = 0.98  # cuts into the top-10 at sf0.01 (4 survive)
 
 
@@ -2593,6 +2642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ranking_score_topk": _ranking_score_topk,
         "repetition_metrics": _repetition_metrics,
         "facet_stats_engine": _facet_stats_engine,
+        "quoted_phrase_search_topk": _quoted_phrase_search_topk,
         # Registered early so a driver cap/timeout never drops them
         # (round-2 driver checked only the first 50 of 54 entries).
         "exactness_engine_topk": _exactness_engine_topk,
@@ -2664,6 +2714,7 @@ def oracle_sql() -> dict[str, str]:
         "ranking_score_topk": _ranking_score_sql(""),
         "repetition_metrics": _REPETITION_SQL,
         "facet_stats_engine": _facet_stats_sql(""),
+        "quoted_phrase_search_topk": _quoted_phrase_sql(""),
         "tokenize_doc_lengths": f"SELECT doc_id, count(*) AS n_tokens FROM ({_SQL_TOKS}) GROUP BY doc_id",
         "term_frequencies": f"SELECT token, sum(tf)::BIGINT AS cnt, count(*) AS df FROM ({_SQL_POSTINGS}) GROUP BY token",
         "doc_term_tf": _SQL_POSTINGS,

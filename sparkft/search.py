@@ -21,6 +21,7 @@ from __future__ import annotations
 import heapq
 import json
 import os
+import re as _re
 from typing import Optional
 
 import numpy as np
@@ -1011,6 +1012,38 @@ def phrase_topk(reader: IndexReader, phrase: str, k: int = 10,
 
 
 MAX_DISTANCE = 8  # milli's proximity cost cap (reference buckets pair costs)
+
+
+_QUOTED_RE = _re.compile(r'"([^"]*)"')
+
+
+def quoted_query_topk(reader: IndexReader, q: str, k: int = 10,
+                      cfg: TokenizerConfig = DEFAULT_CONFIG
+                      ) -> list[tuple[int, float]]:
+    """Meilisearch phrase-query syntax inside `q`: words wrapped in double
+    quotes must appear CONSECUTIVELY in the document (each quoted phrase is
+    a filter on the candidate set), while ALL the query's words — quoted
+    and loose — rank by BM25 as usual. `'"merge sort" table'` returns only
+    docs containing the exact phrase "merge sort", ranked by BM25 over
+    {merge, sort, table}. Empty quotes are ignored like Meilisearch.
+
+    Cost: O(query postings) for the ranking + O(phrase terms) positional
+    reads per quoted phrase (bucket-pruned); the phrase gate rides WAND's
+    `allowed` fast path, so gated pivots advance without scoring."""
+    phrases = _QUOTED_RE.findall(q)
+    loose = _QUOTED_RE.sub(" ", q)
+    terms = reader.query_terms(" ".join([loose] + phrases), cfg)
+    if not terms:
+        return []
+    allowed: Optional[set] = None
+    for ph in phrases:
+        if not reader.query_terms(ph, cfg):
+            continue  # empty/separator-only quotes are not a filter
+        s = set(phrase_match_counts(reader, ph, cfg))
+        allowed = s if allowed is None else (allowed & s)
+        if not allowed:
+            return []
+    return wand_topk_terms(reader, terms, k, allowed=allowed)
 
 
 def _min_pair_cost(A: np.ndarray, B: np.ndarray) -> int:

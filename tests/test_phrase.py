@@ -87,3 +87,28 @@ def test_phrase_requires_positional_index(spark, tmp_path):
                 num_shards=1, num_buckets=4, verify_sha=False)
     with pytest.raises(ValueError, match="index_positions=True"):
         phrase_topk(IndexReader(spark, out), "parse config")
+
+
+def test_quoted_query_topk(spark, built):
+    """Meilisearch quoted-phrase syntax in q: quoted words gate candidates
+    to exact-adjacency docs, ALL words rank by BM25 with index-global
+    stats; no quotes == plain WAND; empty quotes ignored; unmatched
+    phrase -> []."""
+    from sparkft.search import (phrase_match_counts, quoted_query_topk,
+                                wand_topk, wand_topk_terms)
+
+    reader, _ = built
+    got = quoted_query_topk(reader, '"merge sort" table', 10)
+    allowed = set(phrase_match_counts(reader, "merge sort"))
+    want = wand_topk_terms(reader, reader.query_terms("merge sort table"),
+                           10, allowed=allowed)
+    assert got == want
+    assert got and all(d in allowed for d, _ in got)
+    # no quotes == plain WAND
+    assert quoted_query_topk(reader, "merge sort", 10) == \
+        wand_topk(reader, "merge sort", 10)
+    # empty quotes are not a filter
+    assert quoted_query_topk(reader, '"" merge sort', 10) == \
+        wand_topk(reader, "merge sort", 10)
+    # two phrases intersect; an unmatchable phrase empties the result
+    assert quoted_query_topk(reader, '"zzz qqq yyy" merge', 10) == []
