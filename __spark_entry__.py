@@ -775,6 +775,47 @@ ORDER BY round(sc, 4) DESC, doc_id LIMIT 10
 """
 
 
+NEGATIVE_QUERY = "merge sort -table"  # Meilisearch v1.8 negative operator
+
+
+def _negative_search_topk(spark, sf_dir):
+    """Meilisearch negative-search operator: docs ranked by BM25 over
+    {merge, sort} with every doc containing the word "table" excluded
+    (search.quoted_query_topk's `-word` syntax)."""
+    from sparkft.search import IndexReader, quoted_query_topk
+
+    reader = IndexReader(spark, _engine_index(spark, sf_dir))
+    hits = quoted_query_topk(reader, NEGATIVE_QUERY, 10)
+    return spark.createDataFrame(
+        [(int(d), round(s, 4)) for d, s in hits], "doc_id long, score double"
+    )
+
+
+def _negative_search_sql(sf: str) -> str:
+    return f"""
+WITH postings AS ({_SQL_POSTINGS}),
+doclen AS ({_SQL_DOCLEN}),
+stats AS (SELECT count(*) AS n, sum(dl) AS tt FROM doclen),
+q(token) AS (VALUES ('merge'), ('sort')),
+term_df AS (SELECT token, count(*) AS df FROM postings
+            WHERE token IN (SELECT token FROM q) GROUP BY token),
+neg AS (SELECT DISTINCT doc_id FROM postings WHERE token = 'table'),
+scored AS (
+  SELECT p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * ({K1} + 1.0)
+                 / (p.tf + {K1} * (1.0 - {B} + {B} * l.dl / (s.tt * 1.0 / s.n)))) ) AS sc
+  FROM postings p
+  JOIN term_df d USING (token)
+  JOIN doclen l ON p.doc_id = l.doc_id
+  CROSS JOIN stats s
+  WHERE p.doc_id NOT IN (SELECT doc_id FROM neg)
+  GROUP BY p.doc_id)
+SELECT doc_id, round(sc, 4) AS score FROM scored
+ORDER BY round(sc, 4) DESC, doc_id LIMIT 10
+"""
+
+
 RANKING_SCORE_THRESHOLD = 0.98  # cuts into the top-10 at sf0.01 (4 survive)
 
 
@@ -2643,6 +2684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_metrics": _repetition_metrics,
         "facet_stats_engine": _facet_stats_engine,
         "quoted_phrase_search_topk": _quoted_phrase_search_topk,
+        "negative_search_topk": _negative_search_topk,
         # Registered early so a driver cap/timeout never drops them
         # (round-2 driver checked only the first 50 of 54 entries).
         "exactness_engine_topk": _exactness_engine_topk,
@@ -2715,6 +2757,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_metrics": _REPETITION_SQL,
         "facet_stats_engine": _facet_stats_sql(""),
         "quoted_phrase_search_topk": _quoted_phrase_sql(""),
+        "negative_search_topk": _negative_search_sql(""),
         "tokenize_doc_lengths": f"SELECT doc_id, count(*) AS n_tokens FROM ({_SQL_TOKS}) GROUP BY doc_id",
         "term_frequencies": f"SELECT token, sum(tf)::BIGINT AS cnt, count(*) AS df FROM ({_SQL_POSTINGS}) GROUP BY token",
         "doc_term_tf": _SQL_POSTINGS,

@@ -1014,33 +1014,64 @@ def phrase_topk(reader: IndexReader, phrase: str, k: int = 10,
 MAX_DISTANCE = 8  # milli's proximity cost cap (reference buckets pair costs)
 
 
-_QUOTED_RE = _re.compile(r'"([^"]*)"')
+_QUOTED_RE = _re.compile(r'(-?)"([^"]*)"')
 
 
 def quoted_query_topk(reader: IndexReader, q: str, k: int = 10,
                       cfg: TokenizerConfig = DEFAULT_CONFIG
                       ) -> list[tuple[int, float]]:
-    """Meilisearch phrase-query syntax inside `q`: words wrapped in double
-    quotes must appear CONSECUTIVELY in the document (each quoted phrase is
-    a filter on the candidate set), while ALL the query's words — quoted
-    and loose — rank by BM25 as usual. `'"merge sort" table'` returns only
-    docs containing the exact phrase "merge sort", ranked by BM25 over
-    {merge, sort, table}. Empty quotes are ignored like Meilisearch.
+    """Meilisearch query-string syntax inside `q` (phrases v1.0, negative
+    operator v1.8): words wrapped in double quotes must appear
+    CONSECUTIVELY in the document (each quoted phrase is a filter on the
+    candidate set); a `-` prefix EXCLUDES — `-word` drops every doc
+    containing the word, `-"a b"` every doc containing the adjacent
+    phrase. All remaining (positive) words rank by BM25 as usual.
+    `'"merge sort" table -slow'` returns docs containing the exact phrase
+    "merge sort" and never the word "slow", ranked by BM25 over
+    {merge, sort, table}. Empty quotes are ignored like Meilisearch; a
+    negative word that tokenizes to several lemmas is treated as a
+    negative phrase (the lemmas must be adjacent to exclude).
 
     Cost: O(query postings) for the ranking + O(phrase terms) positional
-    reads per quoted phrase (bucket-pruned); the phrase gate rides WAND's
-    `allowed` fast path, so gated pivots advance without scoring."""
-    phrases = _QUOTED_RE.findall(q)
-    loose = _QUOTED_RE.sub(" ", q)
-    terms = reader.query_terms(" ".join([loose] + phrases), cfg)
+    reads per quoted phrase (bucket-pruned). Gates ride WAND's `allowed`
+    fast path; exclusion is rewritten to allowed = positive-candidate
+    union minus the denied set — the union reads the same postings WAND
+    scores (one decode, shared through the reader's posting cache), so no
+    scoring path needed a `denied` branch."""
+    phrases = [(neg == "-", body) for neg, body in _QUOTED_RE.findall(q)]
+    words = _QUOTED_RE.sub(" ", q).split()
+    neg_texts = ([b for neg, b in phrases if neg]
+                 + [w[1:] for w in words if w.startswith("-") and len(w) > 1])
+    pos_words = [w for w in words if not w.startswith("-")]
+    pos_phrases = [b for neg, b in phrases if not neg]
+    terms = reader.query_terms(" ".join(pos_words + pos_phrases), cfg)
     if not terms:
         return []
     allowed: Optional[set] = None
-    for ph in phrases:
+    for ph in pos_phrases:
         if not reader.query_terms(ph, cfg):
             continue  # empty/separator-only quotes are not a filter
         s = set(phrase_match_counts(reader, ph, cfg))
         allowed = s if allowed is None else (allowed & s)
+        if not allowed:
+            return []
+    denied: set = set()
+    for ph in neg_texts:
+        lemmas = reader.query_terms(ph, cfg)
+        if not lemmas:
+            continue
+        if len(lemmas) == 1:
+            p = reader.load_postings(lemmas)
+            if lemmas[0] in p:
+                denied.update(u64_to_i64(p[lemmas[0]][0]).tolist())
+        else:
+            denied.update(phrase_match_counts(reader, ph, cfg))
+    if denied:
+        cand: set = set()
+        for arr in reader.load_postings(terms).values():
+            cand.update(u64_to_i64(arr[0]).tolist())
+        cand -= denied
+        allowed = cand if allowed is None else (allowed & cand)
         if not allowed:
             return []
     return wand_topk_terms(reader, terms, k, allowed=allowed)

@@ -112,3 +112,33 @@ def test_quoted_query_topk(spark, built):
         wand_topk(reader, "merge sort", 10)
     # two phrases intersect; an unmatchable phrase empties the result
     assert quoted_query_topk(reader, '"zzz qqq yyy" merge', 10) == []
+
+
+def test_negative_operator(spark, built):
+    """Meilisearch v1.8 `-` exclusion: -word drops docs containing the
+    word, -"a b" drops docs containing the adjacent phrase; composes with
+    positive phrases; excluded words never rank."""
+    from sparkft.search import (IndexReader, phrase_match_counts,
+                                quoted_query_topk, wand_topk_terms)
+
+    reader, _ = built
+    p = reader.load_postings(["return"])
+    from sparkft.index_build import u64_to_i64
+
+    has_neg = set(u64_to_i64(p["return"][0]).tolist())
+    got = quoted_query_topk(reader, "merge sort -return", 10)
+    assert got and not ({d for d, _ in got} & has_neg)
+    # equals WAND over positives gated to candidates-minus-excluded
+    cand = set()
+    for arr in reader.load_postings(reader.query_terms("merge sort")).values():
+        cand.update(u64_to_i64(arr[0]).tolist())
+    want = wand_topk_terms(reader, reader.query_terms("merge sort"), 10,
+                           allowed=cand - has_neg)
+    assert got == want
+    # negative phrase: only adjacency is excluded
+    got_ph = quoted_query_topk(reader, 'merge -"merge sort"', 10)
+    dead_ph = set(phrase_match_counts(reader, "merge sort"))
+    assert got_ph and not ({d for d, _ in got_ph} & dead_ph)
+    # excluding a term absent from the corpus is a no-op
+    assert quoted_query_topk(reader, "merge sort -zzzznope", 10) == \
+        quoted_query_topk(reader, "merge sort", 10)
