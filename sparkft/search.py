@@ -1017,8 +1017,26 @@ MAX_DISTANCE = 8  # milli's proximity cost cap (reference buckets pair costs)
 _QUOTED_RE = _re.compile(r'(-?)"([^"]*)"')
 
 
+def positive_query_text(q: str) -> str:
+    """The q-syntax query's POSITIVE text (loose words + quoted-phrase
+    bodies, exclusions dropped) — what ranks, highlights, and faceting
+    expand from."""
+    phrases = [(neg == "-", body) for neg, body in _QUOTED_RE.findall(q)]
+    words = _QUOTED_RE.sub(" ", q).split()
+    return " ".join([w for w in words if not w.startswith("-")]
+                    + [b for neg, b in phrases if not neg])
+
+
+def has_query_syntax(q: str) -> bool:
+    """True when `q` uses the quoted-phrase / negative-operator syntax
+    (the service routes such queries through quoted_query_topk)."""
+    return '"' in q or any(
+        w.startswith("-") and len(w) > 1 for w in q.split())
+
+
 def quoted_query_topk(reader: IndexReader, q: str, k: int = 10,
-                      cfg: TokenizerConfig = DEFAULT_CONFIG
+                      cfg: TokenizerConfig = DEFAULT_CONFIG,
+                      allowed: Optional[set] = None
                       ) -> list[tuple[int, float]]:
     """Meilisearch query-string syntax inside `q` (phrases v1.0, negative
     operator v1.8): words wrapped in double quotes must appear
@@ -1047,7 +1065,6 @@ def quoted_query_topk(reader: IndexReader, q: str, k: int = 10,
     terms = reader.query_terms(" ".join(pos_words + pos_phrases), cfg)
     if not terms:
         return []
-    allowed: Optional[set] = None
     for ph in pos_phrases:
         if not reader.query_terms(ph, cfg):
             continue  # empty/separator-only quotes are not a filter

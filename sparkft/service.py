@@ -148,7 +148,25 @@ class SearchService:
             grouped_matching_last_topk,
         )
 
+        from .search import has_query_syntax, quoted_query_topk
+
         s = self.settings
+        if has_query_syntax(query):
+            # Meilisearch q-syntax (quoted phrases, `-` exclusion): served
+            # under the default 'any' relevance ranking; the grouped
+            # strategies have no defined composition with phrase gates
+            # here — explicit error beats silently dropping the operators
+            if s.matching_strategy != "any":
+                raise ValueError(
+                    "quoted-phrase / negative query syntax is served under "
+                    "matching_strategy 'any' only")
+            from .search import positive_query_text
+
+            hits = quoted_query_topk(self.reader, query, k, cfg=self.cfg,
+                                     allowed=allowed)
+            terms = self.reader.query_terms(
+                positive_query_text(query), self.cfg)
+            return hits, sorted(set(terms))
         groups = self._word_groups(query)
         terms = sorted({t for g in groups for t in g})
         if s.matching_strategy in ("last", "frequency"):

@@ -348,3 +348,32 @@ def test_facet_stats_in_response(built):
     assert res["facetStats"] == {"n_chars": want}
     assert "repo" not in res["facetStats"]
     assert set(res["facetDistribution"]) == {"repo", "n_chars"}
+
+
+def test_query_syntax_through_service(built):
+    """q-syntax parses at the service entry point like Meilisearch: quoted
+    phrase + exclusion hit quoted_query_topk (filter-composed), non-'any'
+    strategies reject it explicitly."""
+    from sparkft.search import IndexReader, quoted_query_topk
+
+    out, _, _ = built
+    svc = SearchService(out, SETTINGS)
+    # exclusion-only form: the module fixture index carries no positions
+    # store (quoted-phrase routing is covered on a positioned index in
+    # tests/test_phrase.py)
+    q = "merge sort -return"
+    res = svc.search(q, 5)
+    reader = IndexReader(None, out)
+    assert [(h["doc_id"], h["score"]) for h in res["hits"]] == \
+        quoted_query_topk(reader, q, 5)
+    # composes with attribute filters through `allowed`
+    some_repo = next(iter(
+        svc.search("merge sort", 5, facets=["repo"])["facetDistribution"]
+        ["repo"]))
+    res_f = svc.search(q, 5, filter=("repo", some_repo))
+    allowed = svc._allowed(("repo", some_repo))
+    assert [(h["doc_id"], h["score"]) for h in res_f["hits"]] == \
+        quoted_query_topk(reader, q, 5, allowed=allowed)
+    svc_last = SearchService(out, IndexSettings(matching_strategy="last"))
+    with pytest.raises(ValueError, match="syntax"):
+        svc_last.search(q, 5)
