@@ -1228,6 +1228,58 @@ def _filtered_engine_topk(spark, sf_dir):
     )
 
 
+FILTER_EXPR = "(lang = en OR lang = de) AND n_chars >= 200 AND NOT source = src1"
+
+
+def _filter_expr_engine_topk(spark, sf_dir):
+    """Meilisearch filter-EXPRESSION search: the allowed set comes from a
+    parsed boolean expression (sparkft.filter_expr — equality via the
+    bucket-pruned attribute index, range via one vectorized column mask,
+    AND/OR/NOT as sorted-array set algebra), gating the same WAND branch
+    the tuple filter uses."""
+    from sparkft.facets import AttributeIndex, AttributeStore
+    from sparkft.filter_expr import filter_ids
+    from sparkft.search import IndexReader, filtered_topk
+
+    idx = _engine_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    allowed = filter_ids(FILTER_EXPR, AttributeStore(idx),
+                         AttributeIndex(idx))
+    hits = filtered_topk(reader, " ".join(BM25_QUERY_TERMS), 10,
+                         allowed_docs=allowed)
+    return spark.createDataFrame(
+        [(int(d), round(s, 4)) for d, s in hits], "doc_id long, score double"
+    )
+
+
+def _filter_expr_sql(sf: str) -> str:
+    terms = ", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)
+    return f"""
+WITH postings AS ({_SQL_POSTINGS}),
+doclen AS ({_SQL_DOCLEN}),
+stats AS (SELECT count(*) AS n, sum(dl) AS tt FROM doclen),
+q(token) AS (VALUES {terms}),
+term_df AS (SELECT token, count(*) AS df FROM postings
+            WHERE token IN (SELECT token FROM q) GROUP BY token),
+allowed AS (SELECT doc_id FROM documents
+            WHERE (lang = 'en' OR lang = 'de') AND n_chars >= 200
+              AND NOT source = 'src1'),
+scored AS (
+  SELECT p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * ({K1} + 1.0)
+                 / (p.tf + {K1} * (1.0 - {B} + {B} * l.dl / (s.tt * 1.0 / s.n)))) ) AS sc
+  FROM postings p
+  JOIN term_df d USING (token)
+  JOIN doclen l ON p.doc_id = l.doc_id
+  CROSS JOIN stats s
+  WHERE p.doc_id IN (SELECT doc_id FROM allowed)
+  GROUP BY p.doc_id)
+SELECT doc_id, round(sc, 4) AS score FROM scored
+ORDER BY round(sc, 4) DESC, doc_id LIMIT 10
+"""
+
+
 def _words_ranked_topk(spark, sf_dir):
     """Meilisearch's first ranking rule ("words"), DataFrame path: documents
     matching more distinct query terms rank first, tie-broken by the BM25
@@ -2685,6 +2737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_stats_engine": _facet_stats_engine,
         "quoted_phrase_search_topk": _quoted_phrase_search_topk,
         "negative_search_topk": _negative_search_topk,
+        "filter_expr_engine_topk": _filter_expr_engine_topk,
         # Registered early so a driver cap/timeout never drops them
         # (round-2 driver checked only the first 50 of 54 entries).
         "exactness_engine_topk": _exactness_engine_topk,
@@ -2758,6 +2811,7 @@ def oracle_sql() -> dict[str, str]:
         "facet_stats_engine": _facet_stats_sql(""),
         "quoted_phrase_search_topk": _quoted_phrase_sql(""),
         "negative_search_topk": _negative_search_sql(""),
+        "filter_expr_engine_topk": _filter_expr_sql(""),
         "tokenize_doc_lengths": f"SELECT doc_id, count(*) AS n_tokens FROM ({_SQL_TOKS}) GROUP BY doc_id",
         "term_frequencies": f"SELECT token, sum(tf)::BIGINT AS cnt, count(*) AS df FROM ({_SQL_POSTINGS}) GROUP BY token",
         "doc_term_tf": _SQL_POSTINGS,

@@ -98,6 +98,24 @@ class SearchService:
         scan (small-store fallback)."""
         if filter is None:
             return None
+        if isinstance(filter, str):
+            # Meilisearch filter-expression string: `lang = en AND
+            # n_chars > 200`, IN [...], NOT, parentheses, lo TO hi —
+            # parsed and resolved by sparkft.filter_expr (equality through
+            # the bucket-pruned attribute index, ranges as one vectorized
+            # column mask, boolean ops as sorted-array set algebra)
+            from .filter_expr import (evaluate_filter, filter_attributes,
+                                      parse_filter)
+
+            ast = parse_filter(filter)
+            bad = sorted(filter_attributes(ast)
+                         - set(self.settings.filterable_attributes))
+            if bad:
+                raise ValueError(
+                    f"attribute(s) {bad} are not filterable (filterable_"
+                    f"attributes={self.settings.filterable_attributes})")
+            return set(evaluate_filter(ast, self.attrs,
+                                       self.attr_index).tolist())
         col, value = filter
         if col not in self.settings.filterable_attributes:
             raise ValueError(f"attribute {col!r} is not filterable "

@@ -1,0 +1,136 @@
+"""Meilisearch filter-expression language (sparkft.filter_expr): parser
+shapes, set-algebra evaluation vs a pandas-style recompute, error cases,
+and the service string-filter surface."""
+
+import numpy as np
+import pytest
+
+from sparkft.filter_expr import (FilterSyntaxError, filter_attributes,
+                                 filter_ids, parse_filter)
+
+
+class FakeStore:
+    """Minimal AttributeStore stand-in: sorted doc_ids + columns."""
+
+    def __init__(self, ids, cols):
+        self.doc_ids = np.asarray(ids, dtype=np.int64)
+        self._cols = {k: np.asarray(v) for k, v in cols.items()}
+
+    def column(self, col):
+        return self._cols[col]
+
+
+@pytest.fixture()
+def store():
+    return FakeStore(
+        ids=range(8),
+        cols={
+            "lang": ["en", "en", "de", "fr", "de", "en", "fr", "de"],
+            "n": [10, 25, 30, 5, 25, 40, 25, 0],
+        },
+    )
+
+
+def ids(expr, store):
+    return filter_ids(expr, store).tolist()
+
+
+def test_comparisons_and_boolean_algebra(store):
+    assert ids("lang = en", store) == [0, 1, 5]
+    assert ids("lang != en", store) == [2, 3, 4, 6, 7]
+    assert ids("n > 25", store) == [2, 5]
+    assert ids("n >= 25", store) == [1, 2, 4, 5, 6]
+    assert ids("n < 10", store) == [3, 7]
+    assert ids("n <= 10", store) == [0, 3, 7]
+    assert ids("lang = en AND n >= 25", store) == [1, 5]
+    assert ids("lang = fr OR n > 25", store) == [2, 3, 5, 6]
+    assert ids("NOT lang = en", store) == [2, 3, 4, 6, 7]
+    assert ids("(lang = en OR lang = de) AND NOT n = 25", store) == \
+        [0, 2, 5, 7]
+    assert ids("lang IN [de, fr]", store) == [2, 3, 4, 6, 7]
+    assert ids("n 10 TO 30", store) == [0, 1, 2, 4, 6]  # inclusive range
+    # quoted values with spaces/escapes
+    assert ids("lang = 'en'", store) == [0, 1, 5]
+    assert ids('lang = "en"', store) == [0, 1, 5]
+    # AND binds tighter than OR
+    assert ids("lang = fr OR lang = en AND n > 20", store) == \
+        sorted(set(ids("lang = fr", store))
+               | set(ids("lang = en AND n > 20", store)))
+
+
+def test_attribute_collection_and_errors(store):
+    assert filter_attributes(
+        parse_filter("(a = 1 OR b > 2) AND NOT c IN [x]")) == {"a", "b", "c"}
+    for bad in ("", "lang =", "= en", "lang = en AND", "(lang = en",
+                "lang IN [", "n 10 TO", "lang ~ en"):
+        with pytest.raises(FilterSyntaxError):
+            filter_ids(bad, store)
+    with pytest.raises(FilterSyntaxError, match="numeric"):
+        filter_ids("n = abc", store)
+    with pytest.raises(FilterSyntaxError, match="numeric"):
+        filter_ids("lang > 3", store)
+    with pytest.raises(FilterSyntaxError, match="range"):
+        filter_ids("lang en TO fr", store)
+
+
+def test_random_parity_against_pandas(store):
+    rng = np.random.default_rng(5)
+    n = 200
+    big = FakeStore(
+        ids=(rng.permutation(10**6)[:n] * 7).tolist(),
+        cols={"x": rng.integers(0, 50, n), "s": rng.choice(["a", "b"], n)},
+    )
+    big.doc_ids = np.sort(big.doc_ids)
+    import pandas as pd
+
+    df = pd.DataFrame({"doc_id": big.doc_ids, "x": big._cols["x"],
+                       "s": big._cols["s"]})
+    cases = {
+        "x >= 25 AND s = a": (df.x >= 25) & (df.s == "a"),
+        "NOT (x < 10 OR s = b)": ~((df.x < 10) | (df.s == "b")),
+        "x 5 TO 15 OR s = b": ((df.x >= 5) & (df.x <= 15)) | (df.s == "b"),
+        "x IN [1, 2, 3]": df.x.isin([1, 2, 3]),
+    }
+    for expr, mask in cases.items():
+        assert filter_ids(expr, big).tolist() == \
+            df.loc[mask, "doc_id"].tolist(), expr
+
+
+def test_service_string_filter(tmp_path):
+    """SearchService accepts a filter STRING; equals the same allowed set
+    composed manually; non-filterable attributes in the expression are
+    rejected by name."""
+    from pyspark.sql import SparkSession
+
+    from sparkft.corpus import generate_corpus
+    from sparkft.facets import write_attribute_store
+    from sparkft.index_build import build_index
+    from sparkft.search import IndexReader, filtered_topk
+    from sparkft.service import IndexSettings, SearchService
+
+    spark = (SparkSession.builder.master("local[4]")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    corpus = generate_corpus(200, seed=77)
+    out = str(tmp_path / "fidx")
+    docs = spark.createDataFrame(corpus)
+    build_index(spark, docs, out, num_shards=1, num_buckets=4)
+    from pyspark.sql import functions as F
+
+    attrs = (docs.withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
+             .select("doc_id", "lang",
+                     F.length("content").alias("n_chars")))
+    write_attribute_store(spark, attrs, out, cols=("lang", "n_chars"))
+    svc = SearchService(out, IndexSettings(
+        filterable_attributes=("lang", "n_chars")))
+    expr = "lang = py AND n_chars >= 300"
+    res = svc.search("merge sort", 10, filter=expr)
+    reader = IndexReader(None, out)
+    allowed = svc._allowed(expr)
+    want = filtered_topk(reader, "merge sort", 10, allowed_docs=np.fromiter(
+        allowed, dtype=np.int64, count=len(allowed)))
+    assert [(h["doc_id"], h["score"]) for h in res["hits"]] == \
+        [(d, round(s, 4)) for d, s in want] or \
+        [(h["doc_id"], h["score"]) for h in res["hits"]] == want
+    with pytest.raises(ValueError, match="not filterable"):
+        svc.search("merge", 5, filter="secret_col = 1")
