@@ -1228,6 +1228,36 @@ def _filtered_engine_topk(spark, sf_dir):
     )
 
 
+def _facet_search_values(spark, sf_dir):
+    """Meilisearch /facet-search: facet VALUES of `source` prefixed 'src1'
+    with their doc counts over the docs matching the query — prefix test
+    over the DISTINCT values (store-wide category codes), counts by
+    bincount (facets.facet_value_search)."""
+    from sparkft.facets import AttributeStore, facet_value_search
+    from sparkft.search import IndexReader
+
+    idx = _engine_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    vals = facet_value_search(reader, AttributeStore(idx), "source", "src1",
+                              query=" ".join(BM25_QUERY_TERMS))
+    return spark.createDataFrame(
+        [(v, int(c)) for v, c in vals], "value string, n_docs long"
+    )
+
+
+def _facet_search_sql(sf: str) -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return f"""
+WITH m AS (SELECT DISTINCT doc_id FROM ({_SQL_TOKS})
+           WHERE token IN ({terms}))
+SELECT source AS value, count(*) AS n_docs
+FROM documents JOIN m USING (doc_id)
+WHERE lower(source) LIKE 'src1%'
+GROUP BY source
+ORDER BY n_docs DESC, value LIMIT 100
+"""
+
+
 FILTER_EXPR = "(lang = en OR lang = de) AND n_chars >= 200 AND NOT source = src1"
 
 
@@ -2738,6 +2768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quoted_phrase_search_topk": _quoted_phrase_search_topk,
         "negative_search_topk": _negative_search_topk,
         "filter_expr_engine_topk": _filter_expr_engine_topk,
+        "facet_search_values": _facet_search_values,
         # Registered early so a driver cap/timeout never drops them
         # (round-2 driver checked only the first 50 of 54 entries).
         "exactness_engine_topk": _exactness_engine_topk,
@@ -2812,6 +2843,7 @@ def oracle_sql() -> dict[str, str]:
         "quoted_phrase_search_topk": _quoted_phrase_sql(""),
         "negative_search_topk": _negative_search_sql(""),
         "filter_expr_engine_topk": _filter_expr_sql(""),
+        "facet_search_values": _facet_search_sql(""),
         "tokenize_doc_lengths": f"SELECT doc_id, count(*) AS n_tokens FROM ({_SQL_TOKS}) GROUP BY doc_id",
         "term_frequencies": f"SELECT token, sum(tf)::BIGINT AS cnt, count(*) AS df FROM ({_SQL_POSTINGS}) GROUP BY token",
         "doc_term_tf": _SQL_POSTINGS,

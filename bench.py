@@ -127,7 +127,7 @@ def main() -> int:
         "hybrid_search_topk", "hybrid_engine_topk",
         "ranking_score_topk", "repetition_metrics", "facet_stats_engine",
         "quoted_phrase_search_topk", "negative_search_topk",
-        "filter_expr_engine_topk",
+        "filter_expr_engine_topk", "facet_search_values",
         "quality_scores", "doc_fingerprint",
         "pricing_summary", "top_customers", "orders_window_rank",
         "events_hourly", "cjk_tokenize", "embedding_near_dup",

@@ -305,6 +305,46 @@ def facet_counts(reader, store: AttributeStore, query: str, col: str,
     return {cats[g]: int(cnt[g]) for g in present}
 
 
+def facet_value_search(reader, store: AttributeStore, col: str,
+                       facet_query: str, query: Optional[str] = None,
+                       k: int = 100,
+                       cfg: TokenizerConfig = DEFAULT_CONFIG,
+                       terms: Optional[list] = None,
+                       allowed=None) -> list[tuple[str, int]]:
+    """Meilisearch `/facet-search`: find the facet VALUES of `col` whose
+    string form starts with `facet_query` (case-insensitive, like
+    Meilisearch's prefix matching), each with its count of matching docs —
+    over the whole corpus when `query` is None, else over the docs
+    matching the search query (the same candidate set facetDistribution
+    counts). Returns [(value, count)] ordered (count DESC, value ASC),
+    capped at `k` (Meilisearch caps at 100).
+
+    Cost: one per-bucket factorization (cached — the same int32 category
+    codes facet_counts gathers through), then a vectorized prefix test
+    over the DISTINCT values only (corpus-size independent: |values|, not
+    |docs|) and one bincount over the candidate codes."""
+    if query is None and terms is None:
+        ids = store.doc_ids
+        if reader is not None and reader.deleted:
+            ids = ids[~reader.deleted.mask(ids)]
+        ids = _mask_allowed(ids, allowed)
+    else:
+        ids = _mask_allowed(
+            matching_docs(reader, terms if terms is not None
+                          else reader.query_terms(query, cfg)),
+            allowed,
+        )
+    if len(ids) == 0:
+        return []
+    codes, cats = store.lookup_codes(ids, col)
+    cnt = np.bincount(codes, minlength=len(cats))
+    fq = facet_query.lower()
+    out = [(str(cats[g]), int(cnt[g])) for g in range(len(cats))
+           if cnt[g] and str(cats[g]).lower().startswith(fq)]
+    out.sort(key=lambda t: (-t[1], t[0]))
+    return out[:k]
+
+
 def facet_stats(reader, store: AttributeStore, query: str, col: str,
                 cfg: TokenizerConfig = DEFAULT_CONFIG,
                 terms: Optional[list] = None,

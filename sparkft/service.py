@@ -253,6 +253,25 @@ class SearchService:
         return {"numberOfDocuments": n_live, "isIndexing": False,
                 "fieldDistribution": fd}
 
+    def facet_search(self, facet_name: str, facet_query: str = "",
+                     q: Optional[str] = None, k: int = 100) -> dict:
+        """Meilisearch /facet-search: {"facetHits": [{"value", "count"},
+        ...]} — facet values of `facet_name` prefixed by `facet_query`
+        (case-insensitive), counts over the docs matching `q` when given,
+        else the whole live corpus. The facet must be filterable."""
+        from .facets import facet_value_search
+
+        if facet_name not in self.settings.filterable_attributes:
+            raise ValueError(f"attribute {facet_name!r} is not filterable")
+        terms = None
+        if q is not None:
+            terms = sorted({t for g in self._word_groups(q) for t in g})
+        hits = facet_value_search(self.reader, self.attrs, facet_name,
+                                  facet_query, query=q, cfg=self.cfg,
+                                  terms=terms, k=k)
+        return {"facetHits": [{"value": v, "count": c} for v, c in hits],
+                "facetQuery": facet_query}
+
     def search(self, query: str, k: int = 10,
                filter: Optional[tuple] = None,
                sort: Optional[tuple] = None,

@@ -343,3 +343,31 @@ def test_facet_stats(spark, built):
     with pytest.raises(TypeError, match="numeric"):
         facet_stats(reader, store, QUERY, "repo")
     assert facet_stats(reader, store, "zzzznope", "n_chars") == {}
+
+
+def test_facet_value_search(spark, built):
+    """/facet-search: values prefix-matched case-insensitively, counted
+    over the query's candidates (or the whole corpus for q=None), ordered
+    (count DESC, value ASC)."""
+    from sparkft.facets import facet_value_search
+
+    out, rows = built
+    reader = IndexReader(spark, out)
+    store = AttributeStore(out)
+    m = _expected_matches(rows, reader.query_terms(QUERY))
+    want: dict = {}
+    for r in m.values():
+        if str(r["repo"]).lower().startswith("org1"):
+            want[str(r["repo"])] = want.get(str(r["repo"]), 0) + 1
+    got = facet_value_search(reader, store, "repo", "org1", query=QUERY)
+    assert got == sorted(want.items(), key=lambda t: (-t[1], t[0]))
+    # corpus-wide (q=None) counts every live doc
+    got_all = facet_value_search(reader, store, "repo", "org1")
+    want_all: dict = {}
+    for r in rows:
+        if str(r["repo"]).lower().startswith("org1"):
+            want_all[str(r["repo"])] = want_all.get(str(r["repo"]), 0) + 1
+    assert got_all == sorted(want_all.items(), key=lambda t: (-t[1], t[0]))
+    # unmatched prefix -> [], k caps the list
+    assert facet_value_search(reader, store, "repo", "zzz", query=QUERY) == []
+    assert len(facet_value_search(reader, store, "repo", "", k=2)) == 2
