@@ -51,6 +51,11 @@ class IndexSettings:
 
     synonyms: dict = field(default_factory=dict)
     typo_tolerance: bool = False
+    # Meilisearch typoTolerance sub-settings (defaults = Meilisearch's):
+    # minWordSizeForTypos.oneTypo / .twoTypos, disableOnWords
+    typo_min_word_size_one: int = 5
+    typo_min_word_size_two: int = 9
+    typo_disable_on_words: tuple = ()
     matching_strategy: str = "any"  # 'any' | 'all' | 'last' | 'frequency'
     filterable_attributes: tuple = ()
     sortable_attributes: tuple = ()
@@ -144,10 +149,12 @@ class SearchService:
         words = list(dict.fromkeys(t for t in lemmas if t))
         sym = self.reader.symspell() if s.typo_tolerance else None
         groups = []
+        disabled = frozenset(s.typo_disable_on_words)
         for w in words:
             g = {w}
-            if sym is not None:
-                g.update(sym.expand(w))
+            if sym is not None and w not in disabled:
+                g.update(sym.expand(w, s.typo_min_word_size_one,
+                                    s.typo_min_word_size_two))
             for syn in s.synonyms.get(w, ()):
                 g.update(self.reader.query_terms(syn, self.cfg))
             groups.append(sorted(g))

@@ -54,12 +54,15 @@ MAX_WORD_LEN = 48  # prefix-key length for deletion-neighborhood generation
 TYPO_DIR = "typo_variants"
 
 
-def allowed_edits(term: str) -> int:
-    """Typos allowed for a query word under the Meilisearch default rule."""
+def allowed_edits(term: str, one_typo_min: int = ONE_TYPO_MIN_LEN,
+                  two_typos_min: int = TWO_TYPOS_MIN_LEN) -> int:
+    """Typos allowed for a query word under the Meilisearch length rule;
+    the thresholds are the index settings `typoTolerance.minWordSizeFor
+    Typos.{oneTypo,twoTypos}` (defaults 5/9)."""
     n = len(term)
-    if n >= TWO_TYPOS_MIN_LEN:
+    if n >= two_typos_min:
         return 2
-    if n >= ONE_TYPO_MIN_LEN:
+    if n >= one_typo_min:
         return 1
     return 0
 
@@ -122,14 +125,24 @@ class SymSpellIndex:
             for v in _deletes(w[:max_word_len], max_edits):
                 self.variants.setdefault(v, []).append(w)
 
-    def expand(self, term: str) -> list[str]:
-        return sorted(self.expand_with_distance(term))
+    def expand(self, term: str, one_typo_min: int = ONE_TYPO_MIN_LEN,
+               two_typos_min: int = TWO_TYPOS_MIN_LEN) -> list[str]:
+        return sorted(self.expand_with_distance(term, one_typo_min,
+                                                two_typos_min))
 
-    def expand_with_distance(self, term: str) -> dict[str, int]:
+    def expand_with_distance(self, term: str,
+                             one_typo_min: int = ONE_TYPO_MIN_LEN,
+                             two_typos_min: int = TWO_TYPOS_MIN_LEN
+                             ) -> dict[str, int]:
         """Like expand(), but returns {word: exact edit distance} — the
         input the "typo" ranking rule needs (docs matched with fewer typos
-        rank higher). Same candidate generation + banded-DP verification."""
-        e = min(allowed_edits(term), self.max_edits)
+        rank higher). Same candidate generation + banded-DP verification.
+        The thresholds are Meilisearch's minWordSizeForTypos settings; the
+        index itself is threshold-independent (it stores the full
+        max_edits deletion neighborhood), so per-query settings need no
+        rebuild."""
+        e = min(allowed_edits(term, one_typo_min, two_typos_min),
+                self.max_edits)
         key = term[:self.max_word_len]
         if e == 0:
             ok = term in self.variants.get(key, ())
@@ -238,11 +251,17 @@ class PrecomputedSymSpell:
             self._buckets[b] = got
         return got
 
-    def expand(self, term: str) -> list[str]:
-        return sorted(self.expand_with_distance(term))
+    def expand(self, term: str, one_typo_min: int = ONE_TYPO_MIN_LEN,
+               two_typos_min: int = TWO_TYPOS_MIN_LEN) -> list[str]:
+        return sorted(self.expand_with_distance(term, one_typo_min,
+                                                two_typos_min))
 
-    def expand_with_distance(self, term: str) -> dict[str, int]:
-        e = min(allowed_edits(term), self.max_edits)
+    def expand_with_distance(self, term: str,
+                             one_typo_min: int = ONE_TYPO_MIN_LEN,
+                             two_typos_min: int = TWO_TYPOS_MIN_LEN
+                             ) -> dict[str, int]:
+        e = min(allowed_edits(term, one_typo_min, two_typos_min),
+                self.max_edits)
         key = term[:self.max_word_len]
         if e == 0:
             ok = term in self._load(self._bucket_of(key)).get(key, ())

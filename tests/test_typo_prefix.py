@@ -310,3 +310,53 @@ def test_precomputed_path_never_scans_dictionary(spark, tmp_path):
     r2.term_dictionary = _poisoned
     with _pytest.raises(AssertionError, match="scanned"):
         r2.symspell()
+
+
+def test_typo_tolerance_settings():
+    """Meilisearch typoTolerance sub-settings: minWordSizeForTypos changes
+    the edits-per-length rule per QUERY (no index rebuild — the deletion
+    neighborhood is threshold-independent), and both index forms agree."""
+    from sparkft.typo import SymSpellIndex, allowed_edits
+
+    # rule table under custom thresholds
+    assert [allowed_edits("x" * n, 3, 6) for n in (2, 3, 5, 6)] == [0, 1, 1, 2]
+    assert allowed_edits("abcd") == 0  # defaults unchanged
+    vocab = ["graft", "grab", "craft", "spark"]
+    sym = SymSpellIndex(vocab)
+    # 'grft' (4 chars) gets no typos by default, 1 typo at oneTypo=4
+    assert sym.expand("grft") == []
+    assert sym.expand("grft", one_typo_min=4) == ["graft"]
+    # twoTypos threshold: 'grapt' (5) default 1 edit -> graft/grab? grab is
+    # d=2; with twoTypos=5 both distance-2 words appear
+    d1 = sym.expand_with_distance("grapt")
+    assert all(d <= 1 for d in d1.values())
+    d2 = sym.expand_with_distance("grapt", two_typos_min=5)
+    assert set(d1) <= set(d2) and max(d2.values()) == 2
+
+
+def test_typo_settings_through_service(tmp_path):
+    """disableOnWords keeps a word unexpanded; lowered oneTypo threshold
+    expands a short word the defaults would not."""
+    from pyspark.sql import SparkSession
+
+    from sparkft.index_build import build_index
+    from sparkft.service import IndexSettings, SearchService
+
+    spark = (SparkSession.builder.master("local[4]")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    docs = spark.createDataFrame(
+        [(0, "graft spark"), (1, "grab run"), (2, "craft beer")],
+        "doc_id long, text string")
+    out = str(tmp_path / "tidx")
+    build_index(spark, docs, out, text_col="text", doc_id_col="doc_id",
+                num_shards=1, num_buckets=2, verify_sha=False)
+    base = dict(typo_tolerance=True)
+    svc = SearchService(out, IndexSettings(**base))
+    assert svc._word_groups("grft") == [["grft"]]  # 4 chars: no typo
+    svc_low = SearchService(out, IndexSettings(
+        **base, typo_min_word_size_one=4))
+    assert svc_low._word_groups("grft") == [["graft", "grft"]]
+    svc_dis = SearchService(out, IndexSettings(
+        **base, typo_min_word_size_one=4, typo_disable_on_words=("grft",)))
+    assert svc_dis._word_groups("grft") == [["grft"]]
