@@ -287,7 +287,8 @@ class SearchService:
                offset: int = 0,
                estimate_total: bool = False,
                show_ranking_score: bool = False,
-               ranking_score_threshold: Optional[float] = None) -> dict:
+               ranking_score_threshold: Optional[float] = None,
+               show_matches_position: bool = False) -> dict:
         """Meilisearch-shaped response:
         {"hits": [{"doc_id", "score"|attr, "_formatted"?, ...}],
          "offset": ..., "facetDistribution"?: {col: {value: count}},
@@ -423,8 +424,8 @@ class SearchService:
             if fs:
                 out["facetStats"] = fs
 
-        if highlight and hits:
-            from .highlight import format_highlight
+        if (highlight or show_matches_position) and hits:
+            from .highlight import format_highlight, highlight_spans
 
             # highlight the terms that actually produced the hits (typo/
             # synonym expansions included), not just the raw query words
@@ -432,6 +433,21 @@ class SearchService:
             texts = self._texts([h["doc_id"] for h in hits])
             for h in hits:
                 t = texts.get(h["doc_id"])
-                if t is not None:
-                    h["_formatted"] = format_highlight(t, terms, cfg=self.cfg)
+                if t is None:
+                    continue
+                if highlight:
+                    h["_formatted"] = format_highlight(t, terms,
+                                                       cfg=self.cfg)
+                if show_matches_position:
+                    # Meilisearch showMatchesPosition: per-attribute match
+                    # spans over the ORIGINAL text ({start, length} —
+                    # Meilisearch counts bytes, we count characters, the
+                    # documented divergence of the highlight module)
+                    h["_matchesPosition"] = {
+                        "text": [
+                            {"start": a, "length": b - a}
+                            for a, b in highlight_spans(t, terms,
+                                                        cfg=self.cfg)
+                        ]
+                    }
         return out

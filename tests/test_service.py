@@ -377,3 +377,26 @@ def test_query_syntax_through_service(built):
     svc_last = SearchService(out, IndexSettings(matching_strategy="last"))
     with pytest.raises(ValueError, match="syntax"):
         svc_last.search(q, 5)
+
+
+def test_show_matches_position(built):
+    """showMatchesPosition: per-hit {attr: [{start, length}]} spans over
+    the ORIGINAL text, agreeing with highlight_spans; independent of
+    highlight (either flag alone works)."""
+    from sparkft.highlight import highlight_spans
+
+    out, store_path, rows = built
+    svc = SearchService(out, SETTINGS, document_store=store_path)
+    res = svc.search("merge sort", 3, show_matches_position=True)
+    texts = {int(r["doc_id"]): r["text"] for r in rows}
+    assert res["hits"]
+    for h in res["hits"]:
+        spans = highlight_spans(texts[h["doc_id"]], ["merge", "sort"])
+        assert h["_matchesPosition"]["text"] == [
+            {"start": a, "length": b - a} for a, b in spans]
+        assert spans  # a hit must contain at least one match
+        assert "_formatted" not in h  # highlight flag off
+    both = svc.search("merge sort", 2, highlight=True,
+                      show_matches_position=True)
+    assert all("_formatted" in h and "_matchesPosition" in h
+               for h in both["hits"])
