@@ -288,7 +288,9 @@ class SearchService:
                estimate_total: bool = False,
                show_ranking_score: bool = False,
                ranking_score_threshold: Optional[float] = None,
-               show_matches_position: bool = False) -> dict:
+               show_matches_position: bool = False,
+               crop_length: Optional[int] = None,
+               crop_marker: str = "…") -> dict:
         """Meilisearch-shaped response:
         {"hits": [{"doc_id", "score"|attr, "_formatted"?, ...}],
          "offset": ..., "facetDistribution"?: {col: {value: count}},
@@ -424,8 +426,9 @@ class SearchService:
             if fs:
                 out["facetStats"] = fs
 
-        if (highlight or show_matches_position) and hits:
-            from .highlight import format_highlight, highlight_spans
+        if (highlight or show_matches_position or crop_length) and hits:
+            from .highlight import (crop_around_match, format_highlight,
+                                    highlight_spans)
 
             # highlight the terms that actually produced the hits (typo/
             # synonym expansions included), not just the raw query words
@@ -435,7 +438,17 @@ class SearchService:
                 t = texts.get(h["doc_id"])
                 if t is None:
                     continue
-                if highlight:
+                if crop_length:
+                    # Meilisearch cropLength/cropMarker: a ~crop_length
+                    # word window centered on the first match; highlight
+                    # markers then apply within the cropped text
+                    cropped = crop_around_match(t, terms, crop_length,
+                                                marker=crop_marker,
+                                                cfg=self.cfg)
+                    h["_formatted"] = (format_highlight(cropped, terms,
+                                                        cfg=self.cfg)
+                                       if highlight else cropped)
+                elif highlight:
                     h["_formatted"] = format_highlight(t, terms,
                                                        cfg=self.cfg)
                 if show_matches_position:

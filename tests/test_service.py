@@ -400,3 +400,24 @@ def test_show_matches_position(built):
                       show_matches_position=True)
     assert all("_formatted" in h and "_matchesPosition" in h
                for h in both["hits"])
+
+
+def test_crop_length(built):
+    """cropLength/cropMarker: _formatted is the ~N-word window around the
+    first match; with highlight the markers apply inside the crop."""
+    from sparkft.highlight import crop_around_match, format_highlight
+
+    out, store_path, rows = built
+    svc = SearchService(out, SETTINGS, document_store=store_path)
+    res = svc.search("merge sort", 3, crop_length=6)
+    texts = {int(r["doc_id"]): r["text"] for r in rows}
+    for h in res["hits"]:
+        want = crop_around_match(texts[h["doc_id"]], ["merge", "sort"], 6)
+        assert h["_formatted"] == want
+        assert len(h["_formatted"]) < len(texts[h["doc_id"]])
+    both = svc.search("merge sort", 2, crop_length=6, highlight=True)
+    for h in both["hits"]:
+        cropped = crop_around_match(texts[h["doc_id"]], ["merge", "sort"], 6)
+        assert h["_formatted"] == format_highlight(cropped,
+                                                   ["merge", "sort"])
+        assert "<em>" in h["_formatted"]
