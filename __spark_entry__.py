@@ -191,7 +191,7 @@ def _engine_index(spark: SparkSession, sf_dir: str) -> str:
 
     from sparkft.index_build import build_index
 
-    key = hashlib.md5(f"{sf_dir}:v10gc".encode()).hexdigest()[:10]
+    key = hashlib.md5(f"{sf_dir}:v11cc".encode()).hexdigest()[:10]
     idx_dir = os.path.join(tempfile.gettempdir(), f"sparkft_entry_idx_{key}")
     if not os.path.exists(f"{idx_dir}/stats.json"):
         from sparkft.facets import write_attribute_index, write_attribute_store

@@ -122,7 +122,7 @@ DEFAULT_CONFIG = TokenizerConfig()
 # this guard (no fingerprint recorded) pass unchecked.
 # ---------------------------------------------------------------------------
 
-TOKENIZER_BEHAVIOR_VERSION = 1
+TOKENIZER_BEHAVIOR_VERSION = 2  # r4: camelCase digit/symbol+Upper+lower fix
 
 # digest cache keyed by (path, mtime_ns, size) — injected CJK dictionaries
 # run to several MB and fingerprints are computed per build/reader, not once

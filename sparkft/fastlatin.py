@@ -13,8 +13,8 @@ ASCII facts used (derived from the reference data, charabia/src/separators.rs):
 - multi-char ASCII separators: ". " and ", " (leftmost-longest beats the
   single chars; both classify as Hard).
 - Hard ASCII separators: \\0 ! ; ? ". " ", "  (charabia CONTEXT_SEPARATORS).
-- ASCII camelCase boundary: [a-z][A-Z] or [A-Z][A-Z][a-z] (split before the
-  second upper) — no nonspacing marks in ASCII.
+- ASCII camelCase boundary (camel_case.rs): before an Upper whose PREV char
+  is lower OR whose NEXT char is lower — no nonspacing marks in ASCII.
 - ASCII normalization: NFKD/quote/ae-oe/marks/viet/turkish are all no-ops;
   lowercase is the only lossy effect; control chars other than \\t \\n \\r
   (whitespace, kept) would be stripped — rows containing other control bytes
@@ -43,6 +43,81 @@ _SLOW_BYTES_RX = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
 
 def is_fast_eligible(text: str) -> bool:
     return text.isascii() and _SLOW_BYTES_RX.search(text) is None
+
+
+# ---------------------------------------------------------------------------
+# Latin-diacritic surrogate extension of the fast path
+# ---------------------------------------------------------------------------
+#
+# Most non-ASCII Latin text (French, German without ß, Vietnamese, Spanish,
+# ...) differs from ASCII only by characters whose ENTIRE pipeline effect is
+# a single-ASCII-char fold (é -> e after NFKD + mark strip, ü -> u, đ -> d)
+# or which are separators (« » … °). For a text made of such characters, a
+# length-preserving TRANSLATION to an ASCII "surrogate" string — folded
+# letters keep their case class, separators map to a same-class ASCII
+# separator — makes the vectorized ASCII scan produce exactly the scalar
+# pipeline's words_only output: boundaries depend only on (separator-ness,
+# case class), and a word's normalized lemma IS its lowered surrogate
+# slice. The table is built by PROBING the scalar pipeline per character,
+# so parity holds by construction; tests/test_fast_parity.py then asserts
+# it en masse over random eligible strings. Texts containing any character
+# the table cannot prove safe (ß -> "ss" changes length, Greek/CJK scripts,
+# combining marks, İ) translate to a non-ASCII surrogate and fall back to
+# the scalar path unchanged.
+
+_SURROGATE_RANGES = (
+    list(range(0xA0, 0x250))        # Latin-1 supplement + Extended-A/B
+    + list(range(0x1E00, 0x1F00))   # Latin Extended Additional (Vietnamese)
+    + list(range(0x2010, 0x2070))   # general punctuation (quotes, dashes, …)
+    + [0x2212]                      # minus sign
+)
+
+
+@functools.lru_cache(maxsize=1)
+def _surrogate_table() -> dict[int, str]:
+    from .config import DEFAULT_CONFIG
+    from .normalize import SEP_HARD
+    from .tokenizer import tokenize_str
+
+    seps = T.default_separator_set()
+    table: dict[int, str] = {}
+    for cp in _SURROGATE_RANGES:
+        c = chr(cp)
+        if c in seps:
+            toks = tokenize_str(f"ab{c}cd", DEFAULT_CONFIG)
+            words = [t for t in toks if t.kind == WORD]
+            kinds = {t.kind for t in toks} - {WORD}
+            if [t.lemma for t in words] != ["ab", "cd"]:
+                continue  # participates in multi-char patterns: stay scalar
+            table[cp] = ";" if SEP_HARD in kinds else "("
+            continue
+        if c.isalpha() and not (c.islower() or c.isupper()):
+            continue  # titlecase etc.: scalar
+        probe = c.lower() if c.isupper() else c
+        if len(probe) != 1:
+            continue  # e.g. İ lowers to 2 chars
+        toks = tokenize_str(f"ab{probe}cd", DEFAULT_CONFIG)
+        if len(toks) != 1 or toks[0].kind != WORD:
+            continue
+        lem = toks[0].lemma
+        if (len(lem) != 5 or not lem.isascii()
+                or lem[:2] != "ab" or lem[3:] != "cd"):
+            continue
+        f = lem[2]
+        if not ("a" <= f <= "z" or "0" <= f <= "9"):
+            continue  # folds to a separator-ish char: scalar
+        table[cp] = f.upper() if c.isupper() else f
+    return table
+
+
+def to_ascii_surrogate(text: str):
+    """The text's ASCII surrogate, or None when any character lacks a
+    proven-safe mapping (then the scalar path must run). O(len) C-speed:
+    one translate + one isascii."""
+    s = text.translate(_surrogate_table())
+    if s.isascii() and _SLOW_BYTES_RX.search(s) is None:
+        return s
+    return None
 
 
 @functools.lru_cache(maxsize=1)
@@ -107,7 +182,10 @@ def _scan(texts: Sequence[str], cfg: TokenizerConfig):
         lo_next = np.zeros(n, dtype=bool)
         lo_next[:-1] = lo[1:] & ~doc_start_mask[1:n]
         camel = np.zeros(n, dtype=bool)
-        camel[1:] = up[1:] & ~doc_start_mask[1:n] & (lo[:-1] | (up[:-1] & lo_next[1:]))
+        # camel_case.rs rule: boundary before Upper at i when (lower at
+        # i-1) OR (lower at i+1) — the i-1 char's class is otherwise
+        # irrelevant (digits/symbols count), within one doc
+        camel[1:] = up[1:] & ~doc_start_mask[1:n] & (lo[:-1] | lo_next[1:])
         boundaries[np.flatnonzero(camel)] = True
 
     starts = np.flatnonzero(boundaries[:n])

@@ -124,8 +124,12 @@ def presegment(text: str, scanner: SeparatorScanner) -> Iterator[tuple[str, bool
 # Latin camelCase (S1)
 # ---------------------------------------------------------------------------
 
-# ASCII fast path: boundary at lower->Upper, or Upper->Upper followed by lower.
-_ASCII_CAMEL_RX = re.compile(r"(?<=[a-z])(?=[A-Z])|(?<=[A-Z])(?=[A-Z][a-z])")
+# ASCII fast path, same rule as the general branch below (camel_case.rs:
+# boundary before an Upper when the PREV char is lower OR the NEXT char is
+# lower — the prev char's class is otherwise irrelevant, so "0Aa" and
+# "x=Foo" split before the Upper too; round-4 fix, the old form required a
+# LETTER before the boundary and silently diverged on digit/symbol+Upper).
+_ASCII_CAMEL_RX = re.compile(r"(?<=[a-z])(?=[A-Z])|(?<=[\s\S])(?=[A-Z][a-z])")
 _HAS_UPPER_RX = re.compile(r"[A-Z]")
 
 

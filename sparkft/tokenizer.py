@@ -211,17 +211,30 @@ def tokenize_words_arrow(
             fast_texts.append(t)
             continue
         if default_cfg:
-            # split into script runs; ASCII runs stay on the fast path
+            # whole-text Latin-diacritic surrogate (fastlatin docstring):
+            # one C-speed translate turns e.g. French/Vietnamese prose into
+            # an ASCII-scan-equivalent string
+            s = fastlatin.to_ascii_surrogate(t)
+            if s is not None:
+                fast_rows.append(i)
+                fast_texts.append(s)
+                continue
+            # split into script runs; ASCII(-surrogate) runs stay fast
             for cs, ce, _sids in split_script_runs(t):
                 run = t[cs:ce]
                 if fastlatin.is_fast_eligible(run):
                     fast_rows.append(i)
                     fast_texts.append(run)
-                else:
-                    for tok in tokenize_str(run, cfg):
-                        if tok.kind in (WORD, STOP_WORD) and tok.lemma:
-                            slow_rows.append(i)
-                            slow_lemmas.append(tok.lemma)
+                    continue
+                rs = fastlatin.to_ascii_surrogate(run)
+                if rs is not None:
+                    fast_rows.append(i)
+                    fast_texts.append(rs)
+                    continue
+                for tok in tokenize_str(run, cfg):
+                    if tok.kind in (WORD, STOP_WORD) and tok.lemma:
+                        slow_rows.append(i)
+                        slow_lemmas.append(tok.lemma)
             continue
         for tok in tokenize_str(t, cfg):
             if tok.kind in (WORD, STOP_WORD) and tok.lemma:
@@ -269,6 +282,14 @@ def tokenize_batch(
         if default_cfg and fastlatin.is_fast_eligible(t):
             fast_rows.append(i)
             fast_texts.append(t)
+        elif default_cfg and words_only and (
+            (_s := fastlatin.to_ascii_surrogate(t)) is not None
+        ):
+            # Latin-diacritic surrogate: words_only lemmas from the folded
+            # ASCII string are exactly the scalar pipeline's (fastlatin
+            # docstring + parity property tests)
+            fast_rows.append(i)
+            fast_texts.append(_s)
         else:
             for tok in tokenize_str(t, cfg):
                 # words_only also drops fully-deleted lemmas (e.g. a lone

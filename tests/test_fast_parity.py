@@ -149,3 +149,109 @@ def test_each_segmenter_no_panic_and_covers(text):
         parts = seg.segment(text)
         assert "".join(parts) == text
     assert "".join(split_camel_case(text)) == text
+
+
+# Latin-diacritic surrogate fast path: alphabet biased toward the mapped
+# ranges (accented letters, typographic punctuation) plus ASCII, with some
+# chars the table must REJECT (ß, Greek, combining mark) so the fallback
+# routing is exercised too.
+latin_ext_text = st.text(
+    alphabet=st.sampled_from(
+        list(string.ascii_letters + string.digits + " .,!?()'\"-_")
+        + list("àâäéèêëîïôöùûüçñÀÂÄÉÈÊËÎÏÔÖÙÛÜÇÑ")
+        + list("ăąćčďđęěğıłńňőřśšťůűźżž")
+        + list("ạảấầẩậắằẵệịốồổớờủứữỷỹđĐ")
+        + list("«»…–—’‘“”°ßμ́")
+    ),
+    max_size=100,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(latin_ext_text, max_size=6))
+def test_surrogate_batch_matches_scalar(texts):
+    """tokenize_batch (words_only) must equal the scalar per-text stream
+    REGARDLESS of which route each text takes (ASCII fast, surrogate fast,
+    per-run split, or scalar fallback)."""
+    from sparkft.tokenizer import tokenize_batch
+
+    rows, lemmas = tokenize_batch(texts, DEFAULT_CONFIG, words_only=True)
+    expected = []
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        for tok in tokenize_str(t, DEFAULT_CONFIG):
+            if tok.kind not in (SEP_HARD, SEP_SOFT) and tok.lemma:
+                expected.append((i, tok.lemma))
+    assert list(zip(rows.tolist(), lemmas)) == expected
+
+
+@settings(max_examples=200, deadline=None)
+@given(latin_ext_text)
+def test_surrogate_words_arrow_matches_scalar_bag(text):
+    """tokenize_words_arrow is a BAG (order not guaranteed): multiset
+    parity with the scalar stream under the surrogate routing."""
+    from collections import Counter
+
+    from sparkft.tokenizer import tokenize_words_arrow
+
+    rows, words = tokenize_words_arrow([text], DEFAULT_CONFIG)
+    got = Counter(words.to_pylist())
+    want = Counter(
+        tok.lemma for tok in tokenize_str(text, DEFAULT_CONFIG)
+        if tok.kind not in (SEP_HARD, SEP_SOFT) and tok.lemma
+    )
+    assert got == want
+
+
+def test_surrogate_table_sanity():
+    """Every surrogate is one ASCII char; separators map to separators,
+    letters preserve their case class; known-dangerous chars are absent."""
+    from sparkft.fastlatin import _surrogate_table, _tables
+
+    tbl = _surrogate_table()
+    assert len(tbl) > 200
+    is_sep, _hard, _u, _l = _tables()
+    for cp, sub in tbl.items():
+        c = chr(cp)
+        assert len(sub) == 1 and sub.isascii(), (c, sub)
+        if sub in ";(":
+            continue  # separator surrogate
+        assert not is_sep[ord(sub)], (c, sub)
+        if c.isalpha():
+            assert c.isupper() == sub.isupper(), (c, sub)
+    for bad in "ßİΗ中́":  # length-changing, Greek, CJK, combining
+        assert ord(bad) not in tbl
+
+
+def test_camel_case_reference_rule():
+    """camel_case.rs: boundary before an Upper when prev is lower OR next
+    is lower — the prev char's class is otherwise irrelevant. Round-4 fix:
+    the ASCII shortcut used to require a LETTER before the boundary and
+    diverged on digit/symbol+Upper+lower (all three branches must agree:
+    scalar general, scalar ASCII regex, vectorized scan)."""
+    from sparkft.segment import split_camel_case
+    from sparkft.tokenizer import tokenize_batch
+
+    cases = {
+        "a": ["a"], "aB": ["a", "B"], "camelCase": ["camel", "Case"],
+        "SCREAMING": ["SCREAMING"], "openSSL": ["open", "SSL"],
+        "MongoDBDatabase": ["Mongo", "DB", "Database"],
+        # the fixed class: non-letter before Upper+lower
+        "0Aa": ["0", "Aa"], "x=Foo": ["x=", "Foo"], "$Var": ["$", "Var"],
+        "0AB": ["0AB"],  # next not lower, prev not lower: no split
+        "Aa": ["Aa"],    # never split before the first char
+    }
+    for s, want in cases.items():
+        assert split_camel_case(s) == want, s
+        # vectorized path agrees (lemmas are the lowered splits)
+        _, lemmas = tokenize_batch([s], DEFAULT_CONFIG, words_only=True)
+        assert lemmas == [w.lower() for w in want], s
+        # non-ASCII twin takes the general branch: same boundaries
+        t = s.replace("a", "à", 1)
+        from sparkft.normalize import STOP_WORD, WORD
+
+        scalar = [tok.lemma for tok in tokenize_str(t, DEFAULT_CONFIG)
+                  if tok.kind in (WORD, STOP_WORD) and tok.lemma]
+        _, lem2 = tokenize_batch([t], DEFAULT_CONFIG, words_only=True)
+        assert lem2 == scalar, t
