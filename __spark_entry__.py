@@ -178,21 +178,64 @@ def entry(spark: SparkSession) -> DataFrame:
     return _bm25_topk(spark, "/root/testdata/sf0.001")
 
 
+# On-disk layout version of the ENTRY caches (segment store + attribute
+# sidecars). Bump only when the STORE FORMAT changes; tokenizer-behavior
+# changes are auto-detected via the fingerprint in the cache key below, so
+# they never need a hand bump again (VERDICT r4 item 1: the hand-bumped
+# v11cc/:multi:v2/:part:v2 tags desynced and crashed the round).
+_ENTRY_STORE_VERSION = "s1"
+
+
+def _entry_cache_dir(sf_dir: str, tag: str) -> str:
+    """Path of a tmp-cached entry store. The key is DERIVED from the live
+    tokenizer contract fingerprint (config + behavior version), so any
+    change to tokenizer behavior changes the key and the stale store is
+    simply never looked at — no manual version tag to forget. If a dir at
+    the derived key somehow carries a different fingerprint (corrupt or
+    partially-copied store), it is cleared so the caller rebuilds."""
+    import hashlib
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from sparkft.config import DEFAULT_CONFIG, tokenizer_fingerprint
+
+    fp = tokenizer_fingerprint(DEFAULT_CONFIG)
+    key = hashlib.md5(
+        f"{sf_dir}:{tag}:{_ENTRY_STORE_VERSION}:{fp}".encode()
+    ).hexdigest()[:10]
+    idx_dir = os.path.join(tempfile.gettempdir(), f"sparkft_entry_{tag}_{key}")
+    if os.path.isdir(idx_dir):
+        # defense-in-depth: verify every stats.json under the dir agrees
+        # with the live fingerprint; clear-and-rebuild instead of crashing
+        # (the r4 failure mode was IndexReader.verify_config raising).
+        for root, _dirs, files in os.walk(idx_dir):
+            if "stats.json" not in files:
+                continue
+            try:
+                with open(os.path.join(root, "stats.json")) as f:
+                    got = json.load(f).get("tokenizer_fingerprint")
+            except (OSError, ValueError):
+                got = "<unreadable>"
+            if got is not None and got != fp:
+                shutil.rmtree(idx_dir, ignore_errors=True)
+                break
+    return idx_dir
+
+
 def _engine_index(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per sf_dir, cached in tmp) the ONE segment index shared by
     every engine-path entry query. Built with positions so BM25/WAND,
     conjunctive, and phrase serving all read the same store — the segments
     and stats are byte-identical to a positions-off build, so sharing it
-    cannot perturb the ranked paths. Key is versioned: any index-format
-    change bumps it so a stale cache can never be served."""
-    import hashlib
+    cannot perturb the ranked paths. Cache key derives from the tokenizer
+    fingerprint (see _entry_cache_dir) so a stale cache can never be served."""
     import os
-    import tempfile
 
     from sparkft.index_build import build_index
 
-    key = hashlib.md5(f"{sf_dir}:v11cc".encode()).hexdigest()[:10]
-    idx_dir = os.path.join(tempfile.gettempdir(), f"sparkft_entry_idx_{key}")
+    idx_dir = _entry_cache_dir(sf_dir, "idx")
     if not os.path.exists(f"{idx_dir}/stats.json"):
         from sparkft.facets import write_attribute_index, write_attribute_store
 
@@ -1992,14 +2035,11 @@ ATTR_QUERY = "merge window"
 def _multi_engine_index(spark: SparkSession, sf_dir: str) -> str:
     """Cached per-attribute segment stores (multiindex.build_multi_index)
     over the derived title/body attributes."""
-    import hashlib
     import os
-    import tempfile
 
     from sparkft.multiindex import build_multi_index
 
-    key = hashlib.md5(f"{sf_dir}:multi:v2".encode()).hexdigest()[:10]
-    idx_dir = os.path.join(tempfile.gettempdir(), f"sparkft_entry_midx_{key}")
+    idx_dir = _entry_cache_dir(sf_dir, "midx")
     if not os.path.exists(f"{idx_dir}/multi.json"):
         docs = _docs(spark, sf_dir).select(
             "doc_id",
@@ -2106,14 +2146,11 @@ def _part_engine_index(spark: SparkSession, sf_dir: str) -> str:
     """Cached engine index over part.p_name (doc_id = p_partkey) — a second
     corpus whose two-slot names give naturally DISJOINT word pairs, which
     the documents table (every word pair co-occurs) cannot provide."""
-    import hashlib
     import os
-    import tempfile
 
     from sparkft.index_build import build_index
 
-    key = hashlib.md5(f"{sf_dir}:part:v2".encode()).hexdigest()[:10]
-    idx_dir = os.path.join(tempfile.gettempdir(), f"sparkft_entry_pidx_{key}")
+    idx_dir = _entry_cache_dir(sf_dir, "pidx")
     if not os.path.exists(f"{idx_dir}/stats.json"):
         parts = spark.read.parquet(f"{sf_dir}/part.parquet").select(
             F.col("p_partkey").cast("long").alias("doc_id"),

@@ -43,10 +43,18 @@ def main() -> int:
     from sparkft.search import IndexReader, wand_topk
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
 
     def timed(name, fn):
+        # failure-isolated (VERDICT r4 item 2): one entry's exception must
+        # never zero the other 68 measurements — record it and keep going.
         t0 = time.time()
-        fn()
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001 — harness boundary
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
+            print(f"[bench] {name} FAILED: {errors[name]}", file=sys.stderr)
+            return
         timings[name] = round(time.time() - t0, 3)
 
     # warm the JVM and the Python worker pool once (one wave of tokenize
@@ -198,6 +206,7 @@ def main() -> int:
 
     # full index build + WAND search over the documents corpus
     idx_dir = tempfile.mkdtemp(prefix="sparkft_bench_idx_")
+    docs_per_sec = None
     try:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         t0 = time.time()
@@ -212,13 +221,15 @@ def main() -> int:
             verify_sha=True,
         )
         timings["index_build"] = round(time.time() - t0, 3)
+        docs_per_sec = res.docs_per_sec
 
-        reader = IndexReader(spark, idx_dir)
-        t0 = time.time()
-        for q in ["merge sort table", "spark stream", "window filter row",
-                  "customer order", "hash join"]:
-            wand_topk(reader, q, 10)
-        timings["search_wand_x5"] = round(time.time() - t0, 3)
+        def _wand_x5():
+            reader = IndexReader(spark, idx_dir)
+            for q in ["merge sort table", "spark stream", "window filter row",
+                      "customer order", "hash join"]:
+                wand_topk(reader, q, 10)
+
+        timed("search_wand_x5", _wand_x5)
 
         # distributed serving: 40 queries fanned across executors
         from sparkft.search import distributed_topk
@@ -226,11 +237,13 @@ def main() -> int:
         qset = [f"{a} {b}" for a in ["merge", "hash", "sort", "index",
                                      "group", "filter", "window", "stream"]
                 for b in ["table", "join", "key", "row", "scan"]]
-        t0 = time.time()
-        distributed_topk(spark, idx_dir, qset, k=10,
-                         parallelism=cpus).count()
-        timings["search_distributed_x40"] = round(time.time() - t0, 3)
-        docs_per_sec = res.docs_per_sec
+        timed("search_distributed_x40",
+              lambda: distributed_topk(spark, idx_dir, qset, k=10,
+                                       parallelism=cpus).count())
+    except Exception as e:  # noqa: BLE001 — harness boundary
+        errors["index_build"] = f"{type(e).__name__}: {e}"[:500]
+        print(f"[bench] index_build FAILED: {errors['index_build']}",
+              file=sys.stderr)
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
@@ -242,6 +255,7 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "errors": errors,
                 "sf": sf,
                 "index_docs_per_sec": docs_per_sec,
                 "cpus": cpus,
@@ -264,6 +278,7 @@ def main() -> int:
                 "sf": sf,
                 "index_docs_per_sec": docs_per_sec,
                 "n_queries": len(timings),
+                "n_errors": len(errors),
                 "cpus": cpus,
                 "host_dispatch_ms": dispatch_ms,
                 "host_jvm_kernel_ms": jvm_kernel_ms,

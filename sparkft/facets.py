@@ -172,6 +172,22 @@ class AttributeStore:
         """Full column aligned with `doc_ids` (full-scan path)."""
         return self._full_view()[1][col]
 
+    def column_is_numeric(self, col: str) -> bool:
+        """Metadata-only dtype probe (parquet footer schema; no bucket data
+        is read). Used to keep numeric equality OFF the AttributeIndex,
+        whose values are Spark STRING casts: `price = 20` string-matched
+        against "20.0" silently returns empty (ADVICE r4)."""
+        import pyarrow.dataset as ds
+        import pyarrow.types as pt
+
+        schema = getattr(self, "_schema", None)
+        if schema is None:
+            schema = self._schema = ds.dataset(
+                self.path, format="parquet").schema
+        f = schema.field(col)
+        return (pt.is_integer(f.type) or pt.is_floating(f.type)
+                or pt.is_decimal(f.type))
+
     def lookup(self, ids: np.ndarray, col: str) -> np.ndarray:
         """Attribute values for `ids` (must all exist in the store) —
         bucket-pruned: only the hive partitions `ids % B` are read."""

@@ -221,7 +221,14 @@ def _col_values(store, col: str):
 
 
 def _eq_ids(store, attr_index, col: str, value: str) -> np.ndarray:
-    if attr_index is not None and col in attr_index.cols:
+    # The AttributeIndex stores Spark STRING casts of values, so numeric
+    # columns must NOT resolve through it: `price = 20` would string-match
+    # against "20.0" and silently return empty (and `price != 20` would
+    # return every doc). Mirrors service._allowed's isinstance(value, str)
+    # guard; dtype probe is parquet-footer-only (ADVICE r4, reproduced in
+    # test_filter_expr.py::test_numeric_eq_on_indexed_column).
+    if (attr_index is not None and col in attr_index.cols
+            and not store.column_is_numeric(col)):
         return attr_index.doc_ids(col, value)
     vals, numeric = _col_values(store, col)
     if numeric:

@@ -134,3 +134,61 @@ def test_service_string_filter(tmp_path):
         [(h["doc_id"], h["score"]) for h in res["hits"]] == want
     with pytest.raises(ValueError, match="not filterable"):
         svc.search("merge", 5, filter="secret_col = 1")
+
+class FakeIndex:
+    """AttributeIndex stand-in whose values are Spark STRING casts —
+    numeric 25 is stored as "25" (int col) or "25.0" (double col)."""
+
+    def __init__(self, store, cols):
+        self.cols = tuple(cols)
+        self._store = store
+
+    def doc_ids(self, attr, value):
+        vals = self._store.column(attr).astype(str)
+        return np.sort(self._store.doc_ids[vals == str(value)])
+
+
+def test_numeric_eq_on_indexed_column(store):
+    """ADVICE r4 (medium): an INDEXED numeric column must not resolve
+    equality through the string-cast AttributeIndex — `n = 25.0` would
+    string-match "25" vs "25.0" and silently return empty, and `n != 25.0`
+    would return every doc including matches."""
+    store.column_is_numeric = lambda col: np.issubdtype(
+        store._cols[col].dtype, np.number)
+    idx = FakeIndex(store, cols=("lang", "n"))
+    # the float form of the literal is where the old index path broke
+    assert filter_ids("n = 25.0", store, idx).tolist() == [1, 4, 6]
+    assert filter_ids("n != 25.0", store, idx).tolist() == [0, 2, 3, 5, 7]
+    assert filter_ids("n IN [25.0, 40]", store, idx).tolist() == [1, 4, 5, 6]
+    # string columns still go through the index (bucket-pruned path)
+    assert filter_ids("lang = en", store, idx).tolist() == [0, 1, 5]
+
+
+def test_real_store_numeric_dtype_probe(tmp_path):
+    """column_is_numeric on a REAL AttributeStore is parquet-footer-only
+    and correct for int/string columns."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from sparkft.facets import (AttributeIndex, AttributeStore,
+                                write_attribute_index, write_attribute_store)
+
+    spark = (SparkSession.builder.master("local[4]")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    docs = spark.range(20).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("l"), (F.col("id") % 3).cast("string")).alias("lang"),
+        (F.col("id") % 4 * 10).cast("double").alias("price"),
+    )
+    out = str(tmp_path / "numidx")
+    write_attribute_store(spark, docs, out, cols=("lang", "price"))
+    write_attribute_index(spark, docs, out, cols=("lang", "price"))
+    st, ai = AttributeStore(out), AttributeIndex(out)
+    assert st.column_is_numeric("price") and not st.column_is_numeric("lang")
+    assert filter_ids("price = 20", st, ai).tolist() == \
+        sorted(i for i in range(20) if (i % 4) * 10 == 20)
+    assert filter_ids("price != 20", st, ai).tolist() == \
+        sorted(i for i in range(20) if (i % 4) * 10 != 20)
+    assert filter_ids("lang = l1", st, ai).tolist() == \
+        sorted(i for i in range(20) if i % 3 == 1)

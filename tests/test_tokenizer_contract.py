@@ -170,3 +170,34 @@ def test_legacy_index_without_fingerprint_passes(spark, built_index,
                   cfg=DEFAULT_CONFIG.with_(stop_words={"the"})), list)
     out = compact_index(spark, idx)
     assert "tokenizer_fingerprint" not in out
+
+
+def test_entry_cache_key_derives_from_behavior_version(monkeypatch):
+    """VERDICT r4 item 1: the entry tmp-cache keys must be DERIVED from the
+    tokenizer fingerprint so a behavior-version bump auto-invalidates every
+    cached store (the r4 crash was a hand-bumped tag that desynced)."""
+    import sparkft.config as C
+    import __spark_entry__ as entry
+
+    before = entry._entry_cache_dir("/root/testdata/sf0.001", "midx")
+    monkeypatch.setattr(C, "TOKENIZER_BEHAVIOR_VERSION",
+                        C.TOKENIZER_BEHAVIOR_VERSION + 1)
+    monkeypatch.setattr(C, "_FINGERPRINT_CACHE", {})
+    after = entry._entry_cache_dir("/root/testdata/sf0.001", "midx")
+    assert before != after
+
+
+def test_entry_cache_dir_clears_mismatched_store(tmp_path, monkeypatch):
+    """A store at the derived key whose stats.json carries a DIFFERENT
+    fingerprint (partially-copied / corrupt) is cleared, not served."""
+    import __spark_entry__ as entry
+
+    import tempfile
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    d = entry._entry_cache_dir("/x/sf9", "idx")
+    os.makedirs(d)
+    with open(os.path.join(d, "stats.json"), "w") as f:
+        json.dump({"tokenizer_fingerprint": "deadbeef" * 8}, f)
+    d2 = entry._entry_cache_dir("/x/sf9", "idx")
+    assert d2 == d and not os.path.exists(d)
