@@ -1034,10 +1034,82 @@ def has_query_syntax(q: str) -> bool:
         w.startswith("-") and len(w) > 1 for w in q.split())
 
 
+def _parse_query_syntax(q: str) -> tuple[list[str], list[str], list[str]]:
+    """-> (positive loose words, positive phrase bodies, negated texts
+    [words and phrase bodies])."""
+    phrases = [(neg == "-", body) for neg, body in _QUOTED_RE.findall(q)]
+    words = _QUOTED_RE.sub(" ", q).split()
+    neg_texts = ([b for neg, b in phrases if neg]
+                 + [w[1:] for w in words if w.startswith("-") and len(w) > 1])
+    pos_words = [w for w in words if not w.startswith("-")]
+    pos_phrases = [b for neg, b in phrases if not neg]
+    return pos_words, pos_phrases, neg_texts
+
+
+def _denied_ids(reader: IndexReader, neg_texts: list[str],
+                cfg: TokenizerConfig) -> set:
+    """Doc ids excluded by the negative operator: every doc containing the
+    negated word, or the adjacent lemma sequence for a negated phrase /
+    multi-lemma word."""
+    denied: set = set()
+    for ph in neg_texts:
+        lemmas = reader.query_terms(ph, cfg)
+        if not lemmas:
+            continue
+        if len(lemmas) == 1:
+            p = reader.load_postings(lemmas)
+            if lemmas[0] in p:
+                denied.update(u64_to_i64(p[lemmas[0]][0]).tolist())
+        else:
+            denied.update(phrase_match_counts(reader, ph, cfg))
+    return denied
+
+
+def query_syntax_gate(reader: IndexReader, q: str,
+                      cfg: TokenizerConfig = DEFAULT_CONFIG,
+                      allowed: Optional[set] = None,
+                      terms: Optional[list] = None
+                      ) -> tuple[list, Optional[set]]:
+    """Resolve `q`'s quoted-phrase / negative operators to a candidate-set
+    gate usable by ANY ranking or candidate-driven path (sort, facets,
+    geo, ranking-score — ADVICE r4: these branches previously re-tokenized
+    q-syntax, turning `-word` into a positive term).
+
+    -> (terms, allowed): `terms` is the positive term list — a caller may
+    pass a pre-expanded list (typo/synonym variant groups flattened),
+    which then also defines the candidate set the exclusion subtracts
+    from; `allowed` is None (unconstrained) or the gated doc set after
+    intersecting each positive phrase's adjacency matches and removing
+    the denied docs. Negative-ONLY queries return terms=[] with `allowed`
+    unchanged — complement semantics are the caller's call (see
+    quoted_query_topk's all_docs)."""
+    pos_words, pos_phrases, neg_texts = _parse_query_syntax(q)
+    if terms is None:
+        terms = reader.query_terms(" ".join(pos_words + pos_phrases), cfg)
+    if not terms:
+        return [], allowed
+    for ph in pos_phrases:
+        if not reader.query_terms(ph, cfg):
+            continue  # empty/separator-only quotes are not a filter
+        s = set(phrase_match_counts(reader, ph, cfg))
+        allowed = s if allowed is None else (allowed & s)
+        if not allowed:
+            return terms, set()
+    denied = _denied_ids(reader, neg_texts, cfg)
+    if denied:
+        cand: set = set()
+        for arr in reader.load_postings(terms).values():
+            cand.update(u64_to_i64(arr[0]).tolist())
+        cand -= denied
+        allowed = cand if allowed is None else (allowed & cand)
+    return terms, allowed
+
+
 def quoted_query_topk(reader: IndexReader, q: str, k: int = 10,
                       cfg: TokenizerConfig = DEFAULT_CONFIG,
-                      allowed: Optional[set] = None
-                      ) -> list[tuple[int, float]]:
+                      allowed: Optional[set] = None,
+                      terms: Optional[list] = None,
+                      all_docs=None) -> list[tuple[int, float]]:
     """Meilisearch query-string syntax inside `q` (phrases v1.0, negative
     operator v1.8): words wrapped in double quotes must appear
     CONSECUTIVELY in the document (each quoted phrase is a filter on the
@@ -1050,47 +1122,39 @@ def quoted_query_topk(reader: IndexReader, q: str, k: int = 10,
     negative word that tokenizes to several lemmas is treated as a
     negative phrase (the lemmas must be adjacent to exclude).
 
+    `terms` (optional) pre-expands the positive words — the service passes
+    the flattened typo/synonym variant groups so typo tolerance and
+    synonyms compose with q-syntax exactly as in Meilisearch (phrases stay
+    exact; ADVICE r4).
+
+    Negative-ONLY queries (`q='-slow'`): Meilisearch v1.8 returns every
+    document NOT containing the term. When `all_docs` (an iterable of all
+    doc ids — e.g. AttributeStore.doc_ids; the service wires this) is
+    given, the complement is returned in doc_id order with score 0.0
+    (no relevance signal exists). Without `all_docs` the reader has no
+    all-docs relation, so [] is returned — a DOCUMENTED divergence.
+
     Cost: O(query postings) for the ranking + O(phrase terms) positional
     reads per quoted phrase (bucket-pruned). Gates ride WAND's `allowed`
     fast path; exclusion is rewritten to allowed = positive-candidate
     union minus the denied set — the union reads the same postings WAND
     scores (one decode, shared through the reader's posting cache), so no
     scoring path needed a `denied` branch."""
-    phrases = [(neg == "-", body) for neg, body in _QUOTED_RE.findall(q)]
-    words = _QUOTED_RE.sub(" ", q).split()
-    neg_texts = ([b for neg, b in phrases if neg]
-                 + [w[1:] for w in words if w.startswith("-") and len(w) > 1])
-    pos_words = [w for w in words if not w.startswith("-")]
-    pos_phrases = [b for neg, b in phrases if not neg]
-    terms = reader.query_terms(" ".join(pos_words + pos_phrases), cfg)
+    terms, allowed = query_syntax_gate(reader, q, cfg, allowed, terms=terms)
     if not terms:
+        neg_texts = _parse_query_syntax(q)[2]
+        if all_docs is None or not neg_texts:
+            return []
+        denied = _denied_ids(reader, neg_texts, cfg)
+        dead = set(reader.deleted.as_array().tolist()) \
+            if reader.deleted else set()
+        out = (int(d) for d in all_docs)
+        out = [d for d in out
+               if d not in denied and d not in dead
+               and (allowed is None or d in allowed)]
+        return [(d, 0.0) for d in sorted(out)[:k]]
+    if allowed is not None and not allowed:
         return []
-    for ph in pos_phrases:
-        if not reader.query_terms(ph, cfg):
-            continue  # empty/separator-only quotes are not a filter
-        s = set(phrase_match_counts(reader, ph, cfg))
-        allowed = s if allowed is None else (allowed & s)
-        if not allowed:
-            return []
-    denied: set = set()
-    for ph in neg_texts:
-        lemmas = reader.query_terms(ph, cfg)
-        if not lemmas:
-            continue
-        if len(lemmas) == 1:
-            p = reader.load_postings(lemmas)
-            if lemmas[0] in p:
-                denied.update(u64_to_i64(p[lemmas[0]][0]).tolist())
-        else:
-            denied.update(phrase_match_counts(reader, ph, cfg))
-    if denied:
-        cand: set = set()
-        for arr in reader.load_postings(terms).values():
-            cand.update(u64_to_i64(arr[0]).tolist())
-        cand -= denied
-        allowed = cand if allowed is None else (allowed & cand)
-        if not allowed:
-            return []
     return wand_topk_terms(reader, terms, k, allowed=allowed)
 
 

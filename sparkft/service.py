@@ -160,6 +160,47 @@ class SearchService:
             groups.append(sorted(g))
         return groups
 
+    def _expanded_positive_terms(self, query: str) -> list[str]:
+        """Positive term list for a q-syntax query with settings applied:
+        loose words expand through _word_groups (typo tolerance +
+        synonyms — Meilisearch applies both to non-phrase words), quoted
+        phrase bodies stay EXACT (no typo/synonym expansion inside
+        quotes, like Meilisearch)."""
+        from .search import _parse_query_syntax
+
+        pos_words, pos_phrases, _ = _parse_query_syntax(query)
+        terms = {t for g in self._word_groups(" ".join(pos_words))
+                 for t in g}
+        if pos_phrases:
+            terms.update(self.reader.query_terms(
+                " ".join(pos_phrases), self.cfg))
+        return sorted(terms)
+
+    def _terms_and_gate(self, query: str, allowed: Optional[set]
+                        ) -> tuple[list, Optional[set]]:
+        """Terms + candidate gate for the NON-RANKED branches (sort, geo,
+        ranking-score, facets): plain queries expand through _word_groups;
+        q-syntax queries gate the candidate set through the phrase /
+        negative operators instead of silently re-tokenizing them into
+        positive words (ADVICE r4: `-slow` previously RANKED docs
+        containing 'slow' in these branches). Negative-only queries have
+        no positive candidate set for a candidate-driven sort/facet pass —
+        explicit error beats a silently-empty or silently-inverted
+        result."""
+        from .search import has_query_syntax, query_syntax_gate
+
+        if not has_query_syntax(query):
+            terms = sorted({t for g in self._word_groups(query) for t in g})
+            return terms, allowed
+        terms, gated = query_syntax_gate(
+            self.reader, query, self.cfg, allowed,
+            terms=self._expanded_positive_terms(query))
+        if not terms:
+            raise ValueError(
+                "negative-only queries are served under the default "
+                "relevance ranking only (no sort/facet/score candidates)")
+        return terms, gated
+
     def _ranked(self, query: str, k: int,
                 allowed: Optional[set]) -> tuple[list, list]:
         """-> (hits, terms_used). The filter gates candidates INSIDE each
@@ -185,13 +226,15 @@ class SearchService:
                 raise ValueError(
                     "quoted-phrase / negative query syntax is served under "
                     "matching_strategy 'any' only")
-            from .search import positive_query_text
-
+            terms = self._expanded_positive_terms(query)
+            try:
+                all_docs = self.attrs.doc_ids
+            except ValueError:
+                all_docs = None  # no attribute store: negative-only -> []
             hits = quoted_query_topk(self.reader, query, k, cfg=self.cfg,
-                                     allowed=allowed)
-            terms = self.reader.query_terms(
-                positive_query_text(query), self.cfg)
-            return hits, sorted(set(terms))
+                                     allowed=allowed, terms=terms,
+                                     all_docs=all_docs)
+            return hits, terms
         groups = self._word_groups(query)
         terms = sorted({t for g in groups for t in g})
         if s.matching_strategy in ("last", "frequency"):
@@ -270,12 +313,14 @@ class SearchService:
 
         if facet_name not in self.settings.filterable_attributes:
             raise ValueError(f"attribute {facet_name!r} is not filterable")
-        terms = None
+        terms, allowed = None, None
         if q is not None:
-            terms = sorted({t for g in self._word_groups(q) for t in g})
+            # q-syntax gates the candidate set here too (ADVICE r4: this
+            # path previously re-tokenized `-word` into a positive term)
+            terms, allowed = self._terms_and_gate(q, None)
         hits = facet_value_search(self.reader, self.attrs, facet_name,
                                   facet_query, query=q, cfg=self.cfg,
-                                  terms=terms, k=k)
+                                  terms=terms, allowed=allowed, k=k)
         return {"facetHits": [{"value": v, "count": c} for v, c in hits],
                 "facetQuery": facet_query}
 
@@ -321,10 +366,16 @@ class SearchService:
             if "_geo" not in self.settings.filterable_attributes:
                 raise ValueError("attribute '_geo' is not filterable")
             from .geo import geo_radius_ids
+            from .search import has_query_syntax
 
             (glat, glng), radius_m = filter[1]
-            geo_terms = sorted({t for g in self._word_groups(query)
-                                for t in g})
+            # q-syntax: candidate terms are the POSITIVE words only (the
+            # ranked pass applies the phrase/negation gates); without this
+            # a negated word would seed the geo candidate set (ADVICE r4)
+            geo_terms = (self._expanded_positive_terms(query)
+                         if has_query_syntax(query)
+                         else sorted({t for g in self._word_groups(query)
+                                      for t in g}))
             allowed = set(geo_radius_ids(
                 self.reader, self.attrs, query, (glat, glng), radius_m,
                 cfg=self.cfg, terms=geo_terms,
@@ -341,8 +392,7 @@ class SearchService:
 
         if sort is not None:
             col, desc = sort
-            terms_used = sorted({t for g in self._word_groups(query)
-                                 for t in g})
+            terms_used, allowed = self._terms_and_gate(query, allowed)
             if isinstance(col, tuple) and col and col[0] == "_geoPoint":
                 # Meilisearch `sort: _geoPoint(lat, lng):asc|desc`
                 if "_geo" not in self.settings.sortable_attributes:
@@ -378,8 +428,7 @@ class SearchService:
                     "ranking (matching_strategy 'any') only")
             from .search import ranking_score_topk
 
-            terms_used = sorted({t for g in self._word_groups(query)
-                                 for t in g})
+            terms_used, allowed = self._terms_and_gate(query, allowed)
             trip = ranking_score_topk(
                 self.reader, query, fetch,
                 threshold=(ranking_score_threshold or 0.0), cfg=self.cfg,
@@ -398,6 +447,20 @@ class SearchService:
                     for d, s in ranked[offset:offset + k]]
             if conj_facets:
                 facet_allowed = {d for d, _ in ranked}
+            elif facets:
+                from .search import has_query_syntax, query_syntax_gate
+
+                if has_query_syntax(query):
+                    if not terms_used:
+                        raise ValueError(
+                            "negative-only queries have no positive "
+                            "candidate set to facet over")
+                    # facet counts must honor the phrase/negation gates
+                    # the ranking applied (posting reads shared through
+                    # the reader cache — no extra IO)
+                    _, facet_allowed = query_syntax_gate(
+                        self.reader, query, self.cfg, allowed,
+                        terms=terms_used)
 
         out: dict = {"hits": hits, "offset": offset}
         if estimate_total:

@@ -421,3 +421,104 @@ def test_crop_length(built):
         assert h["_formatted"] == format_highlight(cropped,
                                                    ["merge", "sort"])
         assert "<em>" in h["_formatted"]
+
+
+def _toks(text):
+    from sparkft.config import DEFAULT_CONFIG
+    from sparkft.tokenizer import tokenize_batch
+
+    _, lemmas = tokenize_batch([text], DEFAULT_CONFIG, words_only=True)
+    return set(lemmas)
+
+
+def test_qsyntax_gates_sort_branch(built):
+    """ADVICE r4 (medium): sort + q-syntax must GATE candidates, not
+    re-tokenize `-word` into a positive term — `merge -sort` sorted by
+    n_chars returns only docs containing merge and NOT sort."""
+    out, _, rows = built
+    svc = SearchService(out, SETTINGS)
+    res = svc.search("merge -sort", 10, sort=("n_chars", True))
+    by_id = {int(r["doc_id"]): r for r in rows}
+    assert res["hits"], "fixture corpus should have merge-without-sort docs"
+    for h in res["hits"]:
+        t = _toks(by_id[h["doc_id"]]["text"])
+        assert "merge" in t and "sort" not in t
+    # top-k by n_chars DESC over exactly the gated candidate set
+    want_pool = {d for d, r in by_id.items()
+                 if "merge" in _toks(r["text"])
+                 and "sort" not in _toks(r["text"])}
+    got_ids = {h["doc_id"] for h in res["hits"]}
+    assert len(res["hits"]) == min(10, len(want_pool))
+    kth = min(h["n_chars"] for h in res["hits"])
+    missed = [d for d in want_pool - got_ids
+              if by_id[d]["n_chars"] > kth]
+    assert missed == []
+
+
+def test_qsyntax_gates_ranking_score_branch(built):
+    """showRankingScore + q-syntax: the negated word's docs never appear
+    (previously they RANKED HIGHER — the exact inversion ADVICE r4
+    reproduced)."""
+    out, _, rows = built
+    svc = SearchService(out, SETTINGS)
+    res = svc.search("merge -sort", 10, show_ranking_score=True)
+    by_id = {int(r["doc_id"]): r for r in rows}
+    assert res["hits"]
+    for h in res["hits"]:
+        t = _toks(by_id[h["doc_id"]]["text"])
+        assert "merge" in t and "sort" not in t
+        assert 0.0 <= h["_rankingScore"] <= 1.0
+
+
+def test_qsyntax_gates_facets_and_facet_search(built):
+    """facetDistribution and /facet-search honor the negation gate."""
+    out, _, rows = built
+    svc = SearchService(out, IndexSettings(
+        filterable_attributes=("repo",)))
+    by_id = {int(r["doc_id"]): r for r in rows}
+    res = svc.search("merge -sort", 5, facets=["repo"])
+    want: dict = {}
+    for d, r in by_id.items():
+        t = _toks(r["text"])
+        if "merge" in t and "sort" not in t:
+            want[r["repo"]] = want.get(r["repo"], 0) + 1
+    assert res["facetDistribution"]["repo"] == want
+    fs = svc.facet_search("repo", "", q="merge -sort")
+    assert {h["value"]: h["count"] for h in fs["facetHits"]} == want
+
+
+def test_negative_only_query_returns_complement(built):
+    """Meilisearch v1.8: `-word` alone returns every doc NOT containing
+    the word (ADVICE r4 low #3). Served via the attribute store's doc-id
+    relation, doc_id ASC, score 0.0."""
+    out, _, rows = built
+    svc = SearchService(out, SETTINGS)
+    by_id = {int(r["doc_id"]): r for r in rows}
+    want = sorted(d for d, r in by_id.items()
+                  if "merge" not in _toks(r["text"]))
+    res = svc.search("-merge", len(rows))
+    assert [h["doc_id"] for h in res["hits"]] == want
+    assert all(h["score"] == 0.0 for h in res["hits"])
+    # non-ranked branches reject negative-only explicitly (candidate-
+    # driven sort/facet passes have no positive candidate set)
+    with pytest.raises(ValueError, match="negative-only"):
+        svc.search("-merge", 5, sort=("n_chars", True))
+
+
+def test_qsyntax_composes_with_synonyms_and_typos(built):
+    """ADVICE r4 low #4: typo/synonym settings apply to the LOOSE words of
+    a q-syntax query (phrases stay exact) — previously raw lemmas
+    bypassed _word_groups entirely."""
+    from sparkft.search import IndexReader, quoted_query_topk
+
+    out, _, _ = built
+    syn = IndexSettings(synonyms={"merge": ("sort",)})
+    svc = SearchService(out, syn)
+    res = svc.search("merge -return", 10)
+    reader = IndexReader(None, out)
+    want = quoted_query_topk(reader, "merge -return", 10,
+                             terms=["merge", "sort"])
+    assert [(h["doc_id"], h["score"]) for h in res["hits"]] == want
+    # and differs from the unexpanded ranking (synonym actually applied)
+    plain = quoted_query_topk(reader, "merge -return", 10)
+    assert want != plain
