@@ -40,10 +40,57 @@ from .config import DEFAULT_CONFIG, TokenizerConfig
 from .index_build import u64_to_i64
 
 
+def _contract_stamp(cfg, index_dir: str = None) -> dict:
+    """Tokenizer-contract + format stamp for the index's SIBLING artifacts
+    (attrs, attr_index, typo_variants). The segment store's stats.json has
+    carried the fingerprint since r4; these artifacts are rebuilt with the
+    index but carried no stamp of their own, so a partially-upgraded store
+    (index rebuilt, sibling copied stale) mixed silently (VERDICT r4 item
+    6). Readers verify against the sibling stats.json on open.
+
+    With cfg=None and an `index_dir` whose stats.json already carries a
+    fingerprint, the artifact INHERITS it (compaction regenerates sibling
+    artifacts of an existing index without knowing its build cfg)."""
+    from .config import DEFAULT_CONFIG, tokenizer_fingerprint
+
+    if cfg is None and index_dir is not None:
+        import json
+
+        stats_path = f"{index_dir}/stats.json"
+        if os.path.isfile(stats_path):
+            with open(stats_path) as f:
+                fp = json.load(f).get("tokenizer_fingerprint")
+            if fp is not None:
+                return {"tokenizer_fingerprint": fp, "format_version": 1}
+    return {"tokenizer_fingerprint": tokenizer_fingerprint(
+        DEFAULT_CONFIG if cfg is None else cfg), "format_version": 1}
+
+
+def _verify_sibling_stamp(index_dir: str, meta: dict, what: str) -> None:
+    """Fail fast when `meta`'s fingerprint disagrees with the sibling
+    segment store's stats.json (both present → must match; artifacts or
+    indexes written before the guard pass unchecked)."""
+    import json
+
+    stamp = meta.get("tokenizer_fingerprint")
+    stats_path = f"{index_dir}/stats.json"
+    if stamp is None or not os.path.isfile(stats_path):
+        return
+    with open(stats_path) as f:
+        idx_fp = json.load(f).get("tokenizer_fingerprint")
+    if idx_fp is not None and idx_fp != stamp:
+        raise ValueError(
+            f"tokenizer contract violated: {what} under {index_dir} was "
+            f"written with tokenizer fingerprint {stamp[:12]}… but the "
+            f"segment store's stats.json carries {idx_fp[:12]}…. The "
+            "artifact belongs to a different build — rebuild it next to "
+            "this index.")
+
+
 def write_attribute_store(spark, docs_df, index_dir: str,
                           doc_id_col: str = "doc_id",
                           cols: tuple = ("lang", "n_chars"),
-                          num_buckets: int = 8) -> str:
+                          num_buckets: int = 8, cfg=None) -> str:
     """Persist (doc_id, *cols) under {index_dir}/attrs, hive-partitioned by
     `bucket = pmod(doc_id, num_buckets)` (trivially recomputable reader-side
     with no hash library) and doc_id-sorted within each bucket."""
@@ -70,7 +117,8 @@ def write_attribute_store(spark, docs_df, index_dir: str,
     # (cols recorded too, so compaction can validate the attribute index's
     # column set against the store without reading parquet footers)
     with open(f"{out}/_meta.json", "w") as f:
-        json.dump({"num_buckets": num_buckets, "cols": list(cols)}, f)
+        json.dump({"num_buckets": num_buckets, "cols": list(cols),
+                   **_contract_stamp(cfg, index_dir)}, f)
     return out
 
 
@@ -98,7 +146,9 @@ class AttributeStore:
             import json
 
             with open(meta_path) as f:
-                self.num_buckets = json.load(f)["num_buckets"]
+                meta = json.load(f)
+            _verify_sibling_stamp(index_dir, meta, "attribute store")
+            self.num_buckets = meta["num_buckets"]
         else:
             # legacy layouts: bucketed dirs without meta (infer — correct
             # only when every bucket is non-empty) or a flat single run
@@ -485,7 +535,7 @@ def distinct_topk(reader, store: AttributeStore, query: str, attr: str,
 def write_attribute_index(spark, docs_df, index_dir: str,
                           cols: tuple = ("lang",),
                           doc_id_col: str = "doc_id",
-                          num_buckets: int = 8) -> str:
+                          num_buckets: int = 8, cfg=None) -> str:
     """Meilisearch keeps a facet index (facet value -> document bitmap)
     next to the inverted index; this is its sparkft form: (attr, value,
     doc_id) rows hive-partitioned by (attr, bucket = crc32(value) mod B)
@@ -536,7 +586,8 @@ def write_attribute_index(spark, docs_df, index_dir: str,
         .parquet(out)
     )
     with open(f"{out}/_meta.json", "w") as f:
-        json.dump({"num_buckets": num_buckets, "cols": list(cols)}, f)
+        json.dump({"num_buckets": num_buckets, "cols": list(cols),
+                   **_contract_stamp(cfg, index_dir)}, f)
     return out
 
 
@@ -557,6 +608,7 @@ class AttributeIndex:
             )
         with open(meta) as f:
             m = json.load(f)
+        _verify_sibling_stamp(index_dir, m, "attribute index")
         self.num_buckets = m["num_buckets"]
         self.cols = tuple(m["cols"])
         self.read_paths: list[str] = []

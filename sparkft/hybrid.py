@@ -159,6 +159,26 @@ def hybrid_topk(reader: IndexReader, query: str, emb_ids: np.ndarray,
     return [(int(emb_ids[i]), float(hybrid[i])) for i in top]
 
 
+def _exclusion_pool(assigned_df, id_col: str, cand_ids, dead):
+    """The IVF tail's pool: `assigned_df` minus the keyword candidates and
+    minus the tombstones, BOTH as broadcast left-anti joins. Never isin:
+    an isin inlines every id as a plan literal, which degenerates when
+    tombstones grow to millions (VERDICT r4 item 5); the anti-join keeps
+    each exclusion set a broadcast relation (candidate sets are
+    query-footprint sized; tombstone sets are bounded by compaction)."""
+    from pyspark.sql import functions as F
+
+    pool = assigned_df
+    spark = assigned_df.sparkSession
+    for ids in (cand_ids, dead):
+        if ids is None or len(ids) == 0:
+            continue
+        sdf = spark.createDataFrame(
+            [(int(c),) for c in ids.tolist()], f"{id_col} long")
+        pool = pool.join(F.broadcast(sdf), id_col, "left_anti")
+    return pool
+
+
 def hybrid_topk_ivf(reader: IndexReader, query: str, emb_ids: np.ndarray,
                     emb: np.ndarray, assigned_df, cents: np.ndarray, qvec,
                     k: int = 10, ratio: float = 0.5, probes: int = 4,
@@ -204,19 +224,10 @@ def hybrid_topk_ivf(reader: IndexReader, query: str, emb_ids: np.ndarray,
         sem_c = (1.0 + _cosines(emb_s[cand_pos], qvec)) / 2.0
         hyb = np.round((1.0 - ratio) * kw + ratio * sem_c, 4)
         scores.update(zip(cand_ids.tolist(), hyb.tolist()))
-    # semantic-only tail: cosine top-k among NON-candidates via IVF probe.
-    # (anti-join on the candidate set; candidate sets are query-footprint
-    # sized, broadcastable)
-    pool = assigned_df
-    if len(cand_ids):
-        spark = assigned_df.sparkSession
-        cand_sdf = spark.createDataFrame(
-            [(int(c),) for c in cand_ids.tolist()], f"{id_col} long")
-        pool = assigned_df.join(F.broadcast(cand_sdf), id_col, "left_anti")
-    if reader.deleted:
-        dead = [int(d) for d in reader.deleted.as_array().tolist()]
-        if dead:
-            pool = pool.filter(~F.col(id_col).isin(dead))
+    # semantic-only tail: cosine top-k among NON-candidates via IVF probe
+    pool = _exclusion_pool(
+        assigned_df, id_col, cand_ids,
+        reader.deleted.as_array() if reader.deleted else None)
     tail = ivf_topk(pool, cents, [float(x) for x in qvec], k=k,
                     probes=probes, id_col=id_col, emb_col=emb_col,
                     round_to=None).collect()

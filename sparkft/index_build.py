@@ -1286,7 +1286,7 @@ def build_index(
     if typo_variants:
         from .typo import write_variant_table
 
-        write_variant_table(spark, out_dir)
+        write_variant_table(spark, out_dir, cfg=cfg)
         timings["typo_variants_s"] = round(time.time() - s0, 3)
         s0 = time.time()
 

@@ -160,7 +160,8 @@ class SymSpellIndex:
 
 def write_variant_table(spark, index_dir: str, num_buckets: int = 16,
                         max_edits: int = MAX_EDITS,
-                        max_word_len: int = MAX_WORD_LEN) -> str:
+                        max_word_len: int = MAX_WORD_LEN,
+                        cfg=None) -> str:
     """Precompute the SymSpell deletion-neighborhood as a build artifact.
 
     One scan of the segment store's token column (part=0 rows carry each
@@ -207,9 +208,12 @@ def write_variant_table(spark, index_dir: str, num_buckets: int = 16,
         .partitionBy("bucket")
         .parquet(out)
     )
+    from .facets import _contract_stamp
+
     with open(f"{out}/_meta.json", "w") as f:
         json.dump({"num_buckets": num_buckets, "max_edits": max_edits,
-                   "max_word_len": max_word_len}, f)
+                   "max_word_len": max_word_len,
+                   **_contract_stamp(cfg, index_dir)}, f)
     return out
 
 
@@ -223,9 +227,12 @@ class PrecomputedSymSpell:
     O(len(term)^e) bucket probes, independent of dictionary size."""
 
     def __init__(self, index_dir: str):
+        from .facets import _verify_sibling_stamp
+
         self.dir = f"{index_dir}/{TYPO_DIR}"
         with open(f"{self.dir}/_meta.json") as f:
             meta = json.load(f)
+        _verify_sibling_stamp(index_dir, meta, "typo variant table")
         self.num_buckets = meta["num_buckets"]
         self.max_edits = meta["max_edits"]
         self.max_word_len = meta["max_word_len"]

@@ -187,3 +187,24 @@ def test_embedding_set_parity(spark, setup):
     for r in (0.0, 1.0):
         assert hybrid_topk(reader, QUERY, None, es, qvec, k=5, ratio=r) == \
             hybrid_topk(reader, QUERY, ids, emb2, qvec, k=5, ratio=r)
+
+
+def test_exclusion_pool_plan_has_no_literal_id_list(spark):
+    """VERDICT r4 item 5: candidate AND tombstone exclusion are broadcast
+    left-anti joins — no isin literal id list in the plan."""
+    import numpy as np
+
+    from sparkft.hybrid import _exclusion_pool
+
+    df = spark.range(1000).withColumnRenamed("id", "vec_id")
+    cand = np.arange(0, 50, dtype=np.int64)
+    dead = np.arange(900, 960, dtype=np.int64)
+    pool = _exclusion_pool(df, "vec_id", cand, dead)
+    plan = pool._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LeftAnti") == 2
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert " IN (" not in plan and "vec_id#0L INSET" not in plan
+    got = {r[0] for r in pool.collect()}
+    assert got == set(range(50, 900)) | set(range(960, 1000))
+    # empty/None sets are no-ops
+    assert _exclusion_pool(df, "vec_id", np.empty(0, np.int64), None) is df

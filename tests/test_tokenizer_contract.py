@@ -201,3 +201,55 @@ def test_entry_cache_dir_clears_mismatched_store(tmp_path, monkeypatch):
         json.dump({"tokenizer_fingerprint": "deadbeef" * 8}, f)
     d2 = entry._entry_cache_dir("/x/sf9", "idx")
     assert d2 == d and not os.path.exists(d)
+
+
+def test_sibling_artifacts_stamped_and_mismatch_refused(spark, built_index,
+                                                        tmp_path):
+    """VERDICT r4 item 6: attrs / attr_index / typo_variants each carry the
+    tokenizer fingerprint in _meta.json and refuse to open next to a
+    stats.json with a different one (a partially-upgraded store)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from sparkft.facets import (AttributeIndex, AttributeStore,
+                                write_attribute_index, write_attribute_store)
+    from sparkft.typo import PrecomputedSymSpell, write_variant_table
+
+    idx = str(tmp_path / "sibidx")
+    shutil.copytree(built_index, idx)
+    with open(f"{idx}/stats.json") as f:
+        stats = json.load(f)
+    fp = stats["tokenizer_fingerprint"]
+
+    docs = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("l"), (F.col("id") % 3).cast("string")).alias("lang"))
+    write_attribute_store(spark, docs, idx, cols=("lang",))
+    write_attribute_index(spark, docs, idx, cols=("lang",))
+    write_variant_table(spark, idx, num_buckets=4)
+
+    # every artifact inherits/stamps the index's fingerprint and opens fine
+    for sub in ("attrs", "attr_index", "typo_variants"):
+        with open(f"{idx}/{sub}/_meta.json") as f:
+            m = json.load(f)
+        assert m["tokenizer_fingerprint"] == fp
+        assert m["format_version"] == 1
+    AttributeStore(idx), AttributeIndex(idx), PrecomputedSymSpell(idx)
+
+    # flip the index's fingerprint: every artifact now refuses to open
+    stats["tokenizer_fingerprint"] = "0" * 64
+    with open(f"{idx}/stats.json", "w") as f:
+        json.dump(stats, f)
+    for opener in (AttributeStore, AttributeIndex, PrecomputedSymSpell):
+        with pytest.raises(ValueError, match="tokenizer contract"):
+            opener(idx)
+
+    # pre-guard artifacts (no stamp) still open unchecked
+    for sub in ("attrs", "attr_index", "typo_variants"):
+        with open(f"{idx}/{sub}/_meta.json") as f:
+            m = json.load(f)
+        m.pop("tokenizer_fingerprint")
+        with open(f"{idx}/{sub}/_meta.json", "w") as f:
+            json.dump(m, f)
+    AttributeStore(idx), AttributeIndex(idx), PrecomputedSymSpell(idx)
