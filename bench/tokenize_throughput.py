@@ -114,11 +114,15 @@ def main() -> int:
     lines += [
         "",
         "Short texts carry proportionally more per-call overhead; the long",
-        "rows are the comparable ones (criterion also amortizes). Latin is",
-        "the ASCII/fastlatin vectorized path on eng, the scalar pipeline on",
-        "diacritic-heavy fra/vie/deu; Cj rows pay the dictionary",
-        "segmenters (jieba DAG / lattice Viterbi) like the reference's",
-        "jieba/lindera do.",
+        "rows are the comparable ones (criterion also amortizes). Routing",
+        "(round 5): eng takes the ASCII fastlatin scan; fra/vie take the",
+        "single-buffer Latin-diacritic surrogate; deu (ß) and the",
+        "Greek/Hebrew/Arabic rows take the two-buffer uniform-script scan",
+        "(sparkft.fastscript — class surrogate for boundaries + 1:1/-1",
+        "normalization translate for lemmas, niqqud/harakat/ZWNJ handled",
+        "as deletion-adjusted offsets). Cj/Thai/Khmer/Hangul rows pay the",
+        "dictionary segmenters (jieba DAG / lattice Viterbi / FST) like",
+        "the reference's own jieba/lindera rows (its cmn is 5 of 9 MiB/s).",
         "",
         "Generated by `python bench/tokenize_throughput.py`.",
     ]

@@ -100,13 +100,24 @@ def _surrogate_table() -> dict[int, str]:
         if len(toks) != 1 or toks[0].kind != WORD:
             continue
         lem = toks[0].lemma
-        if (len(lem) != 5 or not lem.isascii()
-                or lem[:2] != "ab" or lem[3:] != "cd"):
-            continue
-        f = lem[2]
-        if not ("a" <= f <= "z" or "0" <= f <= "9"):
-            continue  # folds to a separator-ish char: scalar
-        table[cp] = f.upper() if c.isupper() else f
+        if (not lem.isascii() or len(lem) < 5
+                or lem[:2] != "ab" or lem[-2:] != "cd"):
+            continue  # deletions (len 4) merge boundaries: scalar
+        f = lem[2:-2]
+        if len(f) == 1:
+            if not ("a" <= f <= "z" or "0" <= f <= "9"):
+                continue  # folds to a separator-ish char: scalar
+            table[cp] = f.upper() if c.isupper() else f
+        elif len(f) <= 3 and c.islower() and all("a" <= x <= "z" for x in f):
+            # length-CHANGING fold (ß -> ss, œ -> oe when decomposed):
+            # safe only when source and every folded char are lowercase
+            # letters — then every position's boundary predicates
+            # (separator-ness, case class) are unchanged, the camelCase
+            # prev/next-lower tests see identical classes, and the lemma
+            # is still the lowered surrogate slice. Uppercase multi-char
+            # folds (Œ, ẞ) stay scalar: any capitalization choice breaks
+            # one of the camel contexts (e.g. ŒUF vs bŒuf)
+            table[cp] = f
     return table
 
 

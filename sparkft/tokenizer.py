@@ -196,13 +196,15 @@ def tokenize_words_arrow(
     """
     import pyarrow as pa
 
-    from . import fastlatin
+    from . import fastlatin, fastscript
 
     default_cfg = _fast_path_ok(cfg)
+    uniform_cfg = fastscript.is_uniform_cfg(cfg)
     fast_rows: list[int] = []
     fast_texts: list[str] = []
     slow_rows: list[int] = []
     slow_lemmas: list[str] = []
+    uni: dict = {}  # (script, lang) -> (runs, class_surrogates, rows)
     for i, t in enumerate(texts):
         if t is None or not t:
             continue
@@ -219,8 +221,18 @@ def tokenize_words_arrow(
                 fast_rows.append(i)
                 fast_texts.append(s)
                 continue
-            # split into script runs; ASCII(-surrogate) runs stay fast
-            for cs, ce, _sids in split_script_runs(t):
+            if uniform_cfg:
+                # whole-text uniform shortcut (see tokenize_batch)
+                wt = fastscript.whole_text_route(t)
+                if wt is not None:
+                    g = uni.setdefault((wt[0], wt[1]), ([], [], []))
+                    g[0].append(t)
+                    g[1].append(wt[2])
+                    g[2].append(i)
+                    continue
+            # split into script runs; ASCII(-surrogate) runs stay fast,
+            # uniform alphabetic scripts take the two-buffer scan
+            for cs, ce, sids in split_script_runs(t):
                 run = t[cs:ce]
                 if fastlatin.is_fast_eligible(run):
                     fast_rows.append(i)
@@ -231,6 +243,20 @@ def tokenize_words_arrow(
                     fast_rows.append(i)
                     fast_texts.append(rs)
                     continue
+                if uniform_cfg:
+                    det = RunDetection(run, sids, cfg.allow_list)
+                    script = det.script()
+                    if script in fastscript.UNIFORM_SCRIPTS:
+                        lang = (det.detect_language()
+                                if script == T.ARABIC else None)
+                        ucs = fastscript.uniform_class_surrogate(
+                            run, script, lang)
+                        if ucs is not None:
+                            g = uni.setdefault((script, lang), ([], [], []))
+                            g[0].append(run)
+                            g[1].append(ucs)
+                            g[2].append(i)
+                            continue
                 for tok in tokenize_str(run, cfg):
                     if tok.kind in (WORD, STOP_WORD) and tok.lemma:
                         slow_rows.append(i)
@@ -248,6 +274,11 @@ def tokenize_words_arrow(
         row_map = np.asarray(fast_rows, dtype=np.int64)
         parts_rows.append(row_map[f_rows])
         parts_words.append(f_words)
+    for (script, lang), (rtexts, ctexts, rmap) in uni.items():
+        u_rows, u_lemmas = fastscript.tokenize_uniform_batch(
+            rtexts, ctexts, script, lang, cfg)
+        parts_rows.append(np.asarray(rmap, dtype=np.int64)[u_rows])
+        parts_words.append(pa.array(u_lemmas, type=pa.string()))
     if slow_lemmas:
         parts_rows.append(np.asarray(slow_rows, dtype=np.int64))
         parts_words.append(pa.array(slow_lemmas, type=pa.string()))
@@ -268,52 +299,123 @@ def tokenize_batch(
     Returns (row_idx: np.ndarray int64, lemmas: list[str]) where row_idx[i]
     is the input row of lemmas[i]. With ``words_only`` separators are dropped
     and stop words kept (charabia marks but does not remove them).
-    """
-    from . import fastlatin
 
-    row_idx: list[int] = []
-    lemmas: list[str] = []
-    fast_rows: list[int] = []
-    fast_texts: list[str] = []
+    Routing (per text, then per script run): pure-ASCII -> fastlatin scan;
+    Latin-diacritic -> ASCII surrogate scan; uniform alphabetic scripts
+    (Greek/Cyrillic/Hebrew/Arabic/Latin-with-ß) -> fastscript two-buffer
+    scan; everything else -> scalar pipeline. Every token carries a
+    (row, run-seq) tag so per-row token ORDER is preserved even when one
+    row's runs take different paths.
+    """
+    from . import fastlatin, fastscript
+
     default_cfg = _fast_path_ok(cfg)
+    uniform_cfg = words_only and fastscript.is_uniform_cfg(cfg)
+    out_rows: list[int] = []
+    out_seqs: list[int] = []
+    out_lemmas: list[str] = []
+    fast_texts: list[str] = []
+    fast_meta: list[tuple[int, int]] = []
+    uni: dict = {}  # (script, lang) -> (runs, class_surrogates, metas)
+
+    def scalar_piece(i: int, seq: int, t: str) -> None:
+        for tok in tokenize_str(t, cfg):
+            # words_only also drops fully-deleted lemmas (e.g. a lone
+            # combining mark normalizes to ''): the index path
+            # (tokenize_words_arrow) never emits them, and the oracle
+            # must count the same tokens per doc
+            if not words_only or (tok.kind in (WORD, STOP_WORD) and tok.lemma):
+                out_rows.append(i)
+                out_seqs.append(seq)
+                out_lemmas.append(tok.lemma)
+
     for i, t in enumerate(texts):
         if t is None or not t:
             continue
         if default_cfg and fastlatin.is_fast_eligible(t):
-            fast_rows.append(i)
             fast_texts.append(t)
-        elif default_cfg and words_only and (
-            (_s := fastlatin.to_ascii_surrogate(t)) is not None
-        ):
+            fast_meta.append((i, 0))
+            continue
+        if default_cfg and words_only:
             # Latin-diacritic surrogate: words_only lemmas from the folded
             # ASCII string are exactly the scalar pipeline's (fastlatin
             # docstring + parity property tests)
-            fast_rows.append(i)
-            fast_texts.append(_s)
-        else:
-            for tok in tokenize_str(t, cfg):
-                # words_only also drops fully-deleted lemmas (e.g. a lone
-                # combining mark normalizes to ''): the index path
-                # (tokenize_words_arrow) never emits them, and the oracle
-                # must count the same tokens per doc
-                if not words_only or (
-                    tok.kind in (WORD, STOP_WORD) and tok.lemma
-                ):
-                    row_idx.append(i)
-                    lemmas.append(tok.lemma)
+            s = fastlatin.to_ascii_surrogate(t)
+            if s is not None:
+                fast_texts.append(s)
+                fast_meta.append((i, 0))
+                continue
+        if not (default_cfg and words_only):
+            scalar_piece(i, 0, t)
+            continue
+        if uniform_cfg:
+            # whole-text uniform shortcut: single-script text skips the
+            # per-run split + detection (the per-text overhead dominates
+            # short non-ASCII rows)
+            wt = fastscript.whole_text_route(t)
+            if wt is not None:
+                g = uni.setdefault((wt[0], wt[1]), ([], [], []))
+                g[0].append(t)
+                g[1].append(wt[2])
+                g[2].append((i, 0))
+                continue
+        for seq, (rs_, re_, sids) in enumerate(split_script_runs(t)):
+            run = t[rs_:re_]
+            if fastlatin.is_fast_eligible(run):
+                fast_texts.append(run)
+                fast_meta.append((i, seq))
+                continue
+            srun = fastlatin.to_ascii_surrogate(run)
+            if srun is not None:
+                fast_texts.append(srun)
+                fast_meta.append((i, seq))
+                continue
+            if uniform_cfg:
+                det = RunDetection(run, sids, cfg.allow_list)
+                script = det.script()
+                if script in fastscript.UNIFORM_SCRIPTS:
+                    lang = (det.detect_language()
+                            if script == T.ARABIC else None)
+                    ucs = fastscript.uniform_class_surrogate(
+                        run, script, lang)
+                    if ucs is not None:
+                        g = uni.setdefault((script, lang), ([], [], []))
+                        g[0].append(run)
+                        g[1].append(ucs)
+                        g[2].append((i, seq))
+                        continue
+            scalar_piece(i, seq, run)
+
+    groups_rows: list[np.ndarray] = []
+    groups_seqs: list[np.ndarray] = []
+    lemma_parts: list[list[str]] = []
+    if out_lemmas:
+        groups_rows.append(np.asarray(out_rows, dtype=np.int64))
+        groups_seqs.append(np.asarray(out_seqs, dtype=np.int64))
+        lemma_parts.append(out_lemmas)
     if fast_texts:
         f_rows, f_lemmas = fastlatin.tokenize_ascii_batch(
             fast_texts, cfg, words_only=words_only
         )
-        row_map = np.asarray(fast_rows, dtype=np.int64)
-        row_idx_arr = np.concatenate(
-            [np.asarray(row_idx, dtype=np.int64), row_map[f_rows]]
-        )
-        lemmas = lemmas + f_lemmas
-        order = np.argsort(row_idx_arr, kind="stable")
-        # keep per-row token order: scalar rows and fast rows are disjoint,
-        # and within each group order is already by (row, position)
-        row_idx_arr = row_idx_arr[order]
-        lemmas = [lemmas[j] for j in order]
-        return row_idx_arr, lemmas
-    return np.asarray(row_idx, dtype=np.int64), lemmas
+        meta = np.asarray(fast_meta, dtype=np.int64).reshape(-1, 2)
+        groups_rows.append(meta[f_rows, 0])
+        groups_seqs.append(meta[f_rows, 1])
+        lemma_parts.append(f_lemmas)
+    for (script, lang), (rtexts, ctexts, metas) in uni.items():
+        u_rows, u_lemmas = fastscript.tokenize_uniform_batch(
+            rtexts, ctexts, script, lang, cfg)
+        meta = np.asarray(metas, dtype=np.int64).reshape(-1, 2)
+        groups_rows.append(meta[u_rows, 0])
+        groups_seqs.append(meta[u_rows, 1])
+        lemma_parts.append(u_lemmas)
+    if not groups_rows:
+        return np.empty(0, dtype=np.int64), []
+    if len(groups_rows) == 1:
+        return groups_rows[0], lemma_parts[0]
+    rows_arr = np.concatenate(groups_rows)
+    seqs_arr = np.concatenate(groups_seqs)
+    flat = [lm for part in lemma_parts for lm in part]
+    # lexsort is stable: tokens sharing (row, seq) — one piece — keep
+    # their in-piece position order, so per-row order is exact
+    order = np.lexsort((seqs_arr, rows_arr))
+    return rows_arr[order], [flat[j] for j in order]

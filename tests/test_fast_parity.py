@@ -214,13 +214,20 @@ def test_surrogate_table_sanity():
     is_sep, _hard, _u, _l = _tables()
     for cp, sub in tbl.items():
         c = chr(cp)
-        assert len(sub) == 1 and sub.isascii(), (c, sub)
+        assert 1 <= len(sub) <= 3 and sub.isascii(), (c, sub)
+        if len(sub) > 1:
+            # length-changing folds (æ -> ae): lowercase source, all
+            # folded chars lowercase letters — the one proven-safe shape
+            assert c.islower() and sub.islower() and sub.isalpha(), (c, sub)
+            continue
         if sub in ";(":
             continue  # separator surrogate
         assert not is_sep[ord(sub)], (c, sub)
         if c.isalpha():
             assert c.isupper() == sub.isupper(), (c, sub)
-    for bad in "ßİΗ中́":  # length-changing, Greek, CJK, combining
+    # ß folds 1:1 to itself (non-ASCII lemma) -> uniform path, not here;
+    # uppercase multi-char folds, Greek, CJK, combining stay out
+    for bad in "ßİΗ中́Œ":
         assert ord(bad) not in tbl
 
 
@@ -255,3 +262,86 @@ def test_camel_case_reference_rule():
                   if tok.kind in (WORD, STOP_WORD) and tok.lemma]
         _, lem2 = tokenize_batch([t], DEFAULT_CONFIG, words_only=True)
         assert lem2 == scalar, t
+
+
+# --- uniform-script two-buffer path (sparkft.fastscript) -------------------
+
+uniform_text = st.text(
+    alphabet=st.characters(
+        whitelist_categories=(),
+        whitelist_characters=(
+            "αβγδλοςσΣΕΆέήίόώϊ"        # Greek incl. final sigma + tonos
+            "абвгдежКМЯёй"              # Cyrillic
+            "אבגדהוךםןשת"               # Hebrew incl. final forms
+            "اأإلبتنمكيةگپ"             # Arabic incl. AL-prefix + Persian
+            "äöüßàéñçđư"                # Latin diacritics + ß
+            "ְִּَُّ‌"  # niqqud/harakat/ZWNJ (deleted)
+            "΄·"              # Greek tonos / ano teleia
+            " az09.,-_()!«»·;"          # ASCII + common punct
+        ),
+    ),
+    max_size=60,
+)
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.lists(uniform_text, max_size=6))
+def test_tokenize_batch_matches_scalar_uniform_scripts(texts):
+    """The INTEGRATED batch entry (ASCII + surrogate + uniform two-buffer +
+    scalar routing) must equal the scalar pipeline per row, IN ORDER, over
+    mixed Greek/Cyrillic/Hebrew/Arabic/Latin-diacritic text — including the
+    Arabic article split, Greek final sigma, ß, and camelCase over cased
+    non-ASCII scripts."""
+    from sparkft.tokenizer import tokenize_batch
+
+    rows, lemmas = tokenize_batch(texts, DEFAULT_CONFIG, words_only=True)
+    expected = []
+    for i, t in enumerate(texts):
+        for tok in tokenize_str(t, DEFAULT_CONFIG):
+            if tok.kind not in (SEP_HARD, SEP_SOFT) and tok.lemma:
+                expected.append((i, tok.lemma))
+    assert list(zip(rows.tolist(), lemmas)) == expected
+
+
+@settings(max_examples=200, deadline=None)
+@given(uniform_text)
+def test_words_arrow_matches_scalar_bag_uniform_scripts(text):
+    """tokenize_words_arrow (unordered bag) over uniform-script text."""
+    from collections import Counter
+
+    from sparkft.tokenizer import tokenize_words_arrow
+
+    rows, words = tokenize_words_arrow([text, text], DEFAULT_CONFIG)
+    got = Counter(zip(rows.tolist(), words.to_pylist()))
+    expected = Counter()
+    for i in (0, 1):
+        for tok in tokenize_str(text, DEFAULT_CONFIG):
+            if tok.kind not in (SEP_HARD, SEP_SOFT) and tok.lemma:
+                expected[(i, tok.lemma)] += 1
+    assert got == expected
+
+
+def test_uniform_tables_shape():
+    """Class surrogates are single ASCII chars of the documented classes;
+    lemma folds are single chars; Greek carries the ς final fix."""
+    from sparkft import _tables as T
+    from sparkft.fastscript import UNIFORM_SCRIPTS, uniform_tables
+
+    for script, lang in ((T.GREEK, None), (T.CYRILLIC, None),
+                         (T.HEBREW, None), (T.ARABIC, "ara"),
+                         (T.ARABIC, "pes"), (T.LATIN, None)):
+        tabs = uniform_tables(script, lang)
+        assert tabs is not None
+        class_map, lemma_map, final_fix, standalone = tabs
+        for cp, cls in class_map.items():
+            assert cls in "aA$0(;", (chr(cp), cls)
+            lm = lemma_map[cp]
+            assert lm is None or len(lm) == 1, (chr(cp), lm)
+            if lm is None:  # deletions only for boundary-inert glue
+                assert cls == "$", (chr(cp), cls)
+    g_class, g_lemma, g_fix, g_alone = uniform_tables(T.GREEK, None)
+    assert g_fix.get("ς") == "σ"
+    assert g_lemma[ord("ς")] == "ς"  # medial form kept; final fixed later
+    assert chr(0x387) in g_alone  # ano teleia: separator when standalone
+    l_class, l_lemma, _, _ = uniform_tables(T.LATIN, None)
+    assert l_lemma[ord("ß")] == "ß" and l_class[ord("ß")] == "a"

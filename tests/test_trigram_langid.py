@@ -286,3 +286,21 @@ def test_cyrillic_exclusive_letters_still_win():
     # short ambiguous text falls back to the letter heuristics
     assert _cyrillic_language("привет мир") == "rus"
     assert _cyrillic_language("държава и народ") == "bul"
+
+
+def test_romance_and_dutch_profiles():
+    """The spa/ita/nld/por profiles (present since r4) asserted on
+    well-known public-domain sentences — completing visible coverage of
+    every shipped Latin profile (20 languages total with the markers)."""
+    assert detect_latin_language(
+        "La lengua española es una de las más habladas del mundo y "
+        "cuenta con cientos de millones de hablantes nativos.") == "spa"
+    assert detect_latin_language(
+        "La lingua italiana è parlata in Italia e nella Svizzera "
+        "italiana, ed è una delle lingue ufficiali dell'Unione.") == "ita"
+    assert detect_latin_language(
+        "De Nederlandse taal wordt gesproken in Nederland en België en "
+        "is één van de officiële talen van de Europese Unie.") == "nld"
+    assert detect_latin_language(
+        "A língua portuguesa é falada em Portugal e no Brasil e é uma "
+        "das línguas mais faladas do mundo, com ações e corações.") == "por"
