@@ -190,6 +190,32 @@ class AttributeStore:
                 self._columns = sorted(cols)
         return got
 
+    def sorted_order(self, col: str, descending: bool) -> np.ndarray:
+        """Cached (value, doc_id ASC) sort permutation over the full store
+        — the serving-side analogue of Meilisearch's sorted facet runs.
+        One O(N log N) lexsort per (col, direction) per process; every
+        later sorted query WALKS it top-down testing candidate membership,
+        touching O(k / candidate-density) rows instead of gathering and
+        partitioning the whole candidate set (SERVING_SCALE r4: sort grew
+        1.31x the corpus ratio because the gather is candidate-bound). At
+        cluster scale this permutation is a per-bucket build artifact;
+        driver-local here."""
+        key = (col, descending)
+        orders = getattr(self, "_sorted_orders", None)
+        if orders is None:
+            orders = self._sorted_orders = {}
+        got = orders.get(key)
+        if got is None:
+            ids, cols = self._full_view()
+            vals = cols[col]
+            if np.issubdtype(vals.dtype, np.number):
+                k = -vals if descending else vals
+            else:
+                _, inv = np.unique(vals, return_inverse=True)
+                k = -inv if descending else inv
+            got = orders[key] = np.lexsort((ids, k))
+        return got
+
     def columns(self) -> list:
         """Stored attribute names (excluding doc_id)."""
         if self._columns is None:
@@ -454,6 +480,28 @@ def sort_topk(reader, store: AttributeStore, query: str, col: str,
     )
     if len(ids) == 0:
         return []
+    n = len(ids)
+    all_ids = store.doc_ids
+    # dense candidate sets: walk the cached sorted permutation top-down,
+    # popping until k candidates surface — O(k*N/n) membership-tested rows,
+    # corpus-size independent at fixed density — instead of gathering +
+    # partitioning all n candidates. Cost model: walk ~ k*N/n pops vs
+    # candidate path ~ n; switch when the walk is the clear winner.
+    if n * n > 8 * k * len(all_ids) and n > 1024:
+        order = store.sorted_order(col, descending)
+        full_vals = store.column(col)
+        out: list[int] = []
+        chunk_size = max(2048, (k * len(all_ids)) // max(n, 1))
+        for off in range(0, len(order), chunk_size):
+            chunk = order[off:off + chunk_size]
+            hit = chunk[np.isin(all_ids[chunk], ids, assume_unique=True)]
+            out.extend(hit.tolist())
+            if len(out) >= k:
+                break
+        return [(int(all_ids[p]),
+                 full_vals[p].item() if hasattr(full_vals[p], "item")
+                 else full_vals[p])
+                for p in out[:k]]
     vals = store.lookup(ids, col)
     if not np.issubdtype(vals.dtype, np.number):
         # collation via ordinal codes: np.unique's sorted-unique inverse

@@ -371,3 +371,62 @@ def test_facet_value_search(spark, built):
     # unmatched prefix -> [], k caps the list
     assert facet_value_search(reader, store, "repo", "zzz", query=QUERY) == []
     assert len(facet_value_search(reader, store, "repo", "", k=2)) == 2
+
+
+def test_sort_topk_walk_path_equals_partition_path(spark, tmp_path_factory):
+    """The dense-candidate sorted-permutation WALK (round 5, SERVING_SCALE
+    r4 item: sort was candidate-bound) must return exactly the candidate
+    path's result — both directions, numeric and string columns, ties
+    broken doc_id ASC."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sparkft.facets import AttributeStore, write_attribute_store
+
+    out = str(tmp_path_factory.mktemp("sortwalk"))
+    n = 30000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id") * 2654435761, F.lit(997))).alias("num"),
+        F.concat(F.lit("v"), F.pmod(F.col("id") * 40503, F.lit(89))
+                 .cast("string")).alias("cat"),
+    )
+    write_attribute_store(spark, docs, out, cols=("num", "cat"))
+    store = AttributeStore(out)
+
+    class _R:  # reader stub: dense candidate set, no tombstones
+        deleted = ()
+
+    cand_ids = np.arange(0, n, 2, dtype=np.int64)  # density 0.5
+
+    import sparkft.facets as FA
+
+    def fake_matching(reader, terms):
+        return cand_ids
+
+    orig = FA.matching_docs
+    FA.matching_docs = fake_matching
+    try:
+        for col in ("num", "cat"):
+            for desc in (True, False):
+                got = FA.sort_topk(_R(), store, "q", col, k=13,
+                                   descending=desc, terms=["x"])
+                # brute force over the same candidates
+                vals = store.lookup(cand_ids, col)
+                if np.issubdtype(vals.dtype, np.number):
+                    key = -vals if desc else vals
+                else:
+                    _, inv = np.unique(vals, return_inverse=True)
+                    key = -inv if desc else inv
+                order = np.lexsort((cand_ids, key))[:13]
+                want = [(int(cand_ids[i]),
+                         vals[i].item() if hasattr(vals[i], "item")
+                         else vals[i]) for i in order]
+                assert got == want, (col, desc)
+        # sparse candidates exercise the partition path on the same store
+        sparse = cand_ids[:40]
+        FA.matching_docs = lambda r, t: sparse
+        got = FA.sort_topk(_R(), store, "q", "num", k=13, terms=["x"])
+        assert len(got) == 13 and {d for d, _ in got} <= set(sparse.tolist())
+    finally:
+        FA.matching_docs = orig
