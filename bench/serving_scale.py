@@ -168,7 +168,7 @@ def main() -> None:
         lo, hi = sizes[0], sizes[-1]
         corpus_ratio = hi / lo
         lines = [
-            "# Serving latency vs corpus size (round 4)",
+            "# Serving latency vs corpus size (round 5)",
             "",
             f"Same query set against fresh indexes at {lo:,} and {hi:,} docs "
             f"(corpus ratio {corpus_ratio:.2f}x); median of {args.reps} "

@@ -370,8 +370,14 @@ def matching_docs(reader, terms: list[str]) -> np.ndarray:
 def _mask_allowed(ids: np.ndarray, allowed) -> np.ndarray:
     if allowed is None or len(ids) == 0:
         return ids
-    arr = np.fromiter(allowed, dtype=np.int64, count=len(allowed))
-    return ids[np.isin(ids, arr)]
+    from .search import _allowed_array
+
+    arr = _allowed_array(allowed)
+    if len(arr) == 0:
+        return ids[:0]
+    # ids sorted (matching_docs output) and arr sorted: searchsorted probe
+    pos = np.minimum(np.searchsorted(arr, ids), len(arr) - 1)
+    return ids[arr[pos] == ids]
 
 
 def facet_counts(reader, store: AttributeStore, query: str, col: str,

@@ -534,8 +534,15 @@ def taat_arrays(reader: IndexReader, postings: dict,
     if dead:
         keep = ~dead.mask(uids)
     if allowed is not None:
-        allow_arr = np.fromiter(allowed, dtype=np.int64, count=len(allowed))
-        amask = np.isin(uids, allow_arr)
+        allow_arr = _allowed_array(allowed)
+        # uids is sorted-unique and allow_arr sorted: membership via one
+        # searchsorted instead of isin's internal sort
+        if len(allow_arr):
+            pos = np.minimum(np.searchsorted(allow_arr, uids),
+                             len(allow_arr) - 1)
+            amask = allow_arr[pos] == uids
+        else:
+            amask = np.zeros(len(uids), dtype=bool)
         keep = amask if keep is None else (keep & amask)
     if keep is not None:
         uids, sums, cnts = uids[keep], sums[keep], cnts[keep]
@@ -687,6 +694,31 @@ def _full_arrays_cached(reader: IndexReader, li: "LazyPostingList"
     return ids, tfs, lens_
 
 
+class CachedDocSet(set):
+    """A resolved filter's doc-id set with its SORTED int64 array cached
+    alongside. Set semantics everywhere (WAND membership probes, the
+    q-syntax gate's intersections) plus a zero-copy vector form for the
+    exhaustive / candidate-driven plans — so a steady-state filtered query
+    pays neither the per-query set build nor the per-query np.fromiter
+    (SERVING_SCALE r4: filter_lang was growing 1.23x the corpus ratio and
+    both conversions are O(|allowed|))."""
+
+    __slots__ = ("arr",)
+
+    def __init__(self, ids: np.ndarray):
+        super().__init__(ids.tolist())
+        self.arr = ids
+
+
+def _allowed_array(allowed) -> np.ndarray:
+    """Sorted int64 array form of an allowed set (cached form if present)."""
+    arr = getattr(allowed, "arr", None)
+    if arr is None:
+        arr = np.fromiter(allowed, dtype=np.int64, count=len(allowed))
+        arr.sort()
+    return arr
+
+
 def _exhaustive_topk_from_lists(reader: IndexReader,
                                 lists: list["LazyPostingList"], k: int,
                                 allowed: Optional[set]
@@ -709,8 +741,15 @@ def _exhaustive_topk_from_lists(reader: IndexReader,
     if dead:
         keep = ~dead.mask(uids)
     if allowed is not None:
-        allow_arr = np.fromiter(allowed, dtype=np.int64, count=len(allowed))
-        amask = np.isin(uids, allow_arr)
+        allow_arr = _allowed_array(allowed)
+        # uids is sorted-unique and allow_arr sorted: membership via one
+        # searchsorted instead of isin's internal sort
+        if len(allow_arr):
+            pos = np.minimum(np.searchsorted(allow_arr, uids),
+                             len(allow_arr) - 1)
+            amask = allow_arr[pos] == uids
+        else:
+            amask = np.zeros(len(uids), dtype=bool)
         keep = amask if keep is None else (keep & amask)
     if keep is not None:
         uids, sums = uids[keep], sums[keep]
@@ -735,8 +774,7 @@ def _candidate_driven_topk(reader: IndexReader,
     contribution — docs matching no term are dropped (never ranked), so
     results equal the posting-driven plans bit-for-bit (same float
     accumulation order, same tie-break)."""
-    cand = np.fromiter(allowed, dtype=np.int64, count=len(allowed))
-    cand.sort()
+    cand = _allowed_array(allowed)
     dead = reader.deleted
     if dead and len(cand):
         cand = cand[~dead.mask(cand)]

@@ -100,9 +100,35 @@ class SearchService:
         """Resolve filter=(col, value) to the allowed doc-id set: through
         the ATTRIBUTE INDEX when the build wrote one (one bucket of one
         attr partition read — the scale path), else a full attribute-column
-        scan (small-store fallback)."""
+        scan (small-store fallback).
+
+        Resolutions are MEMOIZED per filter (FIFO-capped): a hot filter
+        (`lang = py` on every query) costs its O(|matching docs|) set
+        build once, and the CachedDocSet carries the sorted array form so
+        the vectorized scoring plans skip their per-query conversion too
+        (SERVING_SCALE r4 filter_lang item)."""
         if filter is None:
             return None
+        cache = getattr(self, "_filter_cache", None)
+        if cache is None:
+            cache = self._filter_cache = {}
+        key = filter if isinstance(filter, (str, tuple)) else None
+        try:
+            got = cache.get(key) if key is not None else None
+        except TypeError:  # unhashable value inside the tuple
+            key, got = None, None
+        if got is not None:
+            return got
+        out = self._resolve_filter(filter)
+        if key is not None and out is not None:
+            if len(cache) >= 64:
+                cache.pop(next(iter(cache)))
+            cache[key] = out
+        return out
+
+    def _resolve_filter(self, filter) -> Optional[set]:
+        from .search import CachedDocSet
+
         if isinstance(filter, str):
             # Meilisearch filter-expression string: `lang = en AND
             # n_chars > 200`, IN [...], NOT, parentheses, lo TO hi —
@@ -119,8 +145,8 @@ class SearchService:
                 raise ValueError(
                     f"attribute(s) {bad} are not filterable (filterable_"
                     f"attributes={self.settings.filterable_attributes})")
-            return set(evaluate_filter(ast, self.attrs,
-                                       self.attr_index).tolist())
+            return CachedDocSet(evaluate_filter(ast, self.attrs,
+                                                self.attr_index))
         col, value = filter
         if col not in self.settings.filterable_attributes:
             raise ValueError(f"attribute {col!r} is not filterable "
@@ -130,10 +156,10 @@ class SearchService:
         # only route exact string filters through it — numeric/bool
         # filters keep the exact-equality column-scan semantics
         if aidx is not None and col in aidx.cols and isinstance(value, str):
-            return set(aidx.doc_ids(col, value).tolist())
+            return CachedDocSet(aidx.doc_ids(col, value))
         vals = self.attrs.column(col)
         ids = self.attrs.doc_ids[np.asarray(vals) == value]
-        return set(ids.tolist())
+        return CachedDocSet(ids)
 
     def _word_groups(self, query: str) -> list[list[str]]:
         """The ONE term-expansion point: each query word (QUERY order, first
