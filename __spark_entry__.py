@@ -554,6 +554,55 @@ ORDER BY cos DESC, vec_id LIMIT 10
 """
 
 
+def _similar_documents_topk(spark, sf_dir):
+    """Meilisearch v1.9 GET /similar: top-k documents most similar to doc
+    vec_id=7 by embedding cosine, self excluded (sparkft.ann.similar_topk,
+    exact form — one codegen cosine projection)."""
+    from sparkft.ann import similar_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similar_topk(emb, target_id=7, k=10)
+
+
+_SIMILAR_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 7),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id <> 7)
+SELECT vec_id,
+       round(list_inner_product(emb, q.e)
+             / (sqrt(list_inner_product(emb, emb))
+                * sqrt(list_inner_product(q.e, q.e))), 6) AS cos
+FROM v, q
+ORDER BY cos DESC, vec_id LIMIT 10
+"""
+
+
+def _filter_browse(spark, sf_dir):
+    """Meilisearch GET /documents?filter=... (document browse under the
+    filter-expression language, v1.6): ids satisfying a compound numeric +
+    string expression, resolved through the engine's AttributeStore /
+    AttributeIndex set algebra (sparkft.filter_expr) — numeric equality
+    stays OFF the string-cast attribute index (ADVICE r4 fix, oracle-gated
+    here)."""
+    from sparkft.facets import AttributeIndex, AttributeStore
+    from sparkft.filter_expr import filter_ids
+
+    idx_dir = _engine_index(spark, sf_dir)
+    store, aidx = AttributeStore(idx_dir), AttributeIndex(idx_dir)
+    expr = ("lang = en AND (n_chars 100 TO 300 OR n_chars >= 450) "
+            "AND NOT source = src3")
+    ids = filter_ids(expr, store, aidx)
+    return spark.createDataFrame(
+        [(int(d),) for d in ids.tolist()], "doc_id long")
+
+
+_FILTER_BROWSE_SQL = """
+SELECT doc_id FROM documents
+WHERE lang = 'en' AND (n_chars BETWEEN 100 AND 300 OR n_chars >= 450)
+  AND NOT source = 'src3'
+ORDER BY doc_id
+"""
+
+
 def _ivf_cosine_topk(spark, sf_dir):
     """IVF ANN under the exactness gate: with probes = ALL centroids the
     probe set covers the corpus, so IVF must return exactly the brute-force
@@ -2825,6 +2874,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _dedup_clusters,
         "simhash": _simhash,
         "embedding_cosine_topk": _embedding_cosine_topk,
+        "similar_documents_topk": _similar_documents_topk,
+        "filter_browse": _filter_browse,
         # NOTE: the static order below is only the tie-break — _stale_first
         # reorders at call time so never-checked entries and the entries
         # whose last driver row is oldest always land inside the cap.
@@ -2894,6 +2945,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _clusters_sql(""),
         "simhash": _simhash_sql(""),
         "embedding_cosine_topk": _EMB_COS_SQL,
+        "similar_documents_topk": _SIMILAR_SQL,
+        "filter_browse": _FILTER_BROWSE_SQL,
         "ivf_cosine_topk": _EMB_COS_SQL,
         "lang_id_votes": _lang_id_sql(""),
         "quality_scores": _quality_sql(""),

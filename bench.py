@@ -131,6 +131,7 @@ def main() -> int:
         "dedup_exact", "minhash_signatures", "lsh_band_buckets",
         "ngram_jaccard_pairs", "dedup_clusters", "simhash",
         "embedding_cosine_topk",
+        "similar_documents_topk", "filter_browse",
         "ivf_cosine_topk",
         "hybrid_search_topk", "hybrid_engine_topk",
         "ranking_score_topk", "repetition_metrics", "facet_stats_engine",

@@ -41,6 +41,35 @@ def brute_force_topk(df, qvec: list[float], k: int = 10,
     )
 
 
+def similar_topk(df, target_id: int, k: int = 10,
+                 id_col: str = "vec_id", emb_col: str = "embedding",
+                 round_to: int | None = 6,
+                 assigned_df=None, cents=None, probes: int = 4):
+    """Meilisearch v1.9 `GET /indexes/{uid}/similar`: the documents most
+    similar to a TARGET DOCUMENT by embedding cosine, the target itself
+    excluded. (Engine surface — charabia has no counterpart; semantics per
+    Meilisearch similar-documents API.)
+
+    Exact form (default): the target vector is one driver-side lookup
+    (point read by id — at 100 TB a bucket-pruned fetch), then ONE
+    codegen cosine projection over the corpus — identical plan shape to
+    `brute_force_topk`. Pass `assigned_df`/`cents` to serve the IVF-probed
+    form instead (scans ~probes/K of the data, the scale path)."""
+    from pyspark.sql import functions as F
+
+    row = df.filter(F.col(id_col) == target_id).select(emb_col).collect()
+    if not row:
+        raise ValueError(f"{id_col} = {target_id} not found")
+    qvec = [float(x) for x in row[0][0]]
+    if assigned_df is not None and cents is not None:
+        pool = assigned_df.filter(F.col(id_col) != target_id)
+        return ivf_topk(pool, cents, qvec, k, probes=probes,
+                        id_col=id_col, emb_col=emb_col, round_to=round_to)
+    return brute_force_topk(df.filter(F.col(id_col) != target_id), qvec, k,
+                            id_col=id_col, emb_col=emb_col,
+                            round_to=round_to)
+
+
 def ivf_build(spark, df, n_centroids: int = 16, iters: int = 5, seed: int = 42,
               id_col: str = "vec_id", emb_col: str = "embedding"):
     """Returns (assigned_df with `centroid` column, centroids ndarray).

@@ -361,6 +361,17 @@ class ChineseSegmenter:
         self.total = sum(freqs.values()) or 1
         self.logtotal = math.log(self.total)
         self.max_len = max((len(w) for w in freqs), default=1)
+        # jieba's prefix-dict trick (jieba.gen_pfdict): every strict prefix
+        # of every word is registered, so the DAG scan extends j only while
+        # the fragment is still a LIVE prefix instead of probing all
+        # max_len slices at every position — the dominant cost for large
+        # injected dictionaries whose max_len far exceeds the typical
+        # extension depth
+        pfx: set[str] = set()
+        for w in freqs:
+            for i in range(1, len(w)):
+                pfx.add(w[:i])
+        self._prefixes = pfx
 
     def _cut_dag_no_hmm(self, sentence: str) -> list[str]:
         import math
@@ -368,12 +379,19 @@ class ChineseSegmenter:
         n = len(sentence)
         if n == 0:
             return []
+        freqs = self.freqs
+        prefixes = self._prefixes
+        kmax = self.max_len
         dag: list[list[int]] = []
         for k in range(n):
             ends = []
-            for j in range(k + 1, min(n, k + self.max_len) + 1):
-                if sentence[k:j] in self.freqs:
+            jmax = min(n, k + kmax)
+            for j in range(k + 1, jmax + 1):
+                frag = sentence[k:j]
+                if frag in freqs:
                     ends.append(j)
+                if frag not in prefixes:
+                    break  # no longer word starts with frag: stop extending
             if not ends:
                 ends.append(k + 1)
             dag.append(ends)

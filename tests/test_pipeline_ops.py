@@ -106,3 +106,27 @@ def test_ivf_recall_vs_brute_force(spark):
     # full probe == exact
     full = [r["vec_id"] for r in ivf_topk(assigned, cents, qvec, 10, probes=8).collect()]
     assert full == exact
+
+
+def test_similar_documents(spark):
+    """Meilisearch v1.9 /similar (ann.similar_topk): exact form equals
+    brute_force_topk with the target's vector and never returns the
+    target; IVF form with probes=all equals the exact form."""
+    from sparkft.ann import brute_force_topk, ivf_build, similar_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = similar_topk(emb, target_id=7, k=10).collect()
+    ids = [r["vec_id"] for r in got]
+    assert 7 not in ids and len(ids) == 10
+    qvec = [float(x) for x in
+            emb.filter("vec_id = 7").collect()[0]["embedding"]]
+    want = brute_force_topk(emb.filter("vec_id <> 7"), qvec, 10).collect()
+    assert [(r["vec_id"], r["cos"]) for r in got] == \
+        [(r["vec_id"], r["cos"]) for r in want]
+    assigned, cents = ivf_build(spark, emb.filter("vec_id <> 7"),
+                                n_centroids=8)
+    ivf = similar_topk(emb, target_id=7, k=10,
+                       assigned_df=assigned, cents=cents, probes=8).collect()
+    assert [r["vec_id"] for r in ivf] == ids
+    with pytest.raises(ValueError, match="not found"):
+        similar_topk(emb, target_id=10**12, k=5).collect()
