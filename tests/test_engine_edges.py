@@ -169,3 +169,21 @@ def test_topk_indices_nan_scores_rank_last():
         got = list(topk_indices(sc, ids, k))
         ref = list(np.lexsort((ids, -sc))[:k])
         assert got == ref
+
+
+def test_cached_doc_set_semantics():
+    """CachedDocSet behaves as a set everywhere (membership, &, len) and
+    carries its sorted array; _allowed_array uses it zero-copy and falls
+    back to (sorted) conversion for plain sets."""
+    import numpy as np
+
+    from sparkft.search import CachedDocSet, _allowed_array
+
+    ids = np.array([3, 7, 11, 42], dtype=np.int64)
+    s = CachedDocSet(ids)
+    assert 7 in s and 8 not in s and len(s) == 4
+    assert sorted(s & {7, 8, 42}) == [7, 42]
+    assert _allowed_array(s) is ids
+    plain = {5, 1, 9}
+    arr = _allowed_array(plain)
+    assert arr.tolist() == [1, 5, 9]
