@@ -1,4 +1,5 @@
-"""Pure-stdlib media codecs: PNG (zlib) and WAV/PCM (struct).
+"""Pure-stdlib media codecs: PNG (zlib), WAV/PCM (struct), and — via
+`sparkft.media_jpeg` — baseline JPEG.
 
 Engine-original (training-data pipeline surface; closes VERDICT r3 #3 —
 `FakeCodec` demoted to a test stand-in). The container ships no PIL/ffmpeg,
@@ -254,9 +255,17 @@ class StdlibCodec:
                 raise MediaFormatError(
                     f"metadata says {width}x{height} but PNG IHDR is {w}x{h}")
             return img
+        if data.startswith(b"\xff\xd8"):
+            from .media_jpeg import decode_jpeg
+            img = decode_jpeg(data)
+            h, w, _ = img.shape
+            if (width and w != width) or (height and h != height):
+                raise MediaFormatError(
+                    f"metadata says {width}x{height} but JPEG SOF is {w}x{h}")
+            return img
         raise MediaFormatError(
-            "unsupported image container (PNG only in pure-stdlib mode; "
-            "inject a PIL-backed codec for JPEG/WebP/...)")
+            "unsupported image container (PNG/baseline JPEG in pure-stdlib "
+            "mode; inject a PIL-backed codec for WebP/progressive/...)")
 
     def decode_audio(self, data: bytes) -> tuple[np.ndarray, int]:
         return decode_wav(data)

@@ -157,12 +157,14 @@ def _default_codec():
 
 def synthetic_media_df(spark, n: int = 64, seed: int = 42):
     """Deterministic media table for tests/benchmarks — REAL payloads:
-    2/3 of the rows are valid PNGs (random pixels, stdlib-encoded) and 1/3
-    are valid 16-bit PCM WAVs (seeded sine + noise), so the default
-    StdlibCodec pipeline exercises genuine decode, not a stub."""
+    1/3 valid PNGs (random pixels, stdlib-encoded), 1/3 valid baseline
+    JPEGs (4:2:0, our own encoder), 1/3 valid 16-bit PCM WAVs (seeded
+    sine + noise), so the default StdlibCodec pipeline exercises genuine
+    decode of every supported container, not a stub."""
     import pandas as pd
 
     from .media_codec import encode_png, encode_wav
+    from .media_jpeg import encode_jpeg
 
     rng = np.random.default_rng(seed)
     mimes, widths, heights, durs, datas = [], [], [], [], []
@@ -183,8 +185,13 @@ def synthetic_media_df(spark, n: int = 64, seed: int = 42):
             w = int(rng.integers(16, 64))
             h = int(rng.integers(16, 64))
             img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-            datas.append(encode_png(img))
-            mimes.append("image/png")
+            if i % 3 == 1:
+                datas.append(encode_png(img))
+                mimes.append("image/png")
+            else:
+                datas.append(encode_jpeg(img, quality=85,
+                                         subsampling="420"))
+                mimes.append("image/jpeg")
             widths.append(w)
             heights.append(h)
             durs.append(0)

@@ -172,5 +172,76 @@ def test_stdlib_codec_validates_metadata():
     np.testing.assert_array_equal(codec.decode(data, 4, 6), img)
     with pytest.raises(MediaFormatError, match="metadata says"):
         codec.decode(data, 8, 8)
+    with pytest.raises(MediaFormatError, match="no SOS marker"):
+        codec.decode(b"\xff\xd8\xff\xe0\x00\x04 j", 4, 6)  # JPEG, truncated
     with pytest.raises(MediaFormatError, match="unsupported image container"):
-        codec.decode(b"\xff\xd8\xff\xe0 jpeg-ish", 4, 6)
+        codec.decode(b"GIF89a not supported", 4, 6)
+
+
+def _test_image(h=41, w=67):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([
+        (127 + 120 * np.sin(xx / 9.0)).astype(np.uint8),
+        (127 + 120 * np.cos(yy / 7.0)).astype(np.uint8),
+        ((xx + yy) % 256).astype(np.uint8)], axis=2)
+
+
+def test_jpeg_roundtrip_color():
+    """Round-trip through our own baseline encoder: exact-shape output,
+    bounded reconstruction error that shrinks as quality rises, 4:2:0
+    strictly lossier than 4:4:4 (chroma decimation)."""
+    from sparkft.media_jpeg import decode_jpeg, encode_jpeg
+
+    img = _test_image()
+    maes = {}
+    for sub in ("444", "420"):
+        for q in (95, 85, 50):
+            out = decode_jpeg(encode_jpeg(img, quality=q, subsampling=sub))
+            assert out.shape == img.shape and out.dtype == np.uint8
+            maes[(sub, q)] = np.abs(out.astype(int) - img.astype(int)).mean()
+    assert maes[("444", 95)] < maes[("444", 50)] < 5.0
+    assert maes[("420", 95)] < maes[("420", 50)] < 6.0
+    assert maes[("444", 85)] < maes[("420", 85)]
+
+
+def test_jpeg_restart_intervals_match_plain():
+    """RSTn markers change the byte stream but not the decoded pixels
+    (the DC predictor reset is exact on both sides)."""
+    from sparkft.media_jpeg import decode_jpeg, encode_jpeg
+
+    img = _test_image(24, 40)
+    plain = encode_jpeg(img, quality=85, subsampling="420")
+    rst = encode_jpeg(img, quality=85, subsampling="420", restart_interval=2)
+    assert plain != rst and b"\xff\xd0" in rst
+    np.testing.assert_array_equal(decode_jpeg(plain), decode_jpeg(rst))
+
+
+def test_jpeg_grayscale_and_errors():
+    from sparkft.media_jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:19, 0:33]
+    g = (127 + 100 * np.sin(xx / 5.0) * np.cos(yy / 6.0)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(g, quality=90))
+    assert out.shape == (19, 33, 3)
+    np.testing.assert_array_equal(out[..., 0], out[..., 1])
+    assert np.abs(out[..., 0].astype(int) - g.astype(int)).mean() < 2.0
+
+    with pytest.raises(MediaFormatError, match="bad SOI"):
+        decode_jpeg(b"not a jpeg")
+    # flip SOF0 -> SOF2 (progressive): honest refusal, not garbage
+    data = bytearray(encode_jpeg(_test_image(16, 16)))
+    data[data.index(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(MediaFormatError, match="progressive|arithmetic"):
+        decode_jpeg(bytes(data))
+
+
+def test_stdlib_codec_decodes_jpeg_with_metadata_check():
+    from sparkft.media_jpeg import encode_jpeg
+
+    img = _test_image(16, 24)
+    data = encode_jpeg(img, quality=95)
+    codec = StdlibCodec()
+    out = codec.decode(data, 24, 16)
+    assert out.shape == (16, 24, 3)
+    with pytest.raises(MediaFormatError, match="metadata says"):
+        codec.decode(data, 8, 8)

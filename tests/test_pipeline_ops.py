@@ -45,16 +45,22 @@ def test_multimodal_default_codec_decodes_real_media(spark):
     out = {r["media_id"]: r for r in extract_features(df, out_w=4, out_h=4).collect()}
     assert len(out) == 12
     codec = StdlibCodec()
-    n_img = n_aud = 0
+    n_img = n_jpg = n_aud = 0
     for mid, src in rows.items():
         data = bytes(src["data"])
-        if src["mime"] == "image/png":
-            img = decode_png(data)
+        if src["mime"] in ("image/png", "image/jpeg"):
+            if src["mime"] == "image/png":
+                img = decode_png(data)
+                n_img += 1
+            else:
+                from sparkft.media_jpeg import decode_jpeg
+
+                img = decode_jpeg(data)
+                n_jpg += 1
             assert img.shape == (src["height"], src["width"], 3)
             small = codec.resize(img, 4, 4)
             want = (small.astype(np.float32) / 255.0).mean(axis=2).ravel()
             np.testing.assert_allclose(out[mid]["feat"], want, atol=1e-6)
-            n_img += 1
         else:
             assert src["mime"] == "audio/wav"
             samples, rate = codec.decode_audio(data)
@@ -64,7 +70,7 @@ def test_multimodal_default_codec_decodes_real_media(spark):
             assert len(out[mid]["feat"]) == 16
             assert any(abs(v) > 1e-4 for v in out[mid]["feat"])
             n_aud += 1
-    assert n_img > 0 and n_aud > 0
+    assert n_img > 0 and n_jpg > 0 and n_aud > 0
 
 
 def test_multimodal_metadata_pruning_never_touches_bytes(spark, tmp_path):
