@@ -1768,6 +1768,35 @@ ORDER BY lang DESC, doc_id LIMIT 10
 """
 
 
+def _sorted_multi_topk(spark, sf_dir):
+    """Meilisearch MULTI-criteria sort (`sort: ["lang:asc",
+    "n_chars:desc"]`), engine path: candidates from the segment store,
+    one bucket-pruned gather per criterion, one lexsort (priority order,
+    doc_id final tie-break) — facets.sort_multi_topk."""
+    from sparkft.facets import AttributeStore, sort_multi_topk
+    from sparkft.search import IndexReader
+
+    idx = _engine_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    rows = sort_multi_topk(reader, AttributeStore(idx),
+                           " ".join(BM25_QUERY_TERMS),
+                           [("lang", False), ("n_chars", True)], 10)
+    return spark.createDataFrame(
+        [(int(d), str(lv), int(nv)) for d, lv, nv in rows],
+        "doc_id long, lang string, n_chars long",
+    )
+
+
+def _sorted_multi_sql(sf: str) -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM ({_SQL_TOKS})
+                 WHERE token IN ({terms}))
+ORDER BY lang ASC, n_chars DESC, doc_id LIMIT 10
+"""
+
+
 def _proximity_search_topk(spark, sf_dir):
     """Meilisearch `proximity` ranking rule, DataFrame path: docs containing
     BOTH phrase terms ranked by the minimum pair cost (forward distance, or
@@ -2862,6 +2891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_engine_topk": _synonym_engine_topk,
         "ranking_pipeline_topk": _ranking_pipeline_topk,
         "sorted_desc_string_topk": _sorted_desc_string_topk,
+        "sorted_multi_topk": _sorted_multi_topk,
         "geo_radius_search_topk": _geo_radius_search_topk,
         "geo_radius_engine_topk": _geo_radius_engine_topk,
         "geo_sort_engine_topk": _geo_sort_engine_topk,
@@ -2980,6 +3010,7 @@ def oracle_sql() -> dict[str, str]:
         "facet_engine_counts": _facet_sql(""),
         "sorted_search_topk": _sorted_sql(""),
         "sorted_desc_string_topk": _sorted_desc_string_sql(""),
+        "sorted_multi_topk": _sorted_multi_sql(""),
         "geo_radius_search_topk": _geo_radius_sql(""),
         "geo_radius_engine_topk": _geo_radius_sql(""),
         "geo_sort_engine_topk": _geo_sort_sql(""),

@@ -542,6 +542,52 @@ def sort_topk(reader, store: AttributeStore, query: str, col: str,
             for i in top]
 
 
+def sort_multi_topk(reader, store: AttributeStore, query: str,
+                    criteria: list, k: int = 10,
+                    cfg: TokenizerConfig = DEFAULT_CONFIG,
+                    terms: Optional[list] = None,
+                    allowed=None) -> list[tuple]:
+    """Meilisearch's `sort` with MULTIPLE criteria (`sort:
+    ["price:asc", "name:desc"]`): docs matching >= 1 query term ordered by
+    the criteria in priority order, doc_id ASC final tie-break.
+    `criteria` = [(col, descending), ...]; returns
+    [(doc_id, val_1, ..., val_m)] with one value per criterion.
+
+    One gather per criterion over the CANDIDATE set + one lexsort — never
+    O(corpus). (The single-key sorted-permutation walk doesn't apply: a
+    composite order has no precomputed permutation; at 100 TB this is a
+    per-serving-worker candidate sort, same shape as sort_topk's dense
+    fallback.)"""
+    if not criteria:
+        raise ValueError("sort_multi_topk needs at least one criterion")
+    ids = _mask_allowed(
+        matching_docs(reader, terms if terms is not None
+                      else reader.query_terms(query, cfg)),
+        allowed,
+    )
+    if len(ids) == 0:
+        return []
+    vals_per = [store.lookup(ids, col) for col, _ in criteria]
+    keys = [ids]                       # np.lexsort: LAST key is primary
+    for (col, descending), vals in zip(reversed(criteria),
+                                       reversed(vals_per)):
+        if np.issubdtype(vals.dtype, np.number):
+            key = -vals if descending else vals
+        else:
+            _, inv = np.unique(vals, return_inverse=True)
+            key = -inv if descending else inv
+        keys.append(key)
+    order = np.lexsort(tuple(keys))[:k]
+    out = []
+    for i in order.tolist():
+        row = [int(ids[i])]
+        for vals in vals_per:
+            v = vals[i]
+            row.append(v.item() if hasattr(v, "item") else v)
+        out.append(tuple(row))
+    return out
+
+
 def distinct_topk(reader, store: AttributeStore, query: str, attr: str,
                   k: int = 10,
                   cfg: TokenizerConfig = DEFAULT_CONFIG

@@ -59,6 +59,13 @@ class IndexSettings:
     matching_strategy: str = "any"  # 'any' | 'all' | 'last' | 'frequency'
     filterable_attributes: tuple = ()
     sortable_attributes: tuple = ()
+    # Meilisearch distinctAttribute: at most one hit per distinct value of
+    # this stored attribute (best-ranked survives; null-valued docs are all
+    # kept, like Meilisearch).
+    distinct_attribute: Optional[str] = None
+    # Meilisearch v1.3 sortFacetValuesBy: facetDistribution value order —
+    # 'alpha' (default) or 'count' (desc, value asc tie-break)
+    sort_facet_values_by: str = "alpha"
 
 
 _UNSET = object()
@@ -286,6 +293,83 @@ class SearchService:
         )
         return dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
 
+    def _distinct_pairs(self, seq: list) -> list:
+        """Meilisearch distinctAttribute over a ranked sequence of
+        (doc_id, ...) tuples: keep the FIRST (best-ranked) tuple per
+        distinct attribute value; docs whose value is null keep their own
+        identity (all retained). One bucket-pruned gather over the ranked
+        ids — O(ranked), never O(corpus)."""
+        attr = self.settings.distinct_attribute
+        if not attr or not seq:
+            return seq
+        if attr not in self.attrs.columns():
+            raise ValueError(
+                f"distinct_attribute {attr!r} is not a stored attribute "
+                f"(columns: {sorted(self.attrs.columns())})")
+        ids = np.fromiter((t[0] for t in seq), dtype=np.int64,
+                          count=len(seq))
+        vals = self.attrs.lookup(ids, attr).tolist()
+        out, seen = [], set()
+        for t, v in zip(seq, vals):
+            if v is None or (isinstance(v, float) and v != v):
+                out.append(t)          # null value: no identity to dedupe
+            elif v not in seen:
+                seen.add(v)
+                out.append(t)
+        return out
+
+    def _retrieve_attributes(self, hits: list, cols) -> None:
+        """attributesToRetrieve: annotate each hit dict with the requested
+        stored attribute values (['*'] = every stored column). k bucket-
+        pruned gathers over the page's ids — O(page), never O(corpus)."""
+        if not hits:
+            return
+        stored = list(self.attrs.columns())
+        if cols == "*" or list(cols) == ["*"]:
+            cols = stored
+        else:
+            bad = sorted(set(cols) - set(stored))
+            if bad:
+                raise ValueError(
+                    f"attributesToRetrieve {bad} are not stored attributes "
+                    f"(columns: {sorted(stored)})")
+        ids = np.fromiter((h["doc_id"] for h in hits), dtype=np.int64,
+                          count=len(hits))
+        for col in cols:
+            vals = self.attrs.lookup(ids, col).tolist()
+            for h, v in zip(hits, vals):
+                if col not in h:       # never clobber score/_geoDistance
+                    h[col] = v
+
+    def delete_by_filter(self, filter) -> int:
+        """Meilisearch v1.2 `POST /documents/delete` with a filter: resolve
+        the filter (a (col, value) tuple or a filter-expression string —
+        the same forms search() accepts, _geoRadius excluded) to doc ids
+        and tombstone them via index_build.delete_docs (idempotent,
+        O(|deleted|), never a rewrite of the posting segments). Returns the
+        number of docs deleted by THIS call; the service re-opens its
+        reader so subsequent searches exclude them immediately."""
+        ids = self._resolve_filter(filter)
+        if ids is None:
+            raise ValueError("delete_by_filter needs a filter")
+        # filter resolution is attribute-store-level; exclude docs already
+        # tombstoned so the return value counts LIVE docs deleted and the
+        # re-issued call is an exact no-op
+        dead = self.reader.deleted
+        live = sorted(d for d in ids if d not in dead) if dead \
+            else sorted(ids)
+        if not live:
+            return 0
+        from .index_build import delete_docs
+
+        n = delete_docs(self.reader.dir, live)
+        # serving state: tombstones changed under this reader — re-open
+        # (drops decoded-posting caches; correctness over cache warmth)
+        self.reader = IndexReader(None, self.reader.dir)
+        self._attrs = None
+        self._attr_index = _UNSET
+        return n
+
     def stats(self) -> dict:
         """Meilisearch `GET /indexes/{uid}/stats` shape:
         {"numberOfDocuments", "isIndexing", "fieldDistribution"} —
@@ -361,14 +445,17 @@ class SearchService:
                ranking_score_threshold: Optional[float] = None,
                show_matches_position: bool = False,
                crop_length: Optional[int] = None,
-               crop_marker: str = "…") -> dict:
+               crop_marker: str = "…",
+               attributes_to_retrieve: Optional[list] = None) -> dict:
         """Meilisearch-shaped response:
         {"hits": [{"doc_id", "score"|attr, "_formatted"?, ...}],
          "offset": ..., "facetDistribution"?: {col: {value: count}},
          "estimatedTotalHits"?: n}
 
         filter=(col, value) restricts candidates (BM25 stats stay global);
-        sort=(col, descending) replaces relevance order by the attribute;
+        sort=(col, descending) replaces relevance order by the attribute —
+            a LIST of such tuples sorts by multiple criteria in priority
+            order (Meilisearch `sort: ["price:asc", "name:desc"]`);
         facets=[col, ...] counts over ALL docs matching the query (before
         top-k truncation, after the filter), like Meilisearch. Under the
         conjunctive strategies ('all'/'last'/'frequency') the facet counts
@@ -414,10 +501,32 @@ class SearchService:
             and self.settings.matching_strategy != "any"
         if conj_facets:
             fetch = self.reader.N
+        if self.settings.distinct_attribute:
+            # distinct dedupes AFTER ranking: any page may need to look
+            # arbitrarily deep into the ranking to fill k distinct values,
+            # so the ranked pass runs unbounded (same O(query postings)
+            # reads; bigger sort — the cost Meilisearch pays too)
+            fetch = self.reader.N
         facet_allowed = allowed
 
-        if sort is not None:
-            col, desc = sort
+        if sort is not None and isinstance(sort, list) and len(sort) > 1:
+            # Meilisearch multi-criteria sort: sort=[("price", False),
+            # ("name", True), ...] in priority order, doc_id tie-break
+            from .facets import sort_multi_topk
+
+            for c, _d in sort:
+                if c not in self.settings.sortable_attributes:
+                    raise ValueError(f"attribute {c!r} is not sortable")
+            terms_used, allowed = self._terms_and_gate(query, allowed)
+            rows = self._distinct_pairs(sort_multi_topk(
+                self.reader, self.attrs, query, sort, k=fetch,
+                cfg=self.cfg, terms=terms_used, allowed=allowed))
+            total = len(rows)
+            hits = [dict(doc_id=r[0],
+                         **{c: v for (c, _), v in zip(sort, r[1:])})
+                    for r in rows[offset:offset + k]]
+        elif sort is not None:
+            col, desc = sort[0] if isinstance(sort, list) else sort
             terms_used, allowed = self._terms_and_gate(query, allowed)
             if isinstance(col, tuple) and col and col[0] == "_geoPoint":
                 # Meilisearch `sort: _geoPoint(lat, lng):asc|desc`
@@ -425,19 +534,20 @@ class SearchService:
                     raise ValueError("attribute '_geo' is not sortable")
                 from .geo import geo_sort_topk
 
-                pairs = geo_sort_topk(self.reader, self.attrs, query,
-                                      col[1], k=fetch, descending=desc,
-                                      cfg=self.cfg, terms=terms_used,
-                                      allowed=allowed)
+                pairs = self._distinct_pairs(geo_sort_topk(
+                    self.reader, self.attrs, query, col[1], k=fetch,
+                    descending=desc, cfg=self.cfg, terms=terms_used,
+                    allowed=allowed))
                 total = len(pairs)
                 hits = [{"doc_id": d, "_geoDistance": v}
                         for d, v in pairs[offset:offset + k]]
             else:
                 if col not in self.settings.sortable_attributes:
                     raise ValueError(f"attribute {col!r} is not sortable")
-                pairs = sort_topk(self.reader, self.attrs, query, col,
-                                  k=fetch, descending=desc, cfg=self.cfg,
-                                  terms=terms_used, allowed=allowed)
+                pairs = self._distinct_pairs(sort_topk(
+                    self.reader, self.attrs, query, col, k=fetch,
+                    descending=desc, cfg=self.cfg, terms=terms_used,
+                    allowed=allowed))
                 total = len(pairs)
                 hits = [{"doc_id": d, col: v}
                         for d, v in pairs[offset:offset + k]]
@@ -455,10 +565,10 @@ class SearchService:
             from .search import ranking_score_topk
 
             terms_used, allowed = self._terms_and_gate(query, allowed)
-            trip = ranking_score_topk(
+            trip = self._distinct_pairs(ranking_score_topk(
                 self.reader, query, fetch,
                 threshold=(ranking_score_threshold or 0.0), cfg=self.cfg,
-                terms=terms_used, allowed=allowed)
+                terms=terms_used, allowed=allowed))
             total = len(trip)
             hits = []
             for d, s, r in trip[offset:offset + k]:
@@ -468,6 +578,7 @@ class SearchService:
                 hits.append(h)
         else:
             ranked, terms_used = self._ranked(query, fetch, allowed)
+            ranked = self._distinct_pairs(ranked)
             total = len(ranked)
             hits = [{"doc_id": d, "score": s}
                     for d, s in ranked[offset:offset + k]]
@@ -488,6 +599,8 @@ class SearchService:
                         self.reader, query, self.cfg, allowed,
                         terms=terms_used)
 
+        if attributes_to_retrieve:
+            self._retrieve_attributes(hits, attributes_to_retrieve)
         out: dict = {"hits": hits, "offset": offset}
         if estimate_total:
             out["estimatedTotalHits"] = total
@@ -503,6 +616,9 @@ class SearchService:
                 fd[col] = facet_counts(self.reader, self.attrs, query, col,
                                        cfg=self.cfg, terms=terms_used,
                                        allowed=facet_allowed)
+                if self.settings.sort_facet_values_by == "count":
+                    fd[col] = dict(sorted(fd[col].items(),
+                                          key=lambda kv: (-kv[1], kv[0])))
                 try:
                     st = facet_stats(self.reader, self.attrs, query, col,
                                      cfg=self.cfg, terms=terms_used,

@@ -522,3 +522,120 @@ def test_qsyntax_composes_with_synonyms_and_typos(built):
     # and differs from the unexpanded ranking (synonym actually applied)
     plain = quoted_query_topk(reader, "merge -return", 10)
     assert want != plain
+
+
+def test_distinct_attribute_one_hit_per_value(built):
+    """distinctAttribute: the ranked list deduped to the best-scored doc
+    per stored value — exactly facets.distinct_topk's answer."""
+    from sparkft.facets import AttributeStore, distinct_topk
+    from sparkft.search import IndexReader
+
+    out, _, _ = built
+    svc = SearchService(out, IndexSettings(distinct_attribute="repo"))
+    res = svc.search("merge sort", 5)
+    reader = IndexReader(None, out)
+    want = distinct_topk(reader, AttributeStore(out), "merge sort",
+                         "repo", k=5)
+    assert [(h["doc_id"], h["score"]) for h in res["hits"]] == \
+        [(d, s) for d, _v, s in want]
+    # and it actually dedupes: over the FULL ranking (300 docs, far fewer
+    # repos) the plain list repeats repos; distinct keeps exactly the
+    # first-ranked doc of each repo, in plain-ranking order
+    n = len(built[2])
+    plain = SearchService(out, SETTINGS).search("merge sort", n)
+    repos = {int(r["doc_id"]): r["repo"] for r in built[2]}
+    pr = [repos[h["doc_id"]] for h in plain["hits"]]
+    assert len(pr) > len(set(pr))
+    first: dict = {}
+    for h in plain["hits"]:
+        first.setdefault(repos[h["doc_id"]], h["doc_id"])
+    deep = svc.search("merge sort", n)
+    assert [h["doc_id"] for h in deep["hits"]] == list(first.values())
+    with pytest.raises(ValueError, match="not a stored attribute"):
+        SearchService(out, IndexSettings(distinct_attribute="nope")
+                      ).search("merge", 3)
+
+
+def test_attributes_to_retrieve(built):
+    out, _, rows = built
+    by_id = {int(r["doc_id"]): r for r in rows}
+    svc = SearchService(out, SETTINGS)
+    res = svc.search("merge sort", 5,
+                     attributes_to_retrieve=["repo", "n_chars"])
+    for h in res["hits"]:
+        r = by_id[h["doc_id"]]
+        assert h["repo"] == r["repo"] and h["n_chars"] == r["n_chars"]
+        assert "score" in h  # never clobbered
+    star = svc.search("merge sort", 3, attributes_to_retrieve="*")
+    assert all({"repo", "n_chars"} <= set(h) for h in star["hits"])
+    with pytest.raises(ValueError, match="not stored attributes"):
+        svc.search("merge sort", 3, attributes_to_retrieve=["missing"])
+
+
+def test_delete_by_filter(built, tmp_path):
+    """Meilisearch v1.2 delete-by-filter: tombstones exactly the filter's
+    doc set, searches exclude them immediately, idempotent re-issue."""
+    import shutil
+
+    out, _, rows = built
+    idx = str(tmp_path / "delidx")
+    shutil.copytree(out, idx)
+    svc = SearchService(idx, SETTINGS)
+    repo = rows[0]["repo"]
+    expect = {int(r["doc_id"]) for r in rows if r["repo"] == repo}
+    before = svc.search("merge sort", len(rows))
+    n = svc.delete_by_filter(("repo", repo))
+    assert n == len(expect)
+    after = svc.search("merge sort", len(rows))
+    gone = {h["doc_id"] for h in before["hits"]} - \
+        {h["doc_id"] for h in after["hits"]}
+    assert gone == expect & {h["doc_id"] for h in before["hits"]}
+    # re-issue: the filter now resolves to zero LIVE docs
+    assert svc.delete_by_filter(("repo", repo)) == 0
+    # filter-expression string form hits the same path
+    n2 = svc.delete_by_filter(f"repo = {rows[-1]['repo']}")
+    assert n2 > 0
+
+
+def test_multi_criteria_sort(built):
+    """Meilisearch sort: ["repo:asc", "n_chars:desc"] — priority order,
+    doc_id final tie-break; verified against a plain python sort of the
+    single-key candidates."""
+    out, _, rows = built
+    svc = SearchService(out, IndexSettings(
+        sortable_attributes=("repo", "n_chars")))
+    res = svc.search("merge sort", 10, sort=[("repo", False),
+                                             ("n_chars", True)])
+    # reference: same candidate set as the single-key sort path
+    single = svc.search("merge sort", len(rows), sort=("n_chars", True))
+    by_id = {int(r["doc_id"]): r for r in rows}
+    cand = [h["doc_id"] for h in single["hits"]]
+    want = sorted(cand, key=lambda d: (by_id[d]["repo"],
+                                       -by_id[d]["n_chars"], d))[:10]
+    assert [h["doc_id"] for h in res["hits"]] == want
+    for h in res["hits"]:
+        assert h["repo"] == by_id[h["doc_id"]]["repo"]
+        assert h["n_chars"] == by_id[h["doc_id"]]["n_chars"]
+    # single-element list form routes through the single-key path
+    one = svc.search("merge sort", 10, sort=[("n_chars", True)])
+    assert one["hits"] == svc.search("merge sort", 10,
+                                     sort=("n_chars", True))["hits"]
+    with pytest.raises(ValueError, match="not sortable"):
+        svc.search("merge sort", 5, sort=[("repo", False),
+                                          ("missing", True)])
+
+
+def test_sort_facet_values_by_count(built):
+    """sortFacetValuesBy='count': same counts as the default response,
+    re-ordered count desc (value asc tie-break); default stays alpha."""
+    out, _, _ = built
+    alpha = SearchService(out, SETTINGS).search(
+        "merge sort", 5, facets=["repo"])["facetDistribution"]["repo"]
+    assert list(alpha) == sorted(alpha)
+    by_count = SearchService(out, IndexSettings(
+        filterable_attributes=("repo",), sort_facet_values_by="count",
+    )).search("merge sort", 5, facets=["repo"])["facetDistribution"]["repo"]
+    assert by_count == alpha  # same mapping
+    assert list(by_count) == [v for v, _ in
+                              sorted(alpha.items(),
+                                     key=lambda kv: (-kv[1], kv[0]))]
