@@ -372,15 +372,20 @@ class ChineseSegmenter:
             for i in range(1, len(w)):
                 pfx.add(w[:i])
         self._prefixes = pfx
+        # log-probabilities precomputed once: the route DP probes one per
+        # DAG edge, and math.log per probe was ~30% of the cut
+        self._logp = {w: math.log(f) - self.logtotal
+                      for w, f in freqs.items()}
+        self._logp_miss = -self.logtotal  # log(1) - log(total)
 
     def _cut_dag_no_hmm(self, sentence: str) -> list[str]:
-        import math
-
         n = len(sentence)
         if n == 0:
             return []
         freqs = self.freqs
         prefixes = self._prefixes
+        logp = self._logp
+        miss = self._logp_miss
         kmax = self.max_len
         dag: list[list[int]] = []
         for k in range(n):
@@ -395,21 +400,21 @@ class ChineseSegmenter:
             if not ends:
                 ends.append(k + 1)
             dag.append(ends)
-        route: list[tuple[float, int]] = [(0.0, 0)] * (n + 1)
+        # route DP, jieba tie-break preserved: equal value -> larger j wins
+        val = [0.0] * (n + 1)
+        nxt = [0] * (n + 1)
         for k in range(n - 1, -1, -1):
-            route[k] = max(
-                (
-                    math.log(self.freqs.get(sentence[k:j]) or 1)
-                    - self.logtotal
-                    + route[j][0],
-                    j,
-                )
-                for j in dag[k]
-            )
+            bv, bj = None, k + 1
+            for j in dag[k]:
+                v = logp.get(sentence[k:j], miss) + val[j]
+                if bv is None or v > bv or (v == bv and j > bj):
+                    bv, bj = v, j
+            val[k] = bv
+            nxt[k] = bj
         out = []
         k = 0
         while k < n:
-            j = route[k][1]
+            j = nxt[k]
             out.append(sentence[k:j])
             k = j
         return out
@@ -492,6 +497,15 @@ class LatticeSegmenter:
         self.conn = conn
         self.default_conn = default_conn
         self.max_len = max((len(w) for w in lexicon), default=1)
+        # same prefix-dict trick as ChineseSegmenter (jieba.gen_pfdict):
+        # the lattice scan extends a candidate word only while it is still
+        # a live prefix of some lexicon entry, instead of probing max_len
+        # slices at every position
+        pfx: set[str] = set()
+        for w in lexicon:
+            for i in range(1, len(w)):
+                pfx.add(w[:i])
+        self._prefixes = pfx
 
     def _conn(self, a: str, b: str) -> int:
         return self.conn.get((a, b), self.default_conn)
@@ -522,10 +536,14 @@ class LatticeSegmenter:
             if not dp[i]:
                 continue
             nodes = []
+            lex = self.lexicon
+            prefixes = self._prefixes
             for l in range(1, min(self.max_len, n - i) + 1):
                 w = s[i: i + l]
-                for pos, cost in self.lexicon.get(w, ()):
+                for pos, cost in lex.get(w, ()):
                     nodes.append((i + l, pos, cost, w))
+                if w not in prefixes:
+                    break  # no lexicon entry starts with w: stop extending
             ue, upos, ucost = self._unknown_node(s, i)
             nodes.append((ue, upos, ucost, s[i:ue]))
             for prev_tag, (pcost, *_rest) in dp[i].items():
