@@ -148,7 +148,7 @@ def main() -> int:
         "deleted_engine_topk", "compacted_engine_topk",
         "facet_counts", "facet_engine_counts",
         "sorted_search_topk", "sorted_engine_topk",
-        "sorted_desc_string_topk",
+        "sorted_desc_string_topk", "sorted_multi_topk",
         "geo_radius_search_topk", "geo_radius_engine_topk",
         "geo_sort_engine_topk",
         "distinct_search_topk", "distinct_engine_topk",
