@@ -1953,6 +1953,75 @@ def _ranking_pipeline_topk(spark, sf_dir):
     )
 
 
+def _ranking_details_topk(spark, sf_dir):
+    """Meilisearch v1.3 showRankingScoreDetails, flattened: per-rule
+    normalized scores (words / proximity / exactness buckets -> [0, 1])
+    for the default pipeline's top-k, in pipeline order."""
+    from sparkft.search import IndexReader, ranking_score_details_topk
+
+    reader = IndexReader(spark, _engine_index(spark, sf_dir))
+    hits = ranking_score_details_topk(reader, " ".join(PHRASE), 10)
+    return spark.createDataFrame(
+        [(int(d), float(w), float(p), float(e), float(s))
+         for d, w, p, e, s in hits],
+        "doc_id long, words_score double, proximity_score double, "
+        "exactness_score double, score double",
+    )
+
+
+def _ranking_details_sql(sf: str) -> str:
+    terms = ", ".join(f"('{t}')" for t in PHRASE)
+    # same CTEs as _pipeline_sql; the SELECT maps the rule buckets to the
+    # normalized scores: words = nw/2, proximity = (8 - min(p, 8))/8 with
+    # missing-term docs -> 0, exactness = exact flag as double
+    return f"""
+WITH postings AS ({_SQL_POSTINGS}),
+doclen AS ({_SQL_DOCLEN}),
+stats AS (SELECT count(*) AS n, sum(dl) AS tt FROM doclen),
+q(token) AS (VALUES {terms}),
+term_df AS (SELECT token, count(*) AS df FROM postings
+            WHERE token IN (SELECT token FROM q) GROUP BY token),
+scored AS (
+  SELECT p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * ({K1} + 1.0)
+                 / (p.tf + {K1} * (1.0 - {B} + {B} * l.dl / (s.tt * 1.0 / s.n)))) ) AS sc,
+         count(DISTINCT p.token)::BIGINT AS nw
+  FROM postings p
+  JOIN term_df d USING (token)
+  JOIN doclen l ON p.doc_id = l.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id),
+w AS (
+  SELECT doc_id, i AS pos, arr[i] AS token
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS arr
+        FROM documents), unnest(range(1, len(arr) + 1)) AS t(i)),
+pa AS (SELECT doc_id, pos FROM w WHERE token = '{PHRASE[0]}'),
+pb AS (SELECT doc_id, pos FROM w WHERE token = '{PHRASE[1]}'),
+prox AS (
+  SELECT pa.doc_id,
+         min(LEAST(CASE WHEN pb.pos > pa.pos THEN pb.pos - pa.pos
+                        ELSE pa.pos - pb.pos + 1 END, 8))::BIGINT AS p
+  FROM pa JOIN pb USING (doc_id) GROUP BY pa.doc_id),
+exact AS (
+  SELECT DISTINCT a.doc_id FROM w a JOIN w b
+  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.token = '{PHRASE[0]}' AND b.token = '{PHRASE[1]}')
+SELECT s.doc_id,
+       round(s.nw / 2.0, 4) AS words_score,
+       (CASE WHEN p.p IS NULL THEN 0.0
+             ELSE round((8 - LEAST(p.p, 8)) / 8.0, 4) END)::DOUBLE
+           AS proximity_score,
+       (CASE WHEN e.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END)::DOUBLE
+           AS exactness_score,
+       round(s.sc, 4) AS score
+FROM scored s LEFT JOIN prox p USING (doc_id) LEFT JOIN exact e USING (doc_id)
+ORDER BY s.nw DESC, coalesce(p.p, {2**31}) ASC, exactness_score DESC,
+         round(s.sc, 4) DESC, s.doc_id
+LIMIT 10
+"""
+
+
 def _pipeline_sql(sf: str) -> str:
     terms = ", ".join(f"('{t}')" for t in PHRASE)
     return f"""
@@ -2890,6 +2959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_search_topk": _synonym_search_topk,
         "synonym_engine_topk": _synonym_engine_topk,
         "ranking_pipeline_topk": _ranking_pipeline_topk,
+        "ranking_details_topk": _ranking_details_topk,
         "sorted_desc_string_topk": _sorted_desc_string_topk,
         "sorted_multi_topk": _sorted_multi_topk,
         "geo_radius_search_topk": _geo_radius_search_topk,
@@ -3025,4 +3095,5 @@ def oracle_sql() -> dict[str, str]:
         "synonym_search_topk": _synonym_sql(""),
         "synonym_engine_topk": _synonym_sql(""),
         "ranking_pipeline_topk": _pipeline_sql(""),
+        "ranking_details_topk": _ranking_details_sql(""),
     }

@@ -1344,6 +1344,58 @@ def ranking_pipeline_topk(reader: IndexReader, query: str, k: int = 10,
     ]
 
 
+def ranking_score_details_topk(reader: IndexReader, query: str, k: int = 10,
+                               cfg: TokenizerConfig = DEFAULT_CONFIG
+                               ) -> list[tuple[int, float, float, float,
+                                               float]]:
+    """Meilisearch v1.3 `showRankingScoreDetails`, flattened: the default
+    pipeline's per-rule NORMALIZED scores for each hit. Returns
+    [(doc_id, words_score, proximity_score, exactness_score, score)] in
+    ranking_pipeline_topk order (words > proximity > exactness > BM25 > id).
+
+    Rule -> [0, 1] score maps (Meilisearch's bucket normalizations;
+    meilisearch docs "ranking score details", milli ScoreDetails):
+    - words_score   = matchingWords / maxMatchingWords (distinct query
+      words matched over distinct query words).
+    - proximity_score = (MAX - cost) / MAX with MAX = MAX_DISTANCE x
+      (consecutive distinct pair count); an adjacent two-word match costs
+      1 -> 0.875, Meilisearch's own example value. Docs missing a term
+      (no full proximity cost) score 0.0.
+    - exactness_score = 1.0 when the doc contains the exact adjacent
+      query sequence (matchType `exactMatch`), else 0.0. DIVERGENCE:
+      Meilisearch also grades `matchesStart`; this index does not store
+      attribute-start flags, so the middle bucket is not distinguished.
+    - score = the BM25 sum (rounded 4dp), this engine's relevance tail —
+      Meilisearch's global rankingScore is served separately
+      (ranking_score_topk / SearchService show_ranking_score).
+
+    Cost: identical to ranking_pipeline_topk (one TAAT accumulation + one
+    positional read) plus O(k) arithmetic."""
+    hits = ranking_pipeline_topk(reader, query, k, cfg)
+    if not hits:
+        return []
+    from .tokenizer import tokenize_batch
+
+    _, lemmas = tokenize_batch([query], cfg, words_only=True)
+    seq = [t for t in lemmas if t]
+    n_query_words = max(len(dict.fromkeys(seq)), 1)
+    # consecutive distinct pairs, the same collapse proximity_topk makes
+    seqd = [t for i, t in enumerate(seq) if i == 0 or t != seq[i - 1]]
+    npairs = len(seqd) - 1
+    max_cost = MAX_DISTANCE * npairs
+    out = []
+    for d, nw, pxc, ex, sc in hits:
+        words_score = round(nw / n_query_words, 4)
+        if npairs <= 0:
+            prox_score = 1.0
+        elif pxc >= max_cost:   # includes the missing-term sentinel
+            prox_score = 0.0
+        else:
+            prox_score = round((max_cost - pxc) / max_cost, 4)
+        out.append((d, words_score, prox_score, float(ex), round(sc, 4)))
+    return out
+
+
 def _block_select(li: "LazyPostingList", targets: np.ndarray,
                   full_cache: dict, reader=None) -> tuple:
     """(found_mask, tfs, lens) for sorted-int64 `targets` against one

@@ -318,6 +318,115 @@ class SearchService:
                 out.append(t)
         return out
 
+    def _score_details(self, hits: list, query: str) -> None:
+        """Meilisearch v1.3 `showRankingScoreDetails`: annotate each hit
+        dict with a `_rankingScoreDetails` object decomposing the ranking
+        into per-rule normalized scores (rule buckets -> [0, 1], the shape
+        Meilisearch serves):
+
+        - words: matchingWords / maxMatchingWords, a word counting as
+          matched through ANY of its typo/synonym variants.
+        - typo: typoCount = query words this doc matched ONLY via a
+          SymSpell typo variant (base word and synonyms count as 0 typos);
+          maxTypoCount = the summed per-word typo allowance under the
+          minWordSizeForTypos rule; score = (max - count + 1) / (max + 1).
+        - proximity: (MAX - cost) / MAX over the BASE lemma sequence
+          (MAX = 8 x consecutive pairs); docs not containing every base
+          word score 0.0. DIVERGENCE: Meilisearch grades the matched
+          variants' positions; this grades the exact words only.
+        - exactness: matchType exactMatch (the adjacent base sequence
+          occurs) -> 1.0, else noExactMatch -> 0.0. Meilisearch's middle
+          `matchesStart` bucket needs attribute-start flags this index
+          does not store.
+        The attribute rule is omitted: a single-attribute index has
+        nothing to grade (the multi-attribute surface is
+        multiindex.attribute_ranked_topk).
+
+        Cost: page-level — posting membership probes for O(k) docs over
+        the already-cached query postings + one positional read."""
+        if not hits:
+            return
+        from .search import (MAX_DISTANCE, _query_positions,
+                             phrase_match_counts, proximity_topk, u64_to_i64)
+        from .tokenizer import tokenize_batch
+
+        s = self.settings
+        _, lemmas = tokenize_batch([query], self.cfg, words_only=True)
+        words = list(dict.fromkeys(t for t in lemmas if t))
+        if not words:
+            return
+        sym = self.reader.symspell() if s.typo_tolerance else None
+        disabled = frozenset(s.typo_disable_on_words)
+        per_word = []  # (base_docs, zero_typo_docs, any_variant_docs, allowance)
+        for w in words:
+            typos = set()
+            if sym is not None and w not in disabled:
+                typos = set(sym.expand(w, s.typo_min_word_size_one,
+                                       s.typo_min_word_size_two)) - {w}
+            syns = {t for syn in s.synonyms.get(w, ())
+                    for t in self.reader.query_terms(syn, self.cfg)} - {w}
+            variants = sorted({w} | typos | syns)
+            postings = self.reader.load_postings(variants)
+            docs = {v: set(u64_to_i64(p[0]).tolist())
+                    for v, p in postings.items()}
+            base = docs.get(w, set())
+            zero = base | {d for v in syns for d in docs.get(v, ())}
+            anyv = zero | {d for v in typos for d in docs.get(v, ())}
+            if sym is None or w in disabled:
+                allowance = 0
+            elif len(w) < s.typo_min_word_size_one:
+                allowance = 0
+            elif len(w) < s.typo_min_word_size_two:
+                allowance = 1
+            else:
+                allowance = 2
+            per_word.append((base, zero, anyv, allowance))
+        max_typo = sum(a for _, _, _, a in per_word)
+        base_q = " ".join(words)
+        pos = _query_positions(self.reader, base_q, self.cfg)
+        prox = dict(proximity_topk(self.reader, base_q, k=self.reader.N,
+                                   cfg=self.cfg, pos=pos))
+        exact = set(phrase_match_counts(self.reader, base_q, self.cfg,
+                                        pos=pos))
+        seqd = [t for i, t in enumerate(words)
+                if i == 0 or t != words[i - 1]]
+        npairs = len(seqd) - 1
+        max_cost = MAX_DISTANCE * npairs
+        for h in hits:
+            d = h["doc_id"]
+            matching = sum(1 for _, _, anyv, _ in per_word if d in anyv)
+            typo_count = sum(1 for _, zero, anyv, _ in per_word
+                             if d in anyv and d not in zero)
+            if npairs <= 0:
+                prox_score = 1.0
+            else:
+                c = prox.get(d, max_cost)
+                prox_score = round((max_cost - min(c, max_cost))
+                                   / max_cost, 4)
+            is_exact = d in exact
+            h["_rankingScoreDetails"] = {
+                "words": {
+                    "order": 0,
+                    "matchingWords": matching,
+                    "maxMatchingWords": len(words),
+                    "score": round(matching / len(words), 4),
+                },
+                "typo": {
+                    "order": 1,
+                    "typoCount": typo_count,
+                    "maxTypoCount": max_typo,
+                    "score": round((max_typo - typo_count + 1)
+                                   / (max_typo + 1), 4),
+                },
+                "proximity": {"order": 2, "score": prox_score},
+                "exactness": {
+                    "order": 3,
+                    "matchType": ("exactMatch" if is_exact
+                                  else "noExactMatch"),
+                    "score": 1.0 if is_exact else 0.0,
+                },
+            }
+
     def _retrieve_attributes(self, hits: list, cols) -> None:
         """attributesToRetrieve: annotate each hit dict with the requested
         stored attribute values (['*'] = every stored column). k bucket-
@@ -442,6 +551,7 @@ class SearchService:
                offset: int = 0,
                estimate_total: bool = False,
                show_ranking_score: bool = False,
+               show_ranking_score_details: bool = False,
                ranking_score_threshold: Optional[float] = None,
                show_matches_position: bool = False,
                crop_length: Optional[int] = None,
@@ -468,6 +578,20 @@ class SearchService:
         estimatedTotalHits — here EXACT, not an estimate: the strategy
         runs unbounded (O(query postings), same reads as the search) and
         the page is sliced from the full ranking."""
+        if show_ranking_score_details:
+            # per-rule decomposition is defined over the relevance ranking
+            # (the sort branches replace it); q-syntax operators would be
+            # re-tokenized into positive words by the detail passes
+            from .search import has_query_syntax
+
+            if sort is not None:
+                raise ValueError(
+                    "showRankingScoreDetails is served under the relevance "
+                    "ranking only (no sort)")
+            if has_query_syntax(query):
+                raise ValueError(
+                    "showRankingScoreDetails does not compose with quoted-"
+                    "phrase / negative query syntax")
         if filter is not None and filter[0] == "_geoRadius":
             # Meilisearch geosearch: filter=("_geoRadius", ((lat, lng),
             # radius_m)) behind "_geo" in filterableAttributes. Resolved
@@ -599,6 +723,8 @@ class SearchService:
                         self.reader, query, self.cfg, allowed,
                         terms=terms_used)
 
+        if show_ranking_score_details:
+            self._score_details(hits, query)
         if attributes_to_retrieve:
             self._retrieve_attributes(hits, attributes_to_retrieve)
         out: dict = {"hits": hits, "offset": offset}
