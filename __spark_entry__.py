@@ -2443,6 +2443,49 @@ def _distinct_engine_topk(spark, sf_dir):
     )
 
 
+def _stopword_search_topk(spark, sf_dir):
+    """Meilisearch `stopWords`: 'join' (the corpus's most frequent token)
+    configured as a stop word is dropped from the query before matching,
+    so 'join merge sort table' must serve exactly the plain BM25 ranking
+    of {merge, sort, table} — the same oracle as bm25_topk. Without the
+    setting, 'join' would dominate the disjunctive ranking."""
+    from sparkft.service import IndexSettings, SearchService
+
+    svc = SearchService(_engine_index(spark, sf_dir),
+                        IndexSettings(stop_words=("join",)))
+    res = svc.search("join " + " ".join(BM25_QUERY_TERMS), 10)
+    return spark.createDataFrame(
+        [(int(h["doc_id"]), round(h["score"], 4)) for h in res["hits"]],
+        "doc_id long, score double",
+    )
+
+
+def _placeholder_browse_topk(spark, sf_dir):
+    """Meilisearch PLACEHOLDER search (empty `q`): browse the live corpus
+    with a filter + attribute sort — no postings read (candidates come
+    from the attribute store's id runs). Oracle: plain relational
+    filter/order over the documents table."""
+    from sparkft.service import IndexSettings, SearchService
+
+    svc = SearchService(
+        _engine_index(spark, sf_dir),
+        IndexSettings(filterable_attributes=("lang",),
+                      sortable_attributes=("n_chars",)))
+    res = svc.search("", 10, filter=("lang", "en"),
+                     sort=("n_chars", True))
+    return spark.createDataFrame(
+        [(int(h["doc_id"]), int(h["n_chars"])) for h in res["hits"]],
+        "doc_id long, n_chars long",
+    )
+
+
+_PLACEHOLDER_BROWSE_SQL = """
+SELECT doc_id, n_chars FROM documents
+WHERE lang = 'en'
+ORDER BY n_chars DESC, doc_id LIMIT 10
+"""
+
+
 def _highlight_topk(spark, sf_dir):
     """Highlighting (_formatted): for the BM25 top-10, the number of
     matched-word spans located in the ORIGINAL text via the tokenizer's
@@ -2976,6 +3019,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_topk": _embedding_cosine_topk,
         "similar_documents_topk": _similar_documents_topk,
         "filter_browse": _filter_browse,
+        "stopword_search_topk": _stopword_search_topk,
+        "placeholder_browse_topk": _placeholder_browse_topk,
         # NOTE: the static order below is only the tie-break — _stale_first
         # reorders at call time so never-checked entries and the entries
         # whose last driver row is oldest always land inside the cap.
@@ -3047,6 +3092,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_cosine_topk": _EMB_COS_SQL,
         "similar_documents_topk": _SIMILAR_SQL,
         "filter_browse": _FILTER_BROWSE_SQL,
+        "stopword_search_topk": _bm25_topk_sql(""),
+        "placeholder_browse_topk": _PLACEHOLDER_BROWSE_SQL,
         "ivf_cosine_topk": _EMB_COS_SQL,
         "lang_id_votes": _lang_id_sql(""),
         "quality_scores": _quality_sql(""),

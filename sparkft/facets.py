@@ -380,17 +380,31 @@ def _mask_allowed(ids: np.ndarray, allowed) -> np.ndarray:
     return ids[arr[pos] == ids]
 
 
+def live_docs(reader, store: AttributeStore) -> np.ndarray:
+    """Every non-tombstoned doc id, sorted — the PLACEHOLDER (empty-query)
+    candidate set Meilisearch browses when `q` is empty or all its words
+    are stop words. Reads the attribute store's id runs only; no postings
+    touched. Pass as `candidates=` to facet_counts / facet_stats /
+    sort_topk / sort_multi_topk to run them query-less."""
+    ids = store.doc_ids
+    if reader.deleted:
+        ids = ids[~reader.deleted.mask(ids)]
+    return ids
+
+
 def facet_counts(reader, store: AttributeStore, query: str, col: str,
                  cfg: TokenizerConfig = DEFAULT_CONFIG,
                  terms: Optional[list] = None,
-                 allowed=None) -> dict:
+                 allowed=None,
+              candidates=None) -> dict:
     """Meilisearch `facetDistribution`: {facet value: n matching docs} over
     the docs matching >= 1 query term. Pass `terms` to count over an
     EXPANDED term set (typo/synonyms), as the service layer does; `allowed`
     restricts to a filtered candidate set (vectorized isin mask)."""
     ids = _mask_allowed(
-        matching_docs(reader, terms if terms is not None
-                      else reader.query_terms(query, cfg)),
+        candidates if candidates is not None
+        else matching_docs(reader, terms if terms is not None
+                           else reader.query_terms(query, cfg)),
         allowed,
     )
     if len(ids) == 0:
@@ -446,15 +460,17 @@ def facet_value_search(reader, store: AttributeStore, col: str,
 def facet_stats(reader, store: AttributeStore, query: str, col: str,
                 cfg: TokenizerConfig = DEFAULT_CONFIG,
                 terms: Optional[list] = None,
-                allowed=None) -> dict:
+                allowed=None,
+              candidates=None) -> dict:
     """Meilisearch `facetStats`: {"min": .., "max": ..} of a NUMERIC facet
     over the docs matching >= 1 query term (same candidate set
     facetDistribution counts, tombstones excluded; {} when nothing
     matches). One bucket-pruned attribute gather + a vectorized min/max —
     O(candidates) like facet_counts, never O(corpus)."""
     ids = _mask_allowed(
-        matching_docs(reader, terms if terms is not None
-                      else reader.query_terms(query, cfg)),
+        candidates if candidates is not None
+        else matching_docs(reader, terms if terms is not None
+                           else reader.query_terms(query, cfg)),
         allowed,
     )
     if len(ids) == 0:
@@ -472,7 +488,8 @@ def sort_topk(reader, store: AttributeStore, query: str, col: str,
               k: int = 10, descending: bool = True,
               cfg: TokenizerConfig = DEFAULT_CONFIG,
               terms: Optional[list] = None,
-              allowed=None) -> list[tuple[int, object]]:
+              allowed=None,
+              candidates=None) -> list[tuple[int, object]]:
     """The `sort` ranking rule: docs matching >= 1 query term, ordered by
     the attribute (DESC by default), doc_id ASC tie-break. Returns
     [(doc_id, attr_value)]. One lexsort over the candidate set — never over
@@ -480,8 +497,9 @@ def sort_topk(reader, store: AttributeStore, query: str, col: str,
     restricts candidates BEFORE the sort (vectorized isin mask), so k stays
     the caller's k."""
     ids = _mask_allowed(
-        matching_docs(reader, terms if terms is not None
-                      else reader.query_terms(query, cfg)),
+        candidates if candidates is not None
+        else matching_docs(reader, terms if terms is not None
+                           else reader.query_terms(query, cfg)),
         allowed,
     )
     if len(ids) == 0:
@@ -546,7 +564,8 @@ def sort_multi_topk(reader, store: AttributeStore, query: str,
                     criteria: list, k: int = 10,
                     cfg: TokenizerConfig = DEFAULT_CONFIG,
                     terms: Optional[list] = None,
-                    allowed=None) -> list[tuple]:
+                    allowed=None,
+              candidates=None) -> list[tuple]:
     """Meilisearch's `sort` with MULTIPLE criteria (`sort:
     ["price:asc", "name:desc"]`): docs matching >= 1 query term ordered by
     the criteria in priority order, doc_id ASC final tie-break.
@@ -561,8 +580,9 @@ def sort_multi_topk(reader, store: AttributeStore, query: str,
     if not criteria:
         raise ValueError("sort_multi_topk needs at least one criterion")
     ids = _mask_allowed(
-        matching_docs(reader, terms if terms is not None
-                      else reader.query_terms(query, cfg)),
+        candidates if candidates is not None
+        else matching_docs(reader, terms if terms is not None
+                           else reader.query_terms(query, cfg)),
         allowed,
     )
     if len(ids) == 0:

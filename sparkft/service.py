@@ -50,6 +50,14 @@ class IndexSettings:
     unions."""
 
     synonyms: dict = field(default_factory=dict)
+    # Meilisearch stopWords: words removed from the QUERY before matching
+    # (they count for nothing in the words ranking). A query consisting
+    # only of stop words behaves like the empty query — a placeholder
+    # browse, like Meilisearch. DIVERGENCE: Meilisearch also strips stop
+    # words from the index; this engine keeps them indexed (the index-side
+    # knob is TokenizerConfig.stop_words), so quoted phrases containing
+    # stop words still match exactly.
+    stop_words: tuple = ()
     typo_tolerance: bool = False
     # Meilisearch typoTolerance sub-settings (defaults = Meilisearch's):
     # minWordSizeForTypos.oneTypo / .twoTypos, disableOnWords
@@ -168,6 +176,16 @@ class SearchService:
         ids = self.attrs.doc_ids[np.asarray(vals) == value]
         return CachedDocSet(ids)
 
+    def _stop_set(self) -> frozenset:
+        """settings.stop_words, each normalized through the index's own
+        tokenizer (so 'The' stops 'the'); cached per service instance."""
+        got = getattr(self, "_stop_cache", None)
+        if got is None:
+            got = self._stop_cache = frozenset(
+                t for w in self.settings.stop_words
+                for t in self.reader.query_terms(w, self.cfg))
+        return got
+
     def _word_groups(self, query: str) -> list[list[str]]:
         """The ONE term-expansion point: each query word (QUERY order, first
         occurrence wins) becomes its variant group — the word itself, its
@@ -180,6 +198,9 @@ class SearchService:
         s = self.settings
         _, lemmas = tokenize_batch([query], self.cfg, words_only=True)
         words = list(dict.fromkeys(t for t in lemmas if t))
+        if s.stop_words:
+            stop = self._stop_set()
+            words = [w for w in words if w not in stop]
         sym = self.reader.symspell() if s.typo_tolerance else None
         groups = []
         disabled = frozenset(s.typo_disable_on_words)
@@ -427,6 +448,98 @@ class SearchService:
                 },
             }
 
+    def _placeholder_search(self, k: int, filter=None, sort=None,
+                            facets=None, offset: int = 0,
+                            estimate_total: bool = False,
+                            show_ranking_score: bool = False,
+                            attributes_to_retrieve=None) -> dict:
+        """Meilisearch PLACEHOLDER search (empty `q`, or every query word a
+        stop word): browse the live corpus in doc_id order — filter, sort,
+        facets, distinctAttribute, and pagination all apply; every hit's
+        _rankingScore is 1.0 (Meilisearch's placeholder score). Candidates
+        come from the attribute store's id runs (facets.live_docs), so no
+        postings are read. _geoRadius filters are not served query-less
+        (the geo candidate path is term-seeded); use the geo module
+        directly."""
+        from .facets import (facet_stats, live_docs, sort_multi_topk,
+                             sort_topk)
+
+        if filter is not None and filter[0] == "_geoRadius":
+            raise ValueError(
+                "placeholder (empty-query) search does not serve "
+                "_geoRadius filters")
+        allowed = self._allowed(filter)
+        cand = live_docs(self.reader, self.attrs)
+        fetch = (self.reader.N
+                 if estimate_total or self.settings.distinct_attribute
+                 else offset + k)
+        if sort is not None:
+            crit = sort if isinstance(sort, list) else [sort]
+            for c, _d in crit:
+                if isinstance(c, tuple):
+                    raise ValueError(
+                        "placeholder search does not serve _geoPoint sort")
+                if c not in self.settings.sortable_attributes:
+                    raise ValueError(f"attribute {c!r} is not sortable")
+            if len(crit) > 1:
+                rows = sort_multi_topk(
+                    self.reader, self.attrs, "", crit, k=fetch,
+                    cfg=self.cfg, allowed=allowed, candidates=cand)
+                rows = self._distinct_pairs(rows)
+                total = len(rows)
+                hits = [dict(doc_id=r[0],
+                             **{c: v for (c, _), v in zip(crit, r[1:])})
+                        for r in rows[offset:offset + k]]
+            else:
+                col, desc = crit[0]
+                pairs = self._distinct_pairs(sort_topk(
+                    self.reader, self.attrs, "", col, k=fetch,
+                    descending=desc, cfg=self.cfg, allowed=allowed,
+                    candidates=cand))
+                total = len(pairs)
+                hits = [{"doc_id": d, col: v}
+                        for d, v in pairs[offset:offset + k]]
+        else:
+            from .facets import _mask_allowed
+
+            ids = _mask_allowed(cand, allowed)
+            seq = self._distinct_pairs([(int(d),) for d in
+                                        ids[:fetch].tolist()])
+            total = len(seq) if fetch >= len(ids) else int(len(ids))
+            hits = [{"doc_id": d} for (d,) in seq[offset:offset + k]]
+        if show_ranking_score:
+            for h in hits:
+                h["_rankingScore"] = 1.0
+        if attributes_to_retrieve:
+            self._retrieve_attributes(hits, attributes_to_retrieve)
+        out: dict = {"hits": hits, "offset": offset}
+        if estimate_total:
+            out["estimatedTotalHits"] = total
+        if facets:
+            fd: dict = {}
+            fs: dict = {}
+            for col in facets:
+                if col not in self.settings.filterable_attributes:
+                    raise ValueError(f"attribute {col!r} is not filterable")
+                fd[col] = facet_counts(self.reader, self.attrs, "", col,
+                                       cfg=self.cfg, allowed=allowed,
+                                       candidates=cand)
+                if self.settings.sort_facet_values_by == "count":
+                    fd[col] = dict(sorted(fd[col].items(),
+                                          key=lambda kv: (-kv[1], kv[0])))
+                try:
+                    st = facet_stats(self.reader, self.attrs, "", col,
+                                     cfg=self.cfg, allowed=allowed,
+                                     candidates=cand)
+                except TypeError:
+                    st = None
+                if st:
+                    fs[col] = st
+            out["facetDistribution"] = fd
+            if fs:
+                out["facetStats"] = fs
+        return out
+
     def _retrieve_attributes(self, hits: list, cols) -> None:
         """attributesToRetrieve: annotate each hit dict with the requested
         stored attribute values (['*'] = every stored column). k bucket-
@@ -592,6 +705,17 @@ class SearchService:
                 raise ValueError(
                     "showRankingScoreDetails does not compose with quoted-"
                     "phrase / negative query syntax")
+        from .search import has_query_syntax as _has_qs
+
+        if not _has_qs(query) and not self._word_groups(query):
+            # Meilisearch placeholder search: an empty `q` — or one whose
+            # words are ALL stop words — browses the live corpus instead
+            # of matching terms (filter/sort/facets/pagination still apply)
+            return self._placeholder_search(
+                k, filter=filter, sort=sort, facets=facets, offset=offset,
+                estimate_total=estimate_total,
+                show_ranking_score=show_ranking_score,
+                attributes_to_retrieve=attributes_to_retrieve)
         if filter is not None and filter[0] == "_geoRadius":
             # Meilisearch geosearch: filter=("_geoRadius", ((lat, lng),
             # radius_m)) behind "_geo" in filterableAttributes. Resolved
