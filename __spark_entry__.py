@@ -2443,6 +2443,102 @@ def _distinct_engine_topk(spark, sf_dir):
     )
 
 
+_UPSERT_NEW = [
+    (-101, "merge sort upserted batch table"),
+    (-102, "sort table fresh upserted run"),
+    (-103, "merge table upserted document scan"),
+]
+
+
+def _upsert_index(spark, sf_dir) -> str:
+    """Base index over documents, then `upsert_docs`: the 5 LOWEST doc_ids
+    get ' zzzupserted marker' appended to their text (replace), plus 3
+    brand-new negative-id docs (add), then compaction. The cached store is
+    the POST-upsert state (stats.compacted marks completion; re-running
+    the upsert on a partially-built cache is idempotent — the replacement
+    tombstones and last-write-wins shard ordering converge on the same
+    corpus)."""
+    import os
+
+    from sparkft.index_build import build_index, upsert_docs
+
+    import json
+
+    idx_dir = _entry_cache_dir(sf_dir, "ups")
+    stats_p = f"{idx_dir}/stats.json"
+    done = False
+    if os.path.exists(stats_p):
+        with open(stats_p) as f:
+            done = json.load(f).get("compacted", False)
+    if not done:
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        if not os.path.exists(stats_p):
+            build_index(spark, docs, idx_dir, text_col="text",
+                        doc_id_col="doc_id", num_shards=2, num_buckets=8,
+                        verify_sha=False, resume=True)
+        low = [int(r[0]) for r in docs.orderBy("doc_id").limit(5).collect()]
+        changed = (docs.filter(F.col("doc_id").isin(low))
+                   .withColumn("text", F.concat(
+                       F.col("text"), F.lit(" zzzupserted marker"))))
+        new = spark.createDataFrame(_UPSERT_NEW, "doc_id long, text string")
+        upsert_docs(spark, changed.unionByName(new), idx_dir,
+                    text_col="text", id_col="doc_id", num_buckets=8)
+    return idx_dir
+
+
+def _upsert_engine_topk(spark, sf_dir):
+    """Document replacement (Meilisearch addDocuments/addOrReplace) end to
+    end: generation-scoped tombstones + an upsert shard + compaction, then
+    BM25 over a query that touches both old and upserted vocabulary. The
+    oracle scores the MODIFIED corpus from scratch — old versions must
+    contribute nothing (stats included: N/avgdl/df are post-replacement)."""
+    from sparkft.search import IndexReader, wand_topk
+
+    reader = IndexReader(spark, _upsert_index(spark, sf_dir))
+    hits = wand_topk(reader,
+                     " ".join(BM25_QUERY_TERMS) + " zzzupserted", 10)
+    return spark.createDataFrame(
+        [(int(d), round(s, 4)) for d, s in hits], "doc_id long, score double"
+    )
+
+
+def _upsert_sql(sf: str) -> str:
+    terms = ", ".join(f"('{t}')" for t in BM25_QUERY_TERMS + ["zzzupserted"])
+    news = ", ".join(f"({i}, '{t}')" for i, t in _UPSERT_NEW)
+    return f"""
+WITH docs_v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id IN (SELECT doc_id FROM documents
+                              ORDER BY doc_id LIMIT 5)
+              THEN text || ' zzzupserted marker' ELSE text END AS text
+  FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES {news}) AS t(doc_id, text)),
+toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                           x -> x <> '')) AS token
+         FROM docs_v2),
+postings AS (SELECT doc_id, token, count(*) AS tf FROM toks
+             GROUP BY doc_id, token),
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, sum(dl) AS tt FROM doclen),
+q(token) AS (VALUES {terms}),
+term_df AS (SELECT token, count(*) AS df FROM postings
+            WHERE token IN (SELECT token FROM q) GROUP BY token),
+scored AS (
+  SELECT p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * ({K1} + 1.0)
+                 / (p.tf + {K1} * (1.0 - {B} + {B} * l.dl / (s.tt * 1.0 / s.n)))) ) AS sc
+  FROM postings p
+  JOIN term_df d USING (token)
+  JOIN doclen l ON p.doc_id = l.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id)
+SELECT doc_id, round(sc, 4) AS score FROM scored
+ORDER BY round(sc, 4) DESC, doc_id LIMIT 10
+"""
+
+
 def _stopword_search_topk(spark, sf_dir):
     """Meilisearch `stopWords`: 'join' (the corpus's most frequent token)
     configured as a stop word is dropped from the query before matching,
@@ -3021,6 +3117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_browse": _filter_browse,
         "stopword_search_topk": _stopword_search_topk,
         "placeholder_browse_topk": _placeholder_browse_topk,
+        "upsert_engine_topk": _upsert_engine_topk,
         # NOTE: the static order below is only the tie-break — _stale_first
         # reorders at call time so never-checked entries and the entries
         # whose last driver row is oldest always land inside the cap.
@@ -3094,6 +3191,7 @@ def oracle_sql() -> dict[str, str]:
         "filter_browse": _FILTER_BROWSE_SQL,
         "stopword_search_topk": _bm25_topk_sql(""),
         "placeholder_browse_topk": _PLACEHOLDER_BROWSE_SQL,
+        "upsert_engine_topk": _upsert_sql(""),
         "ivf_cosine_topk": _EMB_COS_SQL,
         "lang_id_votes": _lang_id_sql(""),
         "quality_scores": _quality_sql(""),

@@ -159,6 +159,8 @@ def main() -> int:
         "federated_search_topk", "exactness_engine_topk",
         "synonym_search_topk", "synonym_engine_topk",
         "ranking_pipeline_topk",
+        "stopword_search_topk", "placeholder_browse_topk",
+        "ranking_details_topk", "upsert_engine_topk",
     ]
     for name in headline:
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())

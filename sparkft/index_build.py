@@ -670,7 +670,58 @@ def build_segments(spark, postings, out_dir: str, avgdl: float,
     )
 
 
-def delete_docs(index_dir: str, doc_ids) -> int:
+_LEGACY_TOMB_GEN = 2**62  # tombstones written before gens: apply to all
+
+
+def _tombstones_df(spark, tomb_dir: str, files=None):
+    """(doc_id, _tgen) with _tgen = the doc's HIGHEST tombstone generation
+    (a row of shard gen g is dead iff g <= _tgen). Pre-gen tombstone files
+    read with gen = _LEGACY_TOMB_GEN (apply to everything). `files`
+    restricts to specific tombstone filenames (None = whole dir); returns
+    None when the selection is empty."""
+    from pyspark.sql import functions as F
+
+    paths = ([f"{tomb_dir}/{f}" for f in files] if files is not None
+             else [tomb_dir])
+    if not paths:
+        return None
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    gen = (F.coalesce(F.col("gen"), F.lit(_LEGACY_TOMB_GEN))
+           if "gen" in df.columns else F.lit(_LEGACY_TOMB_GEN))
+    return (df.select("doc_id", gen.alias("gen"))
+            .groupBy("doc_id").agg(F.max("gen").alias("_tgen")))
+
+
+def _shard_gen_col(F):
+    """Column form of _shard_gen over the hive `shard` partition column."""
+    n = F.regexp_extract("shard", r"^(?:stream|upsert)-(\d+)$", 1)
+    return F.when(n != "", n.cast("long") + 1).otherwise(F.lit(0))
+
+
+def _shard_gen(shard: str) -> int:
+    """Shard -> generation: batch shards are gen 0; appended shards
+    (`stream-<n>` / `upsert-<n>`) are gen n+1. Generations order
+    last-write-wins for upserts and SCOPE tombstones: a tombstone written
+    at generation g kills posting rows of gen <= g only, so a later
+    re-add of the same doc_id survives compaction."""
+    import re
+
+    m = re.fullmatch(r"(?:stream|upsert)-(\d+)", shard)
+    return int(m.group(1)) + 1 if m else 0
+
+
+def _max_gen(index_dir: str) -> int:
+    """Highest shard generation currently in postings_raw (0 = batch-only
+    index or none). Directory listing only — no parquet reads."""
+    raw = f"{index_dir}/postings_raw"
+    if not os.path.isdir(raw):
+        return 0
+    gens = [_shard_gen(d.split("=", 1)[1]) for d in os.listdir(raw)
+            if d.startswith("shard=")]
+    return max(gens, default=0)
+
+
+def delete_docs(index_dir: str, doc_ids, gen: int = None) -> int:
     """Tombstone-based document deletion (Lucene-style merge-on-read).
 
     Appends the ids as an immutable parquet file under
@@ -678,8 +729,17 @@ def delete_docs(index_dir: str, doc_ids) -> int:
     serving path immediately, while segments, stats (N/avgdl/df) and
     positions stay untouched until `compact_index` folds the deletes out —
     the classic live-until-merge scoring approximation. The filename is a
-    content hash, so re-issuing the same delete is a no-op overwrite
-    (idempotent), and concurrent deletes never clobber each other.
+    content hash over (ids, gen), so re-issuing the same delete is a no-op
+    overwrite (idempotent), and concurrent deletes never clobber each
+    other.
+
+    `gen` (default: the index's current max shard generation) scopes the
+    delete: compaction removes only posting rows from shards of
+    generation <= gen, so `upsert_docs` can re-add a doc in a LATER shard
+    without the tombstone eating the new version. Readers don't need the
+    scope: they exclude the doc ids of every tombstone file stats.json has
+    not yet marked folded (an unfolded delete hides the doc; an unfolded
+    re-add is invisible until compaction anyway).
 
     At 100 TB the tombstone store is the same doc-id-sorted parquet, read as
     a bitmap by each serving worker; deletes stay O(|deleted|), never
@@ -692,14 +752,104 @@ def delete_docs(index_dir: str, doc_ids) -> int:
     ids = sorted({int(d) for d in doc_ids})
     if not ids:
         return 0
+    if gen is None:
+        gen = _max_gen(index_dir)
     tomb_dir = f"{index_dir}/tombstones"
     os.makedirs(tomb_dir, exist_ok=True)
-    h = hashlib.sha256(np.asarray(ids, dtype=np.int64).tobytes()).hexdigest()[:16]
+    h = hashlib.sha256(
+        np.asarray(ids + [gen], dtype=np.int64).tobytes()).hexdigest()[:16]
     pq.write_table(
-        pa.table({"doc_id": pa.array(ids, pa.int64())}),
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "gen": pa.array([gen] * len(ids), pa.int64())}),
         f"{tomb_dir}/del-{h}.parquet",
     )
     return len(ids)
+
+
+def upsert_docs(spark, df, index_dir: str,
+                text_col: str = "text", id_col: str = "doc_id",
+                cfg: TokenizerConfig = DEFAULT_CONFIG,
+                attr_cols: tuple = (), compact: bool = True,
+                **compact_kwargs) -> dict:
+    """Meilisearch addDocuments-with-replacement (addOrReplace): every
+    incoming doc REPLACES any existing doc with the same id; new ids are
+    plain adds. Batch analogue of `incremental_index`'s micro-batch sink.
+
+    Mechanics (all merge-on-read, no segment rewrite until compaction):
+    1. generation-scoped tombstones for the incoming ids (old versions
+       disappear from serving immediately; `delete_docs(gen=current)`),
+    2. one tokenized postings shard `shard=upsert-<gen>` (+ an attrs_raw
+       shard when attr_cols is given), gen = current max + 1 so the
+       tombstones do NOT cover it,
+    3. `compact_index` (default) folds the shard in and rebuilds stats —
+       after it, the index equals a fresh build over the updated corpus.
+
+    Tokenizer-contract guarded like streaming: appending a shard tokenized
+    under a different config than the index raises before any write.
+    Upserted shards carry no positions (same stream_postings path), so
+    upserting into a positional index invalidates its positions store at
+    compaction — the documented streaming behavior.
+
+    At scale each step is one distributed pass over the INCOMING batch
+    only (tokenize + shard write); compaction is the same re-runnable job
+    the streaming path already amortizes."""
+    import time as _time
+
+    from .config import tokenizer_fingerprint
+    from .streaming import stream_postings
+
+    batch_fp = tokenizer_fingerprint(cfg)
+    stats_fp = None
+    if os.path.exists(f"{index_dir}/stats.json"):
+        with open(f"{index_dir}/stats.json") as f:
+            stats_fp = json.load(f).get("tokenizer_fingerprint")
+    existing_fp = _check_shard_fingerprints(index_dir, stats_fp)
+    if existing_fp is not None and existing_fp != batch_fp:
+        raise ValueError(
+            f"tokenizer contract violated: index at {index_dir} carries "
+            f"tokenizer fingerprint {existing_fp[:12]}… but this upsert's "
+            f"config fingerprints as {batch_fp[:12]}…. Upsert with the "
+            "index's original config, or rebuild the index."
+        )
+    t0 = _time.time()
+    from pyspark.sql import functions as F
+
+    ids = [int(r[0]) for r in
+           df.select(F.col(id_col).cast("long")).distinct().collect()]
+    cur = _max_gen(index_dir)
+    n_replaced = delete_docs(index_dir, ids, gen=cur)
+    shard = f"upsert-{cur}"          # _shard_gen -> cur + 1 > tombstones
+    postings = stream_postings(df, cfg, text_col, id_col)
+    path = f"{index_dir}/postings_raw/shard={shard}"
+    postings.write.mode("overwrite").parquet(path)
+    rows = spark.read.parquet(path).count()
+    if attr_cols:
+        (
+            df.select(F.col(id_col).cast("long").alias("doc_id"),
+                      *attr_cols)
+            .write.mode("overwrite")
+            .parquet(f"{index_dir}/attrs_raw/shard={shard}")
+        )
+    os.makedirs(f"{index_dir}/manifests", exist_ok=True)
+    manifest = {
+        "shard": shard,
+        "rows": rows,
+        "wall_s": round(_time.time() - t0, 3),
+        "source": "upsert",
+        "n_docs": len(ids),
+        "attr_cols": list(attr_cols),
+        "tokenizer_fingerprint": batch_fp,
+    }
+    mpath = f"{index_dir}/manifests/shard-{shard}.json"
+    with open(mpath + ".tmp", "w") as f:
+        json.dump(manifest, f)
+    os.replace(mpath + ".tmp", mpath)
+    out = {"shard": shard, "n_docs": len(ids), "tombstoned": n_replaced,
+           "posting_rows": rows}
+    if compact:
+        out["compaction"] = compact_index(spark, index_dir,
+                                          **compact_kwargs)
+    return out
 
 
 def _validate_attr_stores_for_compaction(out_dir: str) -> None:
@@ -774,8 +924,21 @@ def _compact_attribute_stores(spark, out_dir: str) -> None:
     tomb_dir = f"{out_dir}/tombstones"
     has_store = os.path.isfile(attrs_meta)
     has_raw = os.path.isdir(raw_dir)
-    has_tombs = os.path.isdir(tomb_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(tomb_dir))
+    # UNFOLDED tombstone files only: unlike postings_raw (which keeps its
+    # shard generations forever, so gen-scoped filtering is idempotent),
+    # folded attribute shards lose their generation when they merge into
+    # the base store — re-applying an already-folded tombstone would kill
+    # the very rows a later upsert re-added. The base store already
+    # reflects every folded file.
+    folded_prior: set = set()
+    stats_prior = f"{out_dir}/stats.json"
+    if os.path.isfile(stats_prior):
+        with open(stats_prior) as f:
+            folded_prior = set(json.load(f).get("folded_tombs", ()))
+    tomb_files = sorted(
+        f for f in (os.listdir(tomb_dir) if os.path.isdir(tomb_dir) else ())
+        if f.endswith(".parquet") and f not in folded_prior)
+    has_tombs = bool(tomb_files)
     if has_raw and not has_store:
         raise ValueError(
             f"{raw_dir} exists but {out_dir}/attrs does not: write the "
@@ -802,21 +965,33 @@ def _compact_attribute_stores(spark, out_dir: str) -> None:
 
         streamed = (
             spark.read.parquet(raw_dir)
-            .withColumn("_b", F.regexp_extract("shard", r"stream-(\d+)", 1)
-                        .cast("long"))
+            .withColumn("_b", F.regexp_extract(
+                "shard", r"^(?:stream|upsert)-(\d+)$", 1).cast("long"))
             .withColumn("_rn", F.row_number().over(
                 Window.partitionBy("doc_id").orderBy(F.desc("_b"))))
             .filter(F.col("_rn") == 1)
-            .select("doc_id", *cols)
+            .select("doc_id", *cols,
+                    (F.col("_b") + 1).alias("_gen"))
         )
         # last write wins on doc_id collisions: streamed rows replace base
         # rows (a re-ingested doc carries its newest attributes)
-        union = base.join(
+        union = base.withColumn("_gen", F.lit(0)).join(
             streamed.select("doc_id"), "doc_id", "left_anti"
         ).unionByName(streamed)
+    else:
+        union = union.withColumn("_gen", F.lit(0))
     if has_tombs:
-        tombs = spark.read.parquet(tomb_dir).select("doc_id").distinct()
-        union = union.join(F.broadcast(tombs), "doc_id", "left_anti")
+        # generation-scoped like the postings fold: a tombstone kills
+        # attribute rows of generations <= its own, so an upserted doc's
+        # NEW attributes (a later raw shard) survive its own replacement
+        # tombstone; base rows count as generation 0 (every unfolded
+        # tombstone's gen is >= the generations folded into the base)
+        tombs = _tombstones_df(spark, tomb_dir, files=tomb_files)
+        union = (union.join(F.broadcast(tombs), "doc_id", "left")
+                 .filter(F.col("_tgen").isNull()
+                         | (F.col("_gen") > F.col("_tgen")))
+                 .drop("_tgen"))
+    union = union.drop("_gen")
 
     scratch = f"{out_dir}/.attrs_compact"
     shutil.rmtree(scratch, ignore_errors=True)
@@ -914,11 +1089,18 @@ def compact_index(spark, out_dir: str, num_buckets: int = 32,
     # Fold tombstoned docs out of the rebuilt segments AND the recomputed
     # stats: after compaction the index is byte-equivalent to a fresh build
     # over the live corpus. The tombstone store is kept (postings_raw shards
-    # still contain the dead rows, so a later compaction must keep filtering;
-    # readers double-filter harmlessly). Broadcast: the delete set is tiny
-    # relative to postings — at scale Spark AQE would pick this anyway.
+    # still contain the dead rows, so a later compaction must keep
+    # filtering); the folded FILES are recorded in stats.json so readers
+    # stop applying them — an upsert's re-added version (a LATER shard
+    # generation than its tombstone) must serve after compaction.
+    # Generation scoping: a tombstone (doc, gen) removes the doc's rows
+    # from shards of generation <= gen only (_shard_gen: batch 0,
+    # stream/upsert-<n> = n+1); pre-gen tombstone files read as
+    # "apply to everything". Broadcast: the delete set is tiny relative to
+    # postings — at scale Spark AQE would pick this anyway.
     tomb_dir = f"{out_dir}/tombstones"
     n_removed = 0
+    folded_tombs: list = []
     # Legacy indexes (stats.json without n_zero_docs) keep the old
     # carry-forward N: base - removed. It is correct for tombstone-only
     # compaction but goes stale when streaming ADDS docs; new builds write
@@ -928,18 +1110,25 @@ def compact_index(spark, out_dir: str, num_buckets: int = 32,
     if os.path.isdir(tomb_dir) and any(
         f.endswith(".parquet") for f in os.listdir(tomb_dir)
     ):
-        tombs = spark.read.parquet(tomb_dir).select("doc_id").distinct()
+        folded_tombs = sorted(f for f in os.listdir(tomb_dir)
+                              if f.endswith(".parquet"))
+        tombs = _tombstones_df(spark, tomb_dir)
         if legacy_base is not None:
             # removed-doc count BEFORE filtering, so the legacy N can be
             # carried forward from the prior stats
             n_removed = (
                 all_postings.select("doc_id")
-                .join(F.broadcast(tombs), "doc_id", "left_semi")
+                .join(F.broadcast(tombs.select("doc_id")), "doc_id",
+                      "left_semi")
                 .agg(F.countDistinct("doc_id"))
                 .collect()[0][0]
             )
-        all_postings = all_postings.join(
-            F.broadcast(tombs), "doc_id", "left_anti"
+        all_postings = (
+            all_postings
+            .join(F.broadcast(tombs), "doc_id", "left")
+            .filter(F.col("_tgen").isNull()
+                    | (_shard_gen_col(F) > F.col("_tgen")))
+            .drop("_tgen")
         )
     postings = all_postings.select("token", "doc_id", "tf", "doc_len")
     stats = postings.agg(
@@ -1013,6 +1202,11 @@ def compact_index(spark, out_dir: str, num_buckets: int = 32,
         "has_positions": has_positions,
         "hot_tokens": hot,
         "compacted": True,
+        # tombstone FILES whose effect is baked into these segments:
+        # readers skip them (an upsert may have re-added the doc in a
+        # later generation); the files themselves stay for the next
+        # compaction's postings_raw filtering
+        "folded_tombs": folded_tombs,
     }
     if index_fp is not None:
         out["tokenizer_fingerprint"] = index_fp

@@ -132,12 +132,21 @@ class IndexReader:
             "SPARKFT_POSTING_CACHE_VALUES", str(16_000_000)))
         self.deleted = TombstoneSet()
         tomb = f"{index_dir}/tombstones"
-        if os.path.isdir(tomb) and any(
-            f.endswith(".parquet") for f in os.listdir(tomb)
-        ):
-            t = ds.dataset(tomb, format="parquet").to_table(columns=["doc_id"])
-            self.deleted = TombstoneSet(t["doc_id"].to_numpy(
-                zero_copy_only=False))
+        if os.path.isdir(tomb):
+            # UNFOLDED tombstone files only: compaction records the files
+            # whose deletes are already baked into the segments
+            # (stats.folded_tombs); re-applying one would hide a doc an
+            # upsert re-added in a later shard generation. Legacy stats
+            # (no folded_tombs) apply every file — the old double-filter,
+            # harmless without upserts.
+            folded = set(self.stats.get("folded_tombs", ()))
+            files = [f"{tomb}/{f}" for f in sorted(os.listdir(tomb))
+                     if f.endswith(".parquet") and f not in folded]
+            if files:
+                t = ds.dataset(files, format="parquet").to_table(
+                    columns=["doc_id"])
+                self.deleted = TombstoneSet(t["doc_id"].to_numpy(
+                    zero_copy_only=False))
 
     def verify_config(self, cfg: TokenizerConfig) -> None:
         """Index/query tokenizer symmetry guard: a query tokenized under a
