@@ -2067,6 +2067,78 @@ LIMIT 10
 """
 
 
+def _custom_rules_topk(spark, sf_dir):
+    """Meilisearch `rankingRules` SETTING (custom rule order): the pipeline
+    reordered to words > n_chars:asc (a CUSTOM attribute rule slotted
+    mid-pipeline, Meilisearch 'custom ranking rules') > proximity >
+    exactness > BM25 > doc_id. Shorter documents out-rank closer-term
+    documents inside each words bucket — an order the fixed default
+    pipeline cannot produce."""
+    from sparkft.facets import AttributeStore
+    from sparkft.search import IndexReader, custom_rules_topk
+
+    idx = _engine_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    hits = custom_rules_topk(
+        reader, " ".join(PHRASE),
+        rules=("words", "n_chars:asc", "proximity", "exactness"),
+        k=10, store=AttributeStore(idx))
+    return spark.createDataFrame(
+        [(int(d), int(nw), int(nc), int(p), int(e), round(s, 4))
+         for d, nw, nc, p, e, s in hits],
+        "doc_id long, n_words long, n_chars long, proximity long, "
+        "exact long, score double",
+    )
+
+
+def _custom_rules_sql(sf: str) -> str:
+    terms = ", ".join(f"('{t}')" for t in PHRASE)
+    return f"""
+WITH postings AS ({_SQL_POSTINGS}),
+doclen AS ({_SQL_DOCLEN}),
+stats AS (SELECT count(*) AS n, sum(dl) AS tt FROM doclen),
+q(token) AS (VALUES {terms}),
+term_df AS (SELECT token, count(*) AS df FROM postings
+            WHERE token IN (SELECT token FROM q) GROUP BY token),
+scored AS (
+  SELECT p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * ({K1} + 1.0)
+                 / (p.tf + {K1} * (1.0 - {B} + {B} * l.dl / (s.tt * 1.0 / s.n)))) ) AS sc,
+         count(DISTINCT p.token)::BIGINT AS nw
+  FROM postings p
+  JOIN term_df d USING (token)
+  JOIN doclen l ON p.doc_id = l.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id),
+w AS (
+  SELECT doc_id, i AS pos, arr[i] AS token
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS arr
+        FROM documents), unnest(range(1, len(arr) + 1)) AS t(i)),
+pa AS (SELECT doc_id, pos FROM w WHERE token = '{PHRASE[0]}'),
+pb AS (SELECT doc_id, pos FROM w WHERE token = '{PHRASE[1]}'),
+prox AS (
+  SELECT pa.doc_id,
+         min(LEAST(CASE WHEN pb.pos > pa.pos THEN pb.pos - pa.pos
+                        ELSE pa.pos - pb.pos + 1 END, 8))::BIGINT AS p
+  FROM pa JOIN pb USING (doc_id) GROUP BY pa.doc_id),
+exact AS (
+  SELECT DISTINCT a.doc_id FROM w a JOIN w b
+  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.token = '{PHRASE[0]}' AND b.token = '{PHRASE[1]}')
+SELECT s.doc_id, s.nw AS n_words, d.n_chars::BIGINT AS n_chars,
+       coalesce(p.p, {2**31}) AS proximity,
+       (CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS exact,
+       round(s.sc, 4) AS score
+FROM scored s
+JOIN documents d USING (doc_id)
+LEFT JOIN prox p USING (doc_id) LEFT JOIN exact e USING (doc_id)
+ORDER BY n_words DESC, n_chars ASC, proximity ASC, exact DESC,
+         round(s.sc, 4) DESC, s.doc_id
+LIMIT 10
+"""
+
+
 MATCH_LAST_QUERY = "merge sort zzzzunmatchable"  # last word absent -> dropped
 
 
@@ -3118,6 +3190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_search_topk": _stopword_search_topk,
         "placeholder_browse_topk": _placeholder_browse_topk,
         "upsert_engine_topk": _upsert_engine_topk,
+        "custom_rules_topk": _custom_rules_topk,
         # NOTE: the static order below is only the tie-break — _stale_first
         # reorders at call time so never-checked entries and the entries
         # whose last driver row is oldest always land inside the cap.
@@ -3192,6 +3265,7 @@ def oracle_sql() -> dict[str, str]:
         "stopword_search_topk": _bm25_topk_sql(""),
         "placeholder_browse_topk": _PLACEHOLDER_BROWSE_SQL,
         "upsert_engine_topk": _upsert_sql(""),
+        "custom_rules_topk": _custom_rules_sql(""),
         "ivf_cosine_topk": _EMB_COS_SQL,
         "lang_id_votes": _lang_id_sql(""),
         "quality_scores": _quality_sql(""),

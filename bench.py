@@ -161,6 +161,7 @@ def main() -> int:
         "ranking_pipeline_topk",
         "stopword_search_topk", "placeholder_browse_topk",
         "ranking_details_topk", "upsert_engine_topk",
+        "custom_rules_topk",
     ]
     for name in headline:
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())

@@ -1405,6 +1405,182 @@ def ranking_score_details_topk(reader: IndexReader, query: str, k: int = 10,
     return out
 
 
+#: Meilisearch's default `rankingRules` order (meilisearch docs, "ranking
+#: rules"; milli's criterion pipeline). `attribute` is a no-op on a
+#: single-attribute index and `sort` is a no-op without a sort spec — both
+#: documented in custom_rules_topk.
+DEFAULT_RANKING_RULES = ("words", "typo", "proximity", "attribute",
+                         "sort", "exactness")
+
+_SORT_RULE_RE = None  # compiled lazily in _parse_custom_rule
+
+
+def _parse_custom_rule(rule: str):
+    """'attr:asc' / 'attr:desc' -> (attr, descending); None for the
+    built-in rule names."""
+    global _SORT_RULE_RE
+    if _SORT_RULE_RE is None:
+        import re as _re
+
+        _SORT_RULE_RE = _re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(asc|desc)$")
+    m = _SORT_RULE_RE.match(rule)
+    return (m.group(1), m.group(2) == "desc") if m else None
+
+
+def _attr_sort_key(store, ids: np.ndarray, attr: str,
+                   descending: bool) -> np.ndarray:
+    """Ascending-composite sort key for one attribute over the candidate
+    ids: numeric columns keep their values (negated for desc, NaN/missing
+    forced LAST either direction — Meilisearch places docs without the
+    attribute last); string columns go through ordinal codes of the sorted
+    distinct values (the collation sort_topk uses)."""
+    vals = store.lookup(ids, attr)
+    if np.issubdtype(vals.dtype, np.number):
+        v = vals.astype(np.float64)
+        nan = np.isnan(v)
+        key = -v if descending else v.copy()
+        key[nan] = np.inf
+        return key
+    svals = np.array(["" if v is None else str(v) for v in vals.tolist()])
+    cats, codes = np.unique(svals, return_inverse=True)
+    key = codes.astype(np.float64)
+    if descending:
+        key = -key
+    key[svals == ""] = np.inf
+    return key
+
+
+def custom_rules_topk(reader: IndexReader, query: str,
+                      rules=DEFAULT_RANKING_RULES, k: int = 10,
+                      cfg: TokenizerConfig = DEFAULT_CONFIG,
+                      store=None, sort_by: Optional[tuple] = None,
+                      allowed: Optional[set] = None) -> list[tuple]:
+    """Meilisearch's `rankingRules` SETTING: the bucket-sort pipeline in a
+    USER-CHOSEN rule order, with custom `attr:asc` / `attr:desc` rules
+    slotted anywhere (Meilisearch docs "custom ranking rules"; milli
+    resolves the same names into its criterion pipeline). Composes the
+    already-verified single-rule kernels — nothing here re-implements a
+    rule:
+
+    - `words`      distinct query words matched, DESC (taat_accumulate)
+    - `typo`       summed per-word min edit distance, ASC; candidates
+                   widen to the SymSpell expansion when present
+                   (typo_ranked_topk's kernel)
+    - `proximity`  consecutive-pair position cost, ASC; docs missing a
+                   term sort last in their bucket (proximity_topk)
+    - `exactness`  exact adjacent sequence first (phrase_match_counts)
+    - `attribute`  NO-OP here: a single-attribute index has one constant
+                   attribute rank (multiindex.attribute_ranked_topk serves
+                   the multi-attribute form) — documented divergence
+    - `sort`       the caller's `sort_by=(attr, descending)` at THIS
+                   position (Meilisearch: the sort parameter applies where
+                   the `sort` rule sits); no-op when sort_by is None
+    - `attr:asc` / `attr:desc`  attribute value order at this position,
+                   missing values last (needs `store`)
+
+    Tail (always, documented re-base): BM25 sum DESC then doc_id ASC —
+    this engine's relevance tiebreak, where Meilisearch falls back to
+    internal docid order.
+
+    Returns [(doc_id, *rule_keys_in_rule_order, score)] where rule_keys
+    covers the EFFECTIVE rules (no-ops contribute no column); attribute
+    keys surface as their raw stored value, direction applied in the sort
+    only. Cost: one TAAT accumulation + at most one positional read + one
+    bucket-pruned attribute gather per attr rule — O(query postings),
+    never O(index)."""
+    if k <= 0:
+        return []
+    seen = set()
+    for r in rules:
+        if r in seen:
+            raise ValueError(f"duplicate ranking rule {r!r}")
+        seen.add(r)
+        if r not in DEFAULT_RANKING_RULES and _parse_custom_rule(r) is None:
+            raise ValueError(
+                f"unknown ranking rule {r!r}: expected one of "
+                f"{list(DEFAULT_RANKING_RULES)} or 'attr:asc'/'attr:desc'")
+    use_typo = "typo" in rules
+    if use_typo:
+        sym = reader.symspell()
+        groups = [sym.expand_with_distance(w)
+                  for w in reader.query_terms(query, cfg)]
+        union = sorted({v for g in groups for v in g})
+        postings = reader.load_postings(union)
+    else:
+        postings = reader.load_postings(reader.query_terms(query, cfg))
+    if not postings:
+        return []
+    acc, cnt = taat_accumulate(reader, postings)
+    if allowed is not None:
+        acc = {d: s for d, s in acc.items() if d in allowed}
+    if not acc:
+        return []
+    if use_typo:
+        # per-word typo cost and words-matched-through-variants, exactly
+        # typo_ranked_topk's accumulation
+        docs_of = {t: set(u64_to_i64(postings[t][0]).tolist())
+                   for t in postings}
+        cnt = {}
+        typos: dict[int, int] = {}
+        for g in groups:
+            best: dict[int, int] = {}
+            for v, dist in g.items():
+                for d in docs_of.get(v, ()):
+                    if d not in best or dist < best[d]:
+                        best[d] = dist
+            for d, dist in best.items():
+                if d in acc:
+                    cnt[d] = cnt.get(d, 0) + 1
+                    typos[d] = typos.get(d, 0) + dist
+    need_pos = ("proximity" in rules) or ("exactness" in rules)
+    prox: dict = {}
+    exact: set = set()
+    if need_pos:
+        pos = _query_positions(reader, query, cfg)
+        if "proximity" in rules:
+            prox = dict(proximity_topk(reader, query, k=len(acc), cfg=cfg,
+                                       pos=pos))
+        if "exactness" in rules:
+            exact = set(phrase_match_counts(reader, query, cfg, pos=pos))
+    docs = sorted(acc)
+    ids = np.asarray(docs, dtype=np.int64)
+    key_fns = []     # per effective rule: (sort_key(d), display_value(d))
+    for r in rules:
+        custom = _parse_custom_rule(r)
+        if custom is not None or r == "sort":
+            if r == "sort":
+                if sort_by is None:
+                    continue
+                attr, desc = sort_by
+            else:
+                attr, desc = custom
+            if store is None:
+                raise ValueError(
+                    f"ranking rule {r!r} needs an attribute store")
+            keys = dict(zip(docs, _attr_sort_key(store, ids, attr, desc)))
+            raw = dict(zip(docs, store.lookup(ids, attr).tolist()))
+            key_fns.append((keys.__getitem__, raw.__getitem__))
+        elif r == "words":
+            key_fns.append((lambda d: -cnt.get(d, 0),
+                            lambda d: cnt.get(d, 0)))
+        elif r == "typo":
+            key_fns.append((lambda d: typos.get(d, 0),
+                            lambda d: typos.get(d, 0)))
+        elif r == "proximity":
+            key_fns.append((lambda d: prox.get(d, _NO_PROXIMITY),
+                            lambda d: prox.get(d, _NO_PROXIMITY)))
+        elif r == "exactness":
+            key_fns.append((lambda d: -(d in exact),
+                            lambda d: int(d in exact)))
+        # "attribute": no-op (single-attribute index), no column
+    order = sorted(
+        acc,
+        key=lambda d: tuple(kf(d) for kf, _ in key_fns) + (-acc[d], d),
+    )[:k]
+    return [tuple([d] + [vf(d) for _, vf in key_fns] + [acc[d]])
+            for d in order]
+
+
 def _block_select(li: "LazyPostingList", targets: np.ndarray,
                   full_cache: dict, reader=None) -> tuple:
     """(found_mask, tfs, lens) for sorted-int64 `targets` against one

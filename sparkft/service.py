@@ -33,7 +33,8 @@ from .search import IndexReader, wand_topk_terms
 class IndexSettings:
     """Meilisearch-style per-index settings (the subset this engine serves).
 
-    ranking_rules is fixed to the verified default pipeline; synonyms are
+    ranking_rules defaults to the verified default pipeline and accepts a
+    custom rule order (see the field comment); synonyms are
     OR-expansions; typo_tolerance applies the Meilisearch length rule via
     SymSpell. matching_strategy:
     - 'any'  (default): engine-native disjunctive BM25 over the expanded
@@ -49,6 +50,13 @@ class IndexSettings:
     becomes a variant GROUP; 'all'/'last'/'frequency' intersect the groups'
     unions."""
 
+    # Meilisearch rankingRules: None = the verified default pipeline
+    # (words > proximity > exactness > BM25 > doc_id, the behavior every
+    # other setting composes with). A tuple reorders/removes rules and may
+    # slot custom 'attr:asc'/'attr:desc' rules anywhere —
+    # search.custom_rules_topk serves it (see its docstring for the
+    # attribute/sort no-op semantics and the BM25 tail re-base).
+    ranking_rules: Optional[tuple] = None
     synonyms: dict = field(default_factory=dict)
     # Meilisearch stopWords: words removed from the QUERY before matching
     # (they count for nothing in the words ranking). A query consisting
@@ -757,7 +765,46 @@ class SearchService:
             fetch = self.reader.N
         facet_allowed = allowed
 
-        if sort is not None and isinstance(sort, list) and len(sort) > 1:
+        if self.settings.ranking_rules is not None:
+            # Meilisearch rankingRules: the custom pipeline REPLACES every
+            # relevance branch below; a `sort` parameter slots at the
+            # pipeline's 'sort' rule position (Meilisearch semantics)
+            # instead of replacing the ranking. Query expansion here is
+            # the pipeline's own (the 'typo' rule expands via SymSpell);
+            # synonyms/stopWords settings do not compose — documented.
+            from .search import custom_rules_topk, has_query_syntax
+
+            if has_query_syntax(query):
+                raise ValueError(
+                    "custom rankingRules do not compose with quoted-phrase"
+                    " / negative query syntax")
+            if self.settings.matching_strategy != "any":
+                raise ValueError("custom rankingRules are served under "
+                                 "matching_strategy 'any' only")
+            if (show_ranking_score or show_ranking_score_details
+                    or ranking_score_threshold is not None):
+                raise ValueError("ranking scores decompose the DEFAULT "
+                                 "pipeline only, not custom rankingRules")
+            sort_by = None
+            if sort is not None:
+                one = sort[0] if isinstance(sort, list) else sort
+                if isinstance(sort, list) and len(sort) > 1:
+                    raise ValueError(
+                        "custom rankingRules take one sort criterion at "
+                        "the 'sort' rule slot; express the rest as "
+                        "'attr:asc'/'attr:desc' rules")
+                col, desc = one
+                if col not in self.settings.sortable_attributes:
+                    raise ValueError(f"attribute {col!r} is not sortable")
+                sort_by = (col, desc)
+            rows = self._distinct_pairs(custom_rules_topk(
+                self.reader, query, rules=self.settings.ranking_rules,
+                k=fetch, cfg=self.cfg, store=self.attrs, sort_by=sort_by,
+                allowed=allowed))
+            total = len(rows)
+            hits = [{"doc_id": r[0], "score": r[-1]}
+                    for r in rows[offset:offset + k]]
+        elif sort is not None and isinstance(sort, list) and len(sort) > 1:
             # Meilisearch multi-criteria sort: sort=[("price", False),
             # ("name", True), ...] in priority order, doc_id tie-break
             from .facets import sort_multi_topk
