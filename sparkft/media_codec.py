@@ -6,9 +6,13 @@ Engine-original (training-data pipeline surface; closes VERDICT r3 #3 —
 but both formats are decodable with nothing beyond the standard library:
 
 - PNG is zlib-inflate + per-scanline unfiltering (RFC 2083). Supported:
-  bit depth 8, color types 0/2/3/4/6 (gray, RGB, palette, gray+alpha,
-  RGBA), non-interlaced. 16-bit and Adam7 raise a clear error — honest
-  scope, not silent garbage.
+  the FULL profile — bit depths 1/2/4/8/16, color types 0/2/3/4/6 (gray,
+  RGB, palette, gray+alpha, RGBA), non-interlaced and Adam7 interlaced
+  (round 5; each of the 7 passes is a self-contained filtered sub-image
+  scattered into the output grid). 16-bit samples are reduced to their
+  high byte (the standard 16→8 tone mapping); sub-byte gray samples are
+  scaled to 0..255; invalid depth/type combinations (e.g. 16-bit palette)
+  raise a clear error — honest scope, not silent garbage.
 - WAV is RIFF chunk walking + `struct`/numpy frombuffer. Supported:
   PCM (format 1: 8/16/32-bit int) and IEEE float (format 3: 32/64-bit).
 
@@ -46,6 +50,70 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass, in pass
+# order (PNG spec §8.2). Each pass is a stand-alone filtered sub-image.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _unfilter(rows: np.ndarray, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG per-scanline filtering. rows is (h, stride+1) uint8 with
+    the filter byte in column 0; returns (h, stride) uint8 raw bytes.
+    bpp = filter byte distance (bytes per complete pixel, min 1)."""
+    height = rows.shape[0]
+    filters = rows[:, 0]
+    out = np.zeros((height, stride), dtype=np.uint8)
+    for y in range(height):
+        f = int(filters[y])
+        cur = rows[y, 1:]
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if f == 0:  # None
+            out[y] = cur
+        elif f == 1:  # Sub — per-channel cumulative sum mod 256
+            for c in range(bpp):
+                out[y, c::bpp] = np.cumsum(
+                    cur[c::bpp].astype(np.uint64)) & 0xFF
+        elif f == 2:  # Up
+            out[y] = cur + prev  # uint8 wraps mod 256
+        elif f == 3:  # Average
+            row = out[y]
+            for i in range(stride):
+                left = int(row[i - bpp]) if i >= bpp else 0
+                row[i] = (int(cur[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            row = out[y]
+            for i in range(stride):
+                left = int(row[i - bpp]) if i >= bpp else 0
+                ul = int(prev[i - bpp]) if i >= bpp else 0
+                row[i] = (int(cur[i]) + _paeth(left, int(prev[i]), ul)) & 0xFF
+        else:
+            raise MediaFormatError(f"bad PNG filter type {f} on row {y}")
+    return out
+
+
+def _bytes_to_samples(raw: np.ndarray, width: int, channels: int,
+                      bit_depth: int, color_type: int) -> np.ndarray:
+    """Unfiltered scanline bytes (h, stride) -> (h, width, channels) uint8
+    samples. 16-bit takes the high byte (PNG samples are big-endian, so
+    that's byte 0 of each pair); 1/2/4-bit gray scales to 0..255; palette
+    indexes stay raw for the PLTE lookup."""
+    height = raw.shape[0]
+    if bit_depth == 8:
+        return raw.reshape(height, width, channels)
+    if bit_depth == 16:
+        return raw.reshape(height, width, channels, 2)[..., 0]
+    # sub-byte: gray (type 0) or palette (type 3), 1 channel, MSB-first
+    bits = np.unpackbits(raw, axis=1)[:, : width * bit_depth]
+    vals = bits.reshape(height, width, bit_depth)
+    weights = (1 << np.arange(bit_depth - 1, -1, -1)).astype(np.uint8)
+    samples = (vals * weights).sum(axis=2).astype(np.uint16)
+    if color_type == 0:  # scale gray to full range (255/(2^d-1) is exact)
+        samples = samples * (255 // ((1 << bit_depth) - 1))
+    return samples.astype(np.uint8)[:, :, None]
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """Decode a PNG byte string to an (h, w, 3) uint8 RGB array.
 
@@ -80,52 +148,55 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += 12 + length  # len + type + data + crc
     if width is None:
         raise MediaFormatError("PNG missing IHDR")
-    if bit_depth != 8:
-        raise MediaFormatError(f"unsupported PNG bit depth {bit_depth} (only 8)")
     if color_type not in _PNG_CHANNELS:
         raise MediaFormatError(f"unsupported PNG color type {color_type}")
-    if interlace != 0:
-        raise MediaFormatError("Adam7 interlaced PNG unsupported")
+    # legal depth/type combinations per PNG spec §11.2.2
+    legal = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+             4: (8, 16), 6: (8, 16)}
+    if bit_depth not in legal[color_type]:
+        raise MediaFormatError(
+            f"invalid PNG bit depth {bit_depth} for color type {color_type}")
+    if interlace not in (0, 1):
+        raise MediaFormatError(f"bad PNG interlace method {interlace}")
     if not idat:
         raise MediaFormatError("PNG missing IDAT")
     channels = _PNG_CHANNELS[color_type]
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    stride = width * channels
-    if raw.size != height * (stride + 1):
-        raise MediaFormatError(
-            f"PNG scanline size mismatch: got {raw.size}, "
-            f"expected {height * (stride + 1)}"
-        )
-    rows = raw.reshape(height, stride + 1)
-    filters = rows[:, 0]
-    out = np.zeros((height, stride), dtype=np.uint8)
-    bpp = channels  # bytes per pixel at depth 8
-    for y in range(height):
-        f = int(filters[y])
-        cur = rows[y, 1:]
-        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
-        if f == 0:  # None
-            out[y] = cur
-        elif f == 1:  # Sub — per-channel cumulative sum mod 256
-            for c in range(bpp):
-                out[y, c::bpp] = np.cumsum(
-                    cur[c::bpp].astype(np.uint64)) & 0xFF
-        elif f == 2:  # Up
-            out[y] = cur + prev  # uint8 wraps mod 256
-        elif f == 3:  # Average
-            row = out[y]
-            for i in range(stride):
-                left = int(row[i - bpp]) if i >= bpp else 0
-                row[i] = (int(cur[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            row = out[y]
-            for i in range(stride):
-                left = int(row[i - bpp]) if i >= bpp else 0
-                ul = int(prev[i - bpp]) if i >= bpp else 0
-                row[i] = (int(cur[i]) + _paeth(left, int(prev[i]), ul)) & 0xFF
-        else:
-            raise MediaFormatError(f"bad PNG filter type {f} on row {y}")
-    img = out.reshape(height, width, channels)
+    bpp = max(1, channels * bit_depth // 8)
+
+    def stride_for(w: int) -> int:
+        return (w * channels * bit_depth + 7) // 8
+
+    if interlace == 0:
+        stride = stride_for(width)
+        if raw.size != height * (stride + 1):
+            raise MediaFormatError(
+                f"PNG scanline size mismatch: got {raw.size}, "
+                f"expected {height * (stride + 1)}"
+            )
+        samples = _bytes_to_samples(
+            _unfilter(raw.reshape(height, stride + 1), stride, bpp),
+            width, channels, bit_depth, color_type)
+    else:  # Adam7: 7 independent filtered sub-images, scattered
+        samples = np.zeros((height, width, channels), dtype=np.uint8)
+        off = 0
+        for (x0, y0, dx, dy) in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = stride_for(pw)
+            need = ph * (stride + 1)
+            if off + need > raw.size:
+                raise MediaFormatError("truncated Adam7 PNG pass data")
+            rows = raw[off:off + need].reshape(ph, stride + 1)
+            off += need
+            sub = _bytes_to_samples(_unfilter(rows, stride, bpp),
+                                    pw, channels, bit_depth, color_type)
+            samples[y0::dy, x0::dx] = sub
+        if off != raw.size:
+            raise MediaFormatError("trailing bytes after Adam7 passes")
+    img = samples
     if color_type == 3:
         if palette is None:
             raise MediaFormatError("palette PNG missing PLTE")
@@ -139,23 +210,88 @@ def decode_png(data: bytes) -> np.ndarray:
     return img
 
 
-def encode_png(img: np.ndarray) -> bytes:
-    """Encode an (h, w, 3) uint8 RGB array as a minimal valid PNG
-    (filter 0 scanlines, one IDAT). Test/synthetic-data support."""
-    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
-        raise ValueError("encode_png expects (h, w, 3) uint8")
+def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
+    crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+    return struct.pack(">I", len(payload)) + ctype + payload + struct.pack(">I", crc)
+
+
+def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
+    """Encode an (h, w, 3) RGB array as a minimal valid PNG (filter 0
+    scanlines, one IDAT). uint8 input writes bit depth 8; uint16 writes
+    bit depth 16 (big-endian samples). interlace=True writes Adam7 pass
+    order. Test/synthetic-data support."""
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_png expects (h, w, 3)")
+    if img.dtype == np.uint8:
+        depth = 8
+    elif img.dtype == np.uint16:
+        depth = 16
+    else:
+        raise ValueError("encode_png expects uint8 or uint16")
     h, w, _ = img.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 2, 0, 0, 1 if interlace else 0)
 
-    def chunk(ctype: bytes, payload: bytes) -> bytes:
-        crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
-        return struct.pack(">I", len(payload)) + ctype + payload + struct.pack(">I", crc)
+    def scanbytes(sub: np.ndarray) -> bytes:
+        ph, pw, _ = sub.shape
+        if depth == 16:
+            flat = sub.astype(">u2").view(np.uint8).reshape(ph, pw * 6)
+        else:
+            flat = sub.reshape(ph, pw * 3)
+        scan = np.zeros((ph, flat.shape[1] + 1), dtype=np.uint8)
+        scan[:, 1:] = flat
+        return scan.tobytes()
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    scan = np.zeros((h, w * 3 + 1), dtype=np.uint8)
-    scan[:, 1:] = img.reshape(h, w * 3)
-    idat = zlib.compress(scan.tobytes(), 6)
-    return (PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
-            + chunk(b"IEND", b""))
+    if interlace:
+        payload = b"".join(
+            scanbytes(img[y0::dy, x0::dx])
+            for (x0, y0, dx, dy) in _ADAM7
+            if img[y0::dy, x0::dx].size
+        )
+    else:
+        payload = scanbytes(img)
+    idat = zlib.compress(payload, 6)
+    return (PNG_MAGIC + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", idat)
+            + _png_chunk(b"IEND", b""))
+
+
+def encode_png_gray(img: np.ndarray, bit_depth: int,
+                    interlace: bool = False) -> bytes:
+    """Encode an (h, w) uint8 array of RAW sample values (< 2^bit_depth)
+    as a grayscale PNG at bit depth 1/2/4/8. Exercises the sub-byte
+    decode path in tests."""
+    if img.ndim != 2 or img.dtype != np.uint8:
+        raise ValueError("encode_png_gray expects (h, w) uint8")
+    if bit_depth not in (1, 2, 4, 8):
+        raise ValueError("bit_depth must be 1/2/4/8")
+    if img.size and int(img.max()) >= (1 << bit_depth):
+        raise ValueError(f"sample exceeds {bit_depth}-bit range")
+    h, w = img.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, 0, 0, 0,
+                       1 if interlace else 0)
+
+    def scanbytes(sub: np.ndarray) -> bytes:
+        ph, pw = sub.shape
+        if bit_depth == 8:
+            packed = sub
+        else:
+            bits = ((sub[:, :, None]
+                     >> np.arange(bit_depth - 1, -1, -1)) & 1).astype(np.uint8)
+            packed = np.packbits(bits.reshape(ph, pw * bit_depth), axis=1)
+        scan = np.zeros((ph, packed.shape[1] + 1), dtype=np.uint8)
+        scan[:, 1:] = packed
+        return scan.tobytes()
+
+    if interlace:
+        payload = b"".join(
+            scanbytes(img[y0::dy, x0::dx])
+            for (x0, y0, dx, dy) in _ADAM7
+            if img[y0::dy, x0::dx].size
+        )
+    else:
+        payload = scanbytes(img)
+    idat = zlib.compress(payload, 6)
+    return (PNG_MAGIC + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", idat)
+            + _png_chunk(b"IEND", b""))
 
 
 # ---------------------------------------------------------------------------

@@ -122,14 +122,59 @@ def test_png_roundtrip_and_errors():
 
     with pytest.raises(MediaFormatError, match="signature"):
         decode_png(b"JFIF not a png")
-    # 16-bit depth refused, not silently garbled
-    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+    # spec-invalid depth/type combo refused (16-bit palette), not garbled
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 3, 0, 0, 0)
     bad = PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
-    with pytest.raises(MediaFormatError, match="bit depth"):
+    with pytest.raises(MediaFormatError, match="invalid PNG bit depth"):
         decode_png(bad)
     # wrong-size scanline payload refused
     with pytest.raises(MediaFormatError, match="scanline size"):
         decode_png(_png(4, 2, 2, b"\x00" + b"ab"))
+
+
+def test_png_16bit_roundtrip():
+    rng = np.random.default_rng(5)
+    img16 = rng.integers(0, 1 << 16, (7, 11, 3), dtype=np.uint16)
+    # decode reduces 16-bit samples to the high byte
+    np.testing.assert_array_equal(
+        decode_png(encode_png(img16)), (img16 >> 8).astype(np.uint8))
+
+
+def test_png_adam7_roundtrip():
+    rng = np.random.default_rng(6)
+    # dims deliberately not multiples of 8 so every pass shape is exercised
+    img = rng.integers(0, 256, (13, 11, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_png(encode_png(img, interlace=True)), img)
+    # tiny images where late passes are empty
+    for h, w in [(1, 1), (2, 3), (5, 1), (1, 9)]:
+        im = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        np.testing.assert_array_equal(decode_png(encode_png(im, interlace=True)), im)
+    # 16-bit + Adam7 together
+    img16 = rng.integers(0, 1 << 16, (9, 10, 3), dtype=np.uint16)
+    np.testing.assert_array_equal(
+        decode_png(encode_png(img16, interlace=True)),
+        (img16 >> 8).astype(np.uint8))
+    # truncated pass data refused: interlaced IHDR, payload cut to 8 bytes
+    ihdr = struct.pack(">IIBBBBB", 11, 13, 8, 2, 0, 0, 1)
+    bad = (PNG_MAGIC + _chunk(b"IHDR", ihdr)
+           + _chunk(b"IDAT", zlib.compress(b"\x00" * 8))
+           + _chunk(b"IEND", b""))
+    with pytest.raises(MediaFormatError, match="Adam7|truncated|trailing"):
+        decode_png(bad)
+
+
+def test_png_subbyte_gray():
+    from sparkft.media_codec import encode_png_gray
+
+    rng = np.random.default_rng(7)
+    for depth, scale in [(1, 255), (2, 85), (4, 17)]:
+        raw = rng.integers(0, 1 << depth, (6, 13), dtype=np.uint8)
+        dec = decode_png(encode_png_gray(raw, depth))
+        want = (raw * scale).astype(np.uint8)
+        np.testing.assert_array_equal(dec, np.repeat(want[:, :, None], 3, axis=2))
+        # interlaced sub-byte: per-pass bit packing must not leak across rows
+        dec_i = decode_png(encode_png_gray(raw, depth, interlace=True))
+        np.testing.assert_array_equal(dec_i, np.repeat(want[:, :, None], 3, axis=2))
 
 
 def test_wav_golden_and_roundtrip():
