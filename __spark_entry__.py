@@ -2340,6 +2340,52 @@ LIMIT 10
 """
 
 
+def _attrs_search_on_topk(spark, sf_dir):
+    """Meilisearch `attributesToSearchOn`: the SAME multi-attribute store
+    searched over a SUBSET of its searchable attributes (["title"] here) —
+    the body subindex is pruned without reading a byte (a static partition
+    of the postings universe; multiindex.py design note). Ranking reduces
+    to words DESC then title-BM25 within the subset."""
+    from sparkft.multiindex import MultiIndexReader, attribute_ranked_topk
+
+    multi = MultiIndexReader(spark, _multi_engine_index(spark, sf_dir),
+                             attrs=["title"])
+    hits = attribute_ranked_topk(multi, ATTR_QUERY, 10)
+    return spark.createDataFrame(
+        [(int(d), int(nw), round(s, 4)) for d, nw, _ar, s in hits],
+        "doc_id long, n_words long, score double",
+    )
+
+
+def _attrs_search_on_sql() -> str:
+    vals = ", ".join(f"('{t}')" for t in ATTR_QUERY.split())
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+ndocs AS (SELECT count(*) AS n FROM documents),
+t_tok AS (SELECT doc_id, token FROM
+          (SELECT doc_id, unnest(l[1:3]) AS token FROM w) WHERE token <> ''),
+tp AS (SELECT doc_id, token, count(*) AS tf FROM t_tok GROUP BY doc_id, token),
+tdl AS (SELECT doc_id, count(*) AS dl FROM t_tok GROUP BY doc_id),
+tstats AS (SELECT (SELECT n FROM ndocs) AS n, sum(dl) AS tt FROM tdl),
+q(token) AS (VALUES {vals}),
+tdf AS (SELECT token, count(*) AS df FROM tp
+        WHERE token IN (SELECT token FROM q) GROUP BY token),
+ts AS (SELECT p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * ({K1} + 1.0)
+                 / (p.tf + {K1} * (1.0 - {B} + {B} * l.dl / (s.tt * 1.0 / s.n)))) ) AS sc
+  FROM tp p JOIN tdf d USING (token)
+  JOIN tdl l ON p.doc_id = l.doc_id CROSS JOIN tstats s
+  GROUP BY p.doc_id),
+wt AS (SELECT doc_id, count(DISTINCT token) AS n_words FROM tp
+       WHERE token IN (SELECT token FROM q) GROUP BY doc_id)
+SELECT wt.doc_id, wt.n_words, round(ts.sc, 4) AS score
+FROM wt JOIN ts USING (doc_id)
+ORDER BY wt.n_words DESC, round(ts.sc, 4) DESC, wt.doc_id
+LIMIT 10
+"""
+
+
 # matching strategy "frequency" runs over the part-name corpus: p_name is
 # "<adjective> <noun>", so two adjectives NEVER co-occur — 'cold new' has an
 # empty conjunction and the strategies must relax. 'cold' is the more
@@ -3213,6 +3259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "typo_ranked_topk": _typo_ranked_engine,
         "matching_frequency_topk": _matching_frequency_topk,
         "attribute_ranked_topk": _attribute_ranked_topk,
+        "attrs_search_on_topk": _attrs_search_on_topk,
         "federated_search_topk": _federated_search_topk,
         "prefix_search_topk": _prefix_search_topk,
         "prefix_engine_topk": _prefix_engine_topk,
@@ -3286,6 +3333,7 @@ def oracle_sql() -> dict[str, str]:
         "typo_ranked_topk": _typo_ranked_sql(""),
         "matching_frequency_topk": _matching_frequency_sql(""),
         "attribute_ranked_topk": _attribute_ranked_sql(""),
+        "attrs_search_on_topk": _attrs_search_on_sql(),
         "federated_search_topk": _federated_sql(""),
         "prefix_search_topk": _prefix_sql(""),
         "prefix_engine_topk": _prefix_sql(""),
