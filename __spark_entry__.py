@@ -1694,6 +1694,64 @@ ORDER BY round(sc, 4) DESC, doc_id LIMIT 10
 """
 
 
+# the derived coordinates put doc_id d at (d%17000/100-85, d%35000/100-175),
+# i.e. sf0.01's 500 docs all live in the corner near GEO_CENTER; this box
+# covers doc_ids ~100..300 at every sf (deterministic non-empty top-10)
+# and enumerates a single 5-degree cell — the pruned path, not the fallback
+GEO_BBOX_TOP_RIGHT = (-82.0, -172.0)
+GEO_BBOX_BOTTOM_LEFT = (-84.0, -174.0)
+
+
+def _geo_bbox_engine_topk(spark, sf_dir):
+    """Meilisearch v1.1 `_geoBoundingBox([lat,lng],[lat,lng])` (top-right,
+    bottom-left): candidates from the rectangle's _geo_cell grid cells ->
+    exact box-predicate verify, gating the shared WAND loop — O(docs in
+    the box), corpus-size independent like `_geoRadius`."""
+    from sparkft.facets import AttributeIndex, AttributeStore
+    from sparkft.geo import geo_bounding_box_topk
+    from sparkft.search import IndexReader
+
+    idx = _engine_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    hits = geo_bounding_box_topk(
+        reader, AttributeStore(idx), " ".join(BM25_QUERY_TERMS),
+        GEO_BBOX_TOP_RIGHT, GEO_BBOX_BOTTOM_LEFT, 10,
+        attr_index=AttributeIndex(idx))
+    return spark.createDataFrame(
+        [(int(d), round(s, 4)) for d, s in hits], "doc_id long, score double"
+    )
+
+
+def _geo_bbox_sql() -> str:
+    terms = ", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)
+    (tr_lat, tr_lng) = GEO_BBOX_TOP_RIGHT
+    (bl_lat, bl_lng) = GEO_BBOX_BOTTOM_LEFT
+    return f"""
+WITH postings AS ({_SQL_POSTINGS}),
+doclen AS ({_SQL_DOCLEN}),
+stats AS (SELECT count(*) AS n, sum(dl) AS tt FROM doclen),
+q(token) AS (VALUES {terms}),
+term_df AS (SELECT token, count(*) AS df FROM postings
+            WHERE token IN (SELECT token FROM q) GROUP BY token),
+geo AS (SELECT doc_id FROM documents
+        WHERE {_GEO_LAT_SQL} BETWEEN {bl_lat} AND {tr_lat}
+          AND {_GEO_LNG_SQL} BETWEEN {bl_lng} AND {tr_lng}),
+scored AS (
+  SELECT p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * ({K1} + 1.0)
+                 / (p.tf + {K1} * (1.0 - {B} + {B} * l.dl / (s.tt * 1.0 / s.n)))) ) AS sc
+  FROM postings p
+  JOIN term_df d USING (token)
+  JOIN doclen l ON p.doc_id = l.doc_id
+  CROSS JOIN stats s
+  WHERE p.doc_id IN (SELECT doc_id FROM geo)
+  GROUP BY p.doc_id)
+SELECT doc_id, round(sc, 4) AS score FROM scored
+ORDER BY round(sc, 4) DESC, doc_id LIMIT 10
+"""
+
+
 def _geo_radius_engine_topk(spark, sf_dir):
     """Engine path for `_geoRadius`: candidates from the _geo_cell grid
     index (bounding-box cells of the cap -> haversine verify), gating the
@@ -3221,6 +3279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_multi_topk": _sorted_multi_topk,
         "geo_radius_search_topk": _geo_radius_search_topk,
         "geo_radius_engine_topk": _geo_radius_engine_topk,
+        "geo_bbox_engine_topk": _geo_bbox_engine_topk,
         "geo_sort_engine_topk": _geo_sort_engine_topk,
         "ivf_cosine_topk": _ivf_cosine_topk,
         "phrase_match": _phrase_match,
@@ -3350,6 +3409,7 @@ def oracle_sql() -> dict[str, str]:
         "sorted_multi_topk": _sorted_multi_sql(""),
         "geo_radius_search_topk": _geo_radius_sql(""),
         "geo_radius_engine_topk": _geo_radius_sql(""),
+        "geo_bbox_engine_topk": _geo_bbox_sql(),
         "geo_sort_engine_topk": _geo_sort_sql(""),
         "sorted_engine_topk": _sorted_sql(""),
         "distinct_search_topk": _distinct_sql(""),

@@ -205,3 +205,110 @@ def geo_sort_topk(reader, store: AttributeStore, query: str,
     key = -d if descending else d
     order = np.lexsort((ids, key))[:k]
     return [(int(ids[i]), float(d[i])) for i in order]
+
+
+# ---------------------------------------------------------------------------
+# _geoBoundingBox (Meilisearch v1.1): filter to a lat/lng rectangle.
+# Meilisearch's signature is _geoBoundingBox([lat, lng], [lat, lng]) with the
+# TOP-RIGHT corner first and the BOTTOM-LEFT corner second; a left longitude
+# greater than the right one means the box crosses the antimeridian. Same
+# two-phase plan as _geoRadius: enumerate the rectangle's grid cells against
+# the _geo_cell AttributeIndex (O(docs in the box), corpus-size independent),
+# then verify each candidate against the exact rectangle predicate.
+# ---------------------------------------------------------------------------
+
+
+def rect_cells(lat_lo: float, lat_hi: float, lng_lo: float, lng_hi: float,
+               cell_deg: float = GEO_CELL_DEG,
+               max_cells: int = 512) -> Optional[list[str]]:
+    """Grid cells intersecting the rectangle. lng_lo > lng_hi wraps across
+    the antimeridian. None when the enumeration would exceed max_cells
+    (caller falls back to the term-candidate path)."""
+    if lat_hi < lat_lo:
+        return []
+    i_lo = math.floor(lat_lo / cell_deg)
+    i_hi = math.floor(lat_hi / cell_deg)
+    ncols = int(round(360.0 / cell_deg))
+    half = ncols // 2
+    j_lo = math.floor(lng_lo / cell_deg)
+    j_hi = math.floor((lng_hi + (360.0 if lng_lo > lng_hi else 0.0))
+                      / cell_deg)
+    if (i_hi - i_lo + 1) * min(j_hi - j_lo + 1, ncols + 1) > max_cells:
+        return None
+    cols = {((j + half) % ncols) - half
+            for j in range(j_lo, min(j_hi, j_lo + ncols - 1) + 1)}
+    if -half in cols:
+        cols.add(half)  # a doc at exactly lng=180 floors into cell +half
+    cols = sorted(cols)
+    if (i_hi - i_lo + 1) * len(cols) > max_cells:
+        return None
+    return [f"{i}:{j}" for i in range(i_lo, i_hi + 1) for j in cols]
+
+
+def _in_box_mask(lat: np.ndarray, lng: np.ndarray,
+                 lat_lo: float, lat_hi: float,
+                 lng_lo: float, lng_hi: float) -> np.ndarray:
+    lat = np.asarray(lat, dtype=np.float64)
+    lng = np.asarray(lng, dtype=np.float64)
+    m = (lat >= lat_lo) & (lat <= lat_hi)
+    if lng_lo <= lng_hi:
+        return m & (lng >= lng_lo) & (lng <= lng_hi)
+    return m & ((lng >= lng_lo) | (lng <= lng_hi))  # antimeridian wrap
+
+
+def geo_bounding_box_ids(reader, store: AttributeStore, query: str,
+                         top_right: tuple[float, float],
+                         bottom_left: tuple[float, float],
+                         cfg: TokenizerConfig = DEFAULT_CONFIG,
+                         lat_col: str = "lat", lng_col: str = "lng",
+                         terms: Optional[list] = None,
+                         attr_index=None) -> np.ndarray:
+    """Sorted doc ids inside the rectangle, usable as the allowed set
+    gating WAND (tombstones excluded). Cell-pruned when the index carries
+    `_geo_cell`, else candidates are docs matching >= 1 query term; the
+    exact rectangle predicate verifies every candidate either way."""
+    lat_hi, lng_hi = float(top_right[0]), float(top_right[1])
+    lat_lo, lng_lo = float(bottom_left[0]), float(bottom_left[1])
+    if attr_index is not None and GEO_CELL_ATTR in attr_index.cols:
+        cells = rect_cells(lat_lo, lat_hi, lng_lo, lng_hi)
+        if cells is not None:
+            ids = (attr_index.doc_ids_multi(GEO_CELL_ATTR, cells)
+                   if cells else np.empty(0, dtype=np.int64))
+            if reader.deleted and len(ids):
+                ids = ids[~reader.deleted.mask(ids)]
+            if len(ids) == 0:
+                return ids
+            keep = _in_box_mask(store.lookup(ids, lat_col),
+                                store.lookup(ids, lng_col),
+                                lat_lo, lat_hi, lng_lo, lng_hi)
+            return ids[keep]
+    ids = matching_docs(reader, terms if terms is not None
+                        else reader.query_terms(query, cfg))
+    if len(ids) == 0:
+        return ids
+    keep = _in_box_mask(store.lookup(ids, lat_col),
+                        store.lookup(ids, lng_col),
+                        lat_lo, lat_hi, lng_lo, lng_hi)
+    return ids[keep]
+
+
+def geo_bounding_box_topk(reader, store: AttributeStore, query: str,
+                          top_right: tuple[float, float],
+                          bottom_left: tuple[float, float],
+                          k: int = 10,
+                          cfg: TokenizerConfig = DEFAULT_CONFIG,
+                          lat_col: str = "lat", lng_col: str = "lng",
+                          attr_index=None) -> list[tuple[int, float]]:
+    """`filter: _geoBoundingBox([lat,lng],[lat,lng])`: BM25 top-k
+    restricted to documents inside the rectangle — the box set gates the
+    shared WAND loop exactly like `_geoRadius`."""
+    from .search import wand_topk_terms
+
+    terms = reader.query_terms(query, cfg)
+    allowed = geo_bounding_box_ids(reader, store, query, top_right,
+                                   bottom_left, cfg=cfg, lat_col=lat_col,
+                                   lng_col=lng_col, terms=terms,
+                                   attr_index=attr_index)
+    if len(allowed) == 0:
+        return []
+    return wand_topk_terms(reader, terms, k, allowed=set(allowed.tolist()))

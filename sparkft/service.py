@@ -749,6 +749,26 @@ class SearchService:
                 self.reader, self.attrs, query, (glat, glng), radius_m,
                 cfg=self.cfg, terms=geo_terms,
                 attr_index=self.attr_index).tolist())
+        elif filter is not None and filter[0] == "_geoBoundingBox":
+            # Meilisearch v1.1: filter=("_geoBoundingBox", ((lat, lng),
+            # (lat, lng))) — TOP-RIGHT corner first, BOTTOM-LEFT second;
+            # left lng > right lng crosses the antimeridian. Same
+            # cell-pruned / candidate-pruned resolution as _geoRadius,
+            # with the exact rectangle predicate as the verify step.
+            if "_geo" not in self.settings.filterable_attributes:
+                raise ValueError("attribute '_geo' is not filterable")
+            from .geo import geo_bounding_box_ids
+            from .search import has_query_syntax
+
+            top_right, bottom_left = filter[1]
+            geo_terms = (self._expanded_positive_terms(query)
+                         if has_query_syntax(query)
+                         else sorted({t for g in self._word_groups(query)
+                                      for t in g}))
+            allowed = set(geo_bounding_box_ids(
+                self.reader, self.attrs, query, top_right, bottom_left,
+                cfg=self.cfg, terms=geo_terms,
+                attr_index=self.attr_index).tolist())
         else:
             allowed = self._allowed(filter)
         fetch = self.reader.N if estimate_total else offset + k

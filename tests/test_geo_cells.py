@@ -202,3 +202,91 @@ def test_doc_ids_multi_equals_union(spark, built):
     again = aidx.doc_ids_multi("_geo_cell", list(reversed(cells)))
     assert again.tolist() == want.tolist()
     assert len(aidx.read_paths) == n_paths
+
+
+# ---------------------------------------------------------------------------
+# _geoBoundingBox (Meilisearch v1.1)
+# ---------------------------------------------------------------------------
+
+
+def test_rect_cells_superset_property():
+    from sparkft.geo import rect_cells
+
+    rng = np.random.default_rng(13)
+    for _ in range(200):
+        lat_lo = float(rng.uniform(-85, 80))
+        lat_hi = lat_lo + float(rng.uniform(0.1, 20))
+        lng_lo = float(rng.uniform(-180, 180))
+        lng_hi = lng_lo + float(rng.uniform(0.1, 40))
+        wrap = lng_hi > 180.0
+        if wrap:
+            lng_hi -= 360.0
+        cells = rect_cells(lat_lo, lat_hi, lng_lo, lng_hi)
+        assert cells is not None
+        cellset = set(cells)
+        for _ in range(20):
+            lat = float(rng.uniform(lat_lo, lat_hi))
+            if wrap:
+                span = (lng_hi + 360.0) - lng_lo
+                lng = lng_lo + float(rng.uniform(0, span))
+                if lng > 180.0:
+                    lng -= 360.0
+            else:
+                lng = float(rng.uniform(lng_lo, lng_hi))
+            assert _py_cell(lat, lng) in cellset, (lat, lng, lat_lo, lat_hi,
+                                                   lng_lo, lng_hi)
+
+
+def test_bbox_pruned_equals_unpruned(spark, built):
+    from sparkft.geo import geo_bounding_box_topk
+
+    out, rows = built
+    reader = IndexReader(spark, out)
+    store = AttributeStore(out)
+    aidx = AttributeIndex(out)
+    top_right, bottom_left = (40.0, 60.0), (-20.0, -30.0)
+    pruned = geo_bounding_box_topk(reader, store, "merge sort", top_right,
+                                   bottom_left, 10, attr_index=aidx)
+    plain = geo_bounding_box_topk(reader, store, "merge sort", top_right,
+                                  bottom_left, 10)
+    assert pruned == plain and pruned
+    # exact predicate holds on every hit
+    for d, _s in pruned:
+        lat, lng = store.lookup([d], "lat")[0], store.lookup([d], "lng")[0]
+        assert -20.0 <= lat <= 40.0 and -30.0 <= lng <= 60.0
+
+
+def test_bbox_antimeridian_wrap(spark, built):
+    from sparkft.geo import geo_bounding_box_ids
+
+    out, rows = built
+    reader = IndexReader(spark, out)
+    store = AttributeStore(out)
+    aidx = AttributeIndex(out)
+    # box spanning 179 -> -179: docs 202 (179.95) and 203 (-179.95) at 85N
+    ids = geo_bounding_box_ids(reader, store, "merge sort",
+                               (86.0, -179.0), (84.0, 179.0),
+                               attr_index=aidx).tolist()
+    assert 202 in ids and 203 in ids
+    assert 204 not in ids
+    # identical without the cell index (term-candidate fallback)
+    ids2 = geo_bounding_box_ids(reader, store, "merge sort",
+                                (86.0, -179.0), (84.0, 179.0)).tolist()
+    assert ids == ids2
+
+
+def test_service_geo_bounding_box(spark, built):
+    from sparkft.geo import geo_bounding_box_topk
+
+    out, rows = built
+    svc = SearchService(out, IndexSettings(filterable_attributes=("_geo",)))
+    box = ((40.0, 60.0), (-20.0, -30.0))
+    res = svc.search("merge sort", 10, filter=("_geoBoundingBox", box))
+    want = geo_bounding_box_topk(svc.reader, svc.attrs, "merge sort",
+                                 box[0], box[1], 10,
+                                 attr_index=svc.attr_index)
+    assert [(h["doc_id"], h["score"]) for h in res["hits"]] == want
+    # _geo must be declared filterable
+    svc2 = SearchService(out, IndexSettings())
+    with pytest.raises(ValueError, match="not filterable"):
+        svc2.search("merge sort", 10, filter=("_geoBoundingBox", box))
