@@ -1234,6 +1234,33 @@ def _prefix_engine_topk(spark, sf_dir):
     )
 
 
+SAYT_QUERY = "merge ta"  # 'merge' exact + last word 'ta' as a live prefix
+
+
+def _sayt_engine_topk(spark, sf_dir):
+    """Meilisearch's DEFAULT as-you-type semantics: only the LAST query
+    word is a prefix ('merge ta' = exact 'merge' + prefix 'ta'); earlier
+    words match exactly. Exact words + the last word's token-range
+    expansions serve through one shared WAND pass."""
+    from sparkft.search import IndexReader, search_as_you_type_topk
+
+    reader = IndexReader(spark, _engine_index(spark, sf_dir))
+    hits = search_as_you_type_topk(reader, SAYT_QUERY, 10)
+    return spark.createDataFrame(
+        [(int(d), round(s, 4)) for d, s in hits], "doc_id long, score double"
+    )
+
+
+def _sayt_sql() -> str:
+    words = SAYT_QUERY.split()
+    exact = ", ".join(f"('{w}')" for w in words[:-1])
+    exp = f"""qx(token) AS (VALUES {exact}),
+exp AS (SELECT DISTINCT token FROM postings
+        WHERE token LIKE '{words[-1]}%'
+        UNION SELECT token FROM qx)"""
+    return _expanded_bm25_sql(exp)
+
+
 FILTER_LANG = "en"
 
 
@@ -3322,6 +3349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "federated_search_topk": _federated_search_topk,
         "prefix_search_topk": _prefix_search_topk,
         "prefix_engine_topk": _prefix_engine_topk,
+        "sayt_engine_topk": _sayt_engine_topk,
         "filtered_search_topk": _filtered_search_topk,
         "filtered_engine_topk": _filtered_engine_topk,
         "words_ranked_topk": _words_ranked_topk,
@@ -3396,6 +3424,7 @@ def oracle_sql() -> dict[str, str]:
         "federated_search_topk": _federated_sql(""),
         "prefix_search_topk": _prefix_sql(""),
         "prefix_engine_topk": _prefix_sql(""),
+        "sayt_engine_topk": _sayt_sql(),
         "filtered_search_topk": _filtered_sql(""),
         "filtered_engine_topk": _filtered_sql(""),
         "words_ranked_topk": _words_sql(""),

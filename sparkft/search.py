@@ -2070,6 +2070,39 @@ def prefix_topk(reader: IndexReader, prefix: str, k: int = 10,
     return wand_topk_terms(reader, expanded, k)
 
 
+def search_as_you_type_topk(reader: IndexReader, query: str, k: int = 10,
+                            max_expansions: int = 64,
+                            stats: Optional[dict] = None,
+                            allowed: Optional[set] = None,
+                            cfg: TokenizerConfig = DEFAULT_CONFIG
+                            ) -> list[tuple[int, float]]:
+    """Meilisearch's default as-you-type query semantics: the LAST query
+    word matches as a PREFIX, every earlier word exactly (Meilisearch
+    docs: prefix search is only performed on the last word of the query).
+    The last word's expansions come from the same row-group-pruned
+    token-range scan prefix_topk uses; the exact words and the expansion
+    union are served together by the shared block-max WAND, each matched
+    token contributing its own BM25 term like a synonym expansion —
+    O(terms + expansions) dictionary work, independent of corpus size."""
+    from .tokenizer import tokenize_batch
+
+    # query_terms sorts (order-free WAND input); "the last word" needs the
+    # TYPED order, so tokenize directly and dedupe keeping first positions
+    reader.verify_config(cfg)
+    _, lemmas = tokenize_batch([query], cfg, words_only=True)
+    words = [t for t in lemmas if t]
+    if not words:
+        return []
+    # the last word's expansion includes itself when indexed (the range
+    # scan starts at the word), so only the EARLIER words are added as-is
+    expanded = set(words[:-1])
+    expanded.update(reader.prefix_terms(words[-1], max_expansions))
+    expanded = sorted(expanded)
+    if stats is not None:
+        stats["expanded_terms"] = expanded
+    return wand_topk_terms(reader, expanded, k, allowed=allowed)
+
+
 # ---------------------------------------------------------------------------
 # Filtered search + the "words" ranking rule (engine-original; Meilisearch's
 # attribute filters and its first ranking criterion, re-based on BM25)

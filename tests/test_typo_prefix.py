@@ -360,3 +360,28 @@ def test_typo_settings_through_service(tmp_path):
     svc_dis = SearchService(out, IndexSettings(
         **base, typo_min_word_size_one=4, typo_disable_on_words=("grft",)))
     assert svc_dis._word_groups("grft") == [["grft"]]
+
+
+def test_search_as_you_type_last_word_only_prefix(spark, tmp_path):
+    from sparkft.search import (IndexReader, search_as_you_type_topk,
+                                wand_topk_terms)
+
+    idx = _tiny_index(spark, tmp_path)
+    reader = IndexReader(spark, idx)
+    stats = {}
+    got = search_as_you_type_topk(reader, "merge win", 10, stats=stats)
+    # 'merge' exact (NOT expanded), 'win' prefix-expanded
+    assert stats["expanded_terms"] == ["merge", "window", "windows", "winter"]
+    assert got == wand_topk_terms(
+        reader, ["merge", "window", "windows", "winter"], 10)
+    # first word is NOT a prefix: 'win merge' keeps the non-word 'win'
+    # as an exact (absent) term and expands only 'merge'
+    stats2 = {}
+    search_as_you_type_topk(reader, "win merge", 10, stats=stats2)
+    assert stats2["expanded_terms"] == ["merge", "win"]
+    # single word == prefix_topk behavior ('win' itself is not indexed)
+    stats3 = {}
+    search_as_you_type_topk(reader, "win", 10, stats=stats3)
+    assert stats3["expanded_terms"] == ["window", "windows", "winter"]
+    # empty query
+    assert search_as_you_type_topk(reader, "", 10) == []
