@@ -59,6 +59,7 @@ _SCRIPT_LANG = {
 _PERSIAN_MARKERS = frozenset(
     [0x67E, 0x686, 0x698, 0x6A9, 0x6AF, 0x6CC, 0x6C0] + list(range(0x6F0, 0x6FA))
 )
+_PERSIAN_MARKER_ARR = np.array(sorted(_PERSIAN_MARKERS), dtype=np.uint32)
 
 # language -> script, used to restrict allow_list candidates to the detected
 # script (whatlang's allowlist filter is script-scoped: a Thai run can never
@@ -395,17 +396,16 @@ class RunDetection:
     def _heuristic(self, allow_list: Optional[Sequence[str]]) -> Optional[str]:
         script = self.script()
         lang: Optional[str]
+        cps = codepoints(self.text)  # vectorized marker scans (the
+        # per-char genexprs were >half the whole-text Arabic route cost)
         if script == T.CJ:
             # script()==CJ already implies CJ runs exist; the codepoint
             # range scan alone decides kana presence
-            kana = any(0x3040 <= ord(c) <= 0x30FF for c in self.text)
+            kana = bool(((cps >= 0x3040) & (cps <= 0x30FF)).any())
             lang = "jpn" if kana else "cmn"
         elif script == T.ARABIC:
-            lang = (
-                "pes"
-                if any(ord(c) in _PERSIAN_MARKERS for c in self.text)
-                else "ara"
-            )
+            lang = ("pes" if bool(np.isin(cps, _PERSIAN_MARKER_ARR).any())
+                    else "ara")
         elif script == T.CYRILLIC:
             lang = _cyrillic_language(self.text)
         elif script == T.LATIN:

@@ -121,10 +121,20 @@ def _surrogate_table() -> dict[int, str]:
     return table
 
 
+_NON_ASCII_RX = re.compile(r"[^\x00-\x7f]")
+
+
 def to_ascii_surrogate(text: str):
     """The text's ASCII surrogate, or None when any character lacks a
     proven-safe mapping (then the scalar path must run). O(len) C-speed:
-    one translate + one isascii."""
+    one translate + one isascii. The FIRST foreign character is probed
+    before the full translate — a Hebrew/Greek/CJK text rejects on one
+    regex scan + dict lookup instead of paying a whole-document translate
+    it can never pass (the router tries this path on every non-ASCII
+    text)."""
+    m = _NON_ASCII_RX.search(text)
+    if m is not None and ord(m.group()) not in _surrogate_table():
+        return None
     s = text.translate(_surrogate_table())
     if s.isascii() and _SLOW_BYTES_RX.search(s) is None:
         return s

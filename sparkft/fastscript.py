@@ -251,26 +251,81 @@ def whole_text_route(t: str):
         return None
     language = (RunDetection(t, sids, None).detect_language()
                 if script == T.ARABIC else None)
-    ucs = uniform_class_surrogate(t, script, language)
+    ucs = uniform_class_surrogate(t, script, language, cps=cps)
     if ucs is None:
         return None
     return script, language, ucs
 
 
-def uniform_class_surrogate(run: str, script: str,
-                            language: Optional[str]) -> Optional[str]:
-    """The run's ASCII class surrogate, or None when any char lacks a
-    proven mapping (scalar fallback). O(len) C-speed."""
-    import re
+_DENSE_INVALID = 0xFFFF
+_ALLOWED_CONTROLS = (0x09, 0x0A, 0x0D)  # \t \n \r pass the scalar scan
 
+
+@functools.lru_cache(maxsize=16)
+def _uniform_dense_class(script: str, language: Optional[str]):
+    """Dense uint16 codepoint -> class-char table for one numpy gather per
+    run (replaces the per-run dict translate, the dominant cost of the
+    uniform path). Semantics identical to translate + isascii + control
+    regex: unmapped ASCII is identity, disallowed controls and every
+    unmapped non-ASCII codepoint hit the INVALID sentinel."""
     tabs = uniform_tables(script, language)
     if tabs is None:
         return None
-    s = run.translate(tabs[0])
-    if s.isascii() and re.search(
-            r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", s) is None:
-        return s
-    return None
+    class_map = tabs[0]
+    size = max(max(class_map, default=127) + 1, 128)
+    dense = np.full(size, _DENSE_INVALID, dtype=np.uint16)
+    ascii_ids = np.arange(128, dtype=np.uint16)
+    dense[:128] = ascii_ids
+    for c in range(0x20):
+        if c not in _ALLOWED_CONTROLS:
+            dense[c] = _DENSE_INVALID
+    dense[0x7F] = _DENSE_INVALID
+    for cp, ch in class_map.items():
+        dense[cp] = ord(ch)
+    return dense
+
+
+_DEL_SENTINEL = np.uint32(0xFFFFFFFF)
+
+
+@functools.lru_cache(maxsize=16)
+def _uniform_dense_lemma(script: str, language: Optional[str]):
+    """Dense uint32 codepoint -> lemma-codepoint table (identity for
+    unmapped, sentinel for deleted marks) — the lemma buffer becomes one
+    gather + mask instead of a dict translate over the concatenated
+    batch."""
+    tabs = uniform_tables(script, language)
+    if tabs is None:
+        return None
+    lemma_map = tabs[1]
+    size = max(max(lemma_map, default=127) + 1, 128)
+    dense = np.arange(size, dtype=np.uint32)
+    for cp, v in lemma_map.items():
+        dense[cp] = _DEL_SENTINEL if v is None else ord(v)
+    return dense
+
+
+def uniform_class_surrogate(run: str, script: str,
+                            language: Optional[str],
+                            cps: Optional[np.ndarray] = None
+                            ) -> Optional[str]:
+    """The run's ASCII class surrogate, or None when any char lacks a
+    proven mapping (scalar fallback). One vectorized table gather over the
+    codepoint array (pass `cps` to reuse the router's); O(len)."""
+    dense = _uniform_dense_class(script, language)
+    if dense is None:
+        return None
+    if cps is None:
+        from .detection import codepoints
+
+        cps = codepoints(run)
+    if len(cps) == 0:
+        return ""
+    mapped = dense[np.minimum(cps, len(dense) - 1)]
+    mapped[cps >= len(dense)] = _DENSE_INVALID
+    if (mapped == _DENSE_INVALID).any():
+        return None
+    return mapped.astype(np.uint8).tobytes().decode("ascii")
 
 
 def _article_split(starts, ends, rows, tok_is_sep, cps):
@@ -312,13 +367,23 @@ def tokenize_uniform_batch(
         class_texts, cfg)
     big_orig = "".join(runs)
     deleted_cps = [cp for cp, v in lemma_map.items() if v is None]
-    cps = None
-    if (script == T.ARABIC and language in ("ara", "pes")) or deleted_cps:
-        cps = np.frombuffer(big_orig.encode("utf-32-le"), dtype=np.uint32)
+    cps = np.frombuffer(big_orig.encode("utf-32-le"), dtype=np.uint32)
     if script == T.ARABIC and language in ("ara", "pes") and len(starts):
         starts, ends, rows, tok_is_sep = _article_split(
             starts, ends, rows, tok_is_sep, cps)
-    lemma_big = big_orig.translate(lemma_map)
+    # lemma buffer: one dense-table gather (translate-equivalent: identity
+    # for unmapped codepoints, deletions masked out below)
+    dense_l = _uniform_dense_lemma(script, language)
+    oob = cps >= len(dense_l)
+    mapped = dense_l[np.minimum(cps, len(dense_l) - 1)]
+    if oob.any():
+        mapped[oob] = cps[oob]  # unmapped stays itself, like translate
+    del_mask_all = (mapped == _DEL_SENTINEL) if deleted_cps else None
+    if del_mask_all is not None and del_mask_all.any():
+        lemma_big = mapped[~del_mask_all].astype(
+            "<u4").tobytes().decode("utf-32-le")
+    else:
+        lemma_big = mapped.astype("<u4").tobytes().decode("utf-32-le")
     keep = ~tok_is_sep
     # classify() parity (classify.rs:20-69): a scanner-inert char forming
     # a chunk ALONE whose compat-decomposed form is a separator takes the
@@ -336,7 +401,7 @@ def tokenize_uniform_batch(
         # deletion-adjusted lemma offsets: lemma_big is SHORTER than the
         # class buffer wherever a deleted char (niqqud/harakat/ZWNJ) sat;
         # shift each boundary left by the deletions before it
-        del_mask = np.isin(cps, np.array(deleted_cps, dtype=np.uint32))
+        del_mask = del_mask_all
         shift = np.cumsum(del_mask)
         shift_excl = np.concatenate(([0], shift[:-1]))
         l_starts = w_starts - shift_excl[w_starts]
