@@ -174,6 +174,196 @@ PROFILES: dict[str, tuple[str, ...]] = {
         "ndo", "os ", "ero", "eir", "ir ", "ita", "ist", "sta", "te ",
         "ont", " pr", "pro", "pre", "res", "tra", " tr", "ram",
     ),
+    # ------------------------------------------------------------------
+    # round-5 inventory completion (VERDICT r4 "What's missing" #2): the
+    # remaining Latin languages of whatlang's enum
+    # (charabia/src/detection/script_language.rs:51-121). Same method as
+    # above: rank-ordered function-word / morphology trigrams.
+    # ------------------------------------------------------------------
+    "cat": (
+        " de", "de ", "del", " la", "la ", " el", "el ", "els", "ls ",
+        "les", "es ", " qu", "que", "ue ", " i ", " en", "en ", " un",
+        "un ", "una", "na ", " pe", "per", "er ", " am", "amb", "mb ",
+        "ció", "ió ", "aci", "ats", "at ", "tat", "ita", " to", "tot",
+        "ots", "ts ", " se", "ser", " co", "com", "om ", "men", "ent",
+        "nt ", "ant", "ar ", "ra ", " dr", "dre", "ret", "ets", " ha",
+        "han", "an ", " al", "als", "al ", "ons", "ion", " só", "són",
+        "ón ", " és", "és ", "seu", "eva", "int",
+    ),
+    "slk": (
+        " sa", "sa ", " na", "na ", " pr", "pre", "pri", "prá", "ráv",
+        " po", "po ", "ch ", "ých", "ého", "ho ", "ou ", " je", "je ",
+        " sú", "sú ", " do", "do ", "sť ", "osť", "ost", "ov ", "ia ",
+        "nia", "ani", " ro", "rod", " ob", "né ", "ná ", "ný ", " kt",
+        "kto", "tor", "orý", "rý ", " čo", "čo ", " ak", "ako", "ko ",
+        " za", "za ", "va ", "ava", "áva", "ať ", "iť ", "jú ", " ma",
+        "maj", "ajú", " sv", "svo", "voj", " ľu", "ľud", "udi", "dia",
+        "mi ", "ami", "om ", "ím ", "ti ",
+    ),
+    "hrv": (
+        " i ", " u ", " je", "je ", " se", "se ", " su", "su ", " da",
+        "da ", " na", "na ", " za", "za ", " pr", "pra", "rav", "avo",
+        "ava", " po", "pos", "ost", "sti", "ti ", " ko", "koj", "oji",
+        "oja", "ja ", "ji ", " sv", "sva", "svi", " im", "ima", "ma ",
+        "aju", "ju ", "nje", "anj", "enj", " dr", "dru", "rug", "ija",
+        "ije", "og ", "ega", "oga", "iti", "ati", "om ", "ama", " lj",
+        "lju", "jud", "udi", "di ", "ća ", "ića", " bi", "bić", " tr",
+        "tre", "reb", "eba", "ba ", " du", "duh", "uhu",
+    ),
+    "slv": (
+        " in", "in ", " je", "je ", " se", "se ", " so", "so ", " da",
+        "da ", " na", "na ", " za", "za ", " pr", "pra", "rav", "avi",
+        "vic", "ice", "ca ", "ce ", " po", "pos", "ost", "sti", " ki",
+        "ki ", " vs", "vsi", "vse", "si ", " im", "ima", "maj", "ajo",
+        "jo ", " lj", "lju", "jud", "udj", "dje", " me", "med", "ed ",
+        " bi", "bi ", " mo", "mor", "ora", "ral", "ali", "li ", " dr",
+        "dru", "rug", "ug ", " ka", "kak", "ako", "kor", "or ", "nja",
+        "anj", "enj", "ije", "jen", "em ", "om ", "ega", "ga ",
+    ),
+    "lit": (
+        " ir", "ir ", " yr", "yra", "ra ", " ka", "kad", "ad ", "kai",
+        "aip", "ip ", " su", "su ", " iš", "iš ", " ta", "tai", "ai ",
+        " ji", "jie", "ie ", " sa", "sav", "avo", "vo ", " vi", "vis",
+        "isi", "si ", "ien", "ena", "nas", "as ", "is ", "us ", "ūs ",
+        " te", "tei", "eis", "isė", "sės", "ės ", " la", "lai", "ais",
+        "isv", "svi", " ly", "lyg", "ygū", "gūs", " tu", "tur", "uri",
+        "ri ", "iai", "ių ", "ams", "mis", "omi", "ose", "uos", "os ",
+        "ti ", "yti", "tis", "žmo", "mon", "onė",
+    ),
+    "lav": (
+        " un", "un ", " ir", "ir ", " ar", "ar ", " uz", "uz ", " no",
+        "no ", " pa", "par", " ka", "kas", "as ", " ta", "tas", "tā ",
+        " sa", "sav", "avā", "vā ", " vi", "vis", "isi", "iņi", "ņi ",
+        "ņie", "iem", "em ", " ci", "cil", "ilv", "lvē", "vēk", "ēki",
+        "ki ", "itu", "tu ", " ti", "tie", "ies", "esī", "sīb", "ība",
+        "bas", "bām", "ām ", " br", "brī", "rīv", "īvi", "vi ", " pr",
+        "pre", "ret", "et ", "ai ", "ās ", "iba", "ina", "ika", "am ",
+        "ot ", "oti", "āk ", "āka",
+    ),
+    "est": (
+        " ja", "ja ", " on", "on ", " et", "et ", " ei", "ei ", " om",
+        "oma", "ma ", " kõ", "kõi", "õik", "ik ", " in", "ini", "nim",
+        "ime", "mes", "ese", "sed", "ed ", " na", "nad", "ad ", "nde",
+        "de ", " se", "see", "sel", "ell", "lle", "le ", " pe", "pea",
+        "eab", "ab ", " va", "vab", "aba", "ba ", " õi", "õig", "igu",
+        "gus", "us ", "st ", "ste", "te ", "ud ", "tud", "dus", "use",
+        "ses", "aks", "ks ", "ga ", "ega", "nna", "da ", "ada", "alt",
+        "lt ", "elt", "ust", "sus",
+    ),
+    "ind": (
+        " ya", "yan", "ang", "ng ", " da", "dan", "an ", " di", "di ",
+        " ke", "ke ", "kan", " de", "den", "eng", "gan", " pa", "pad",
+        "ada", "da ", " me", "mer", "men", "mem", " be", "ber", "era",
+        "ra ", " se", "sem", "sam", "ama", "ma ", "ua ", "mua", " or",
+        "ora", "ran", " ha", "hak", "ak ", "lah", "ah ", " at", "ata",
+        "tas", "as ", " sa", "sat", "atu", "tu ", "nya", "ya ", "aan",
+        "ita", " in", "ini", "ni ", "itu", "ara", "ari", "ri ", "ala",
+        "dal", "lam", "am ", "aka", "aha", "ela",
+    ),
+    "afr": (
+        " di", "die", "ie ", " en", "en ", " va", "van", "an ", " he",
+        "het", "et ", " is", "is ", " wa", "wat", "at ", " ni", "nie",
+        " om", "om ", " te", "te ", " in", "in ", " op", "op ", " me",
+        "met", " vi", "vir", "ir ", " hu", "hul", "ull", "lle", "le ",
+        " wo", "wor", "ord", "rd ", " ge", "geb", "ebo", "bor", "ore",
+        "re ", "eid", "id ", "hei", "ing", "ng ", "nde", "end", "eer",
+        "er ", "aar", "ar ", "oor", "or ", "ike", "ke ", "lik", " re",
+        "reg", "egt", "gte", "aan", "ees", "es ",
+    ),
+    "tgl": (
+        " an", "ang", "ng ", " ng", " mg", "mga", "ga ", " sa", "sa ",
+        " na", "na ", " at", "at ", " ay", "ay ", " it", "ito", "to ",
+        " si", "sil", "ila", "la ", " ma", "may", "mag", "pag", " pa",
+        "par", "ara", "pat", "apa", "kap", "ata", "lah", "aha", "hat",
+        " la", "kar", "rap", "ran", "nga", "gan", "an ", " ka", "kan",
+        "ala", "ya ", "iya", "nya", "aya", "awa", "baw", " ba", "hin",
+        "ind", "ndi", "di ", " hi", "tan", "aan", "ari", "rin", " ta",
+        "tao", "ao ", "ina", "nan",
+    ),
+    "lat": (
+        " et", "et ", " in", "in ", " es", "est", "st ", " no", "non",
+        "on ", " cu", "cum", "um ", " ad", "ad ", " ut", "ut ", " qu",
+        "qui", "uae", "ae ", "quo", "uod", "od ", "que", "ue ", " su",
+        "sun", "unt", "nt ", "ess", "sse", "se ", " om", "omn", "mne",
+        "nes", "es ", " ho", "hom", "omi", "min", "ine", "ini", "ibu",
+        "bus", "us ", "is ", "ius", "ure", "re ", "tat", "ate", "dig",
+        "ign", "gni", "nit", "ita", "tur", "ur ", "tis", "tio", "ion",
+        "oni", "rat", "ati", "eri", "ant", "ent", "ite", "ter",
+    ),
+    "tuk": (
+        " we", "we ", " bi", "bil", "ile", "len", "en ", " bo", "boý",
+        "ýun", "unç", "nça", "ça ", " öz", "öz ", "lar", "ler", "ar ",
+        "er ", "ýar", "ary", "ry ", "lyk", "yk ", "da ", "de ", "nda",
+        "nde", "dyr", "dir", "ir ", "yr ", " ad", "ada", "dam", "aml",
+        "mla", " he", "hem", "em ", "laý", "aý ", "ýda", " ga", "gar",
+        "ara", "raý", "aýy", "ýyş", "yş ", " do", "dog", "oga", "gan",
+        "anl", "nly", "ly ", "gul", "uly", "lyp", "yp ", "olm", "lma",
+        "mal", "aly", "dan", "den", "ini", "ni ",
+    ),
+    "jav": (
+        " ka", "kan", "ang", "ng ", " la", "lan", "an ", " sa", "sab",
+        "abe", "ben", " uw", "uwo", "won", "ong", " ma", "mar", "ard",
+        "rdi", "dik", "ika", "ka ", " pa", "pad", "adh", "dha", "ha ",
+        " ha", "hak", "ak ", "nga", "ing", " in", "ake", "ke ", "kal",
+        "ala", "lai", "air", "ira", "rak", " da", "dar", "arb", "rbe",
+        "be ", " ta", "tab", "aba", "bat", "at ", "nth", "thi", "hi ",
+        "ant", "nti", "ti ", "eni", "ni ", "ne ", "ené", "né ",
+        "ané", "saj", "aji", "ji ", "iji", "jin",
+    ),
+    "zul": (
+        " ab", "aba", "ban", "ant", "ntu", "tu ", " ba", "baz", "aza",
+        "zal", "alw", "lwa", "wa ", " bo", "bon", "onk", "nke", "ke ",
+        " be", "bek", "ekh", "khu", "hul", "ulu", "lul", "ule", "lek",
+        "eki", "kil", "ile", "le ", "eli", "lin", "ing", "nga", "gan",
+        "ana", "na ", "nge", "ges", "esi", "sit", "ith", "thu", "hun",
+        "unz", "nzi", "zi ", "ama", "mal", "alu", "lun", "ung", "gel",
+        "elo", "lo ", "uku", "ku ", " uk", " ng", "ngo", "kho", "ho ",
+        "oku", "omq", "ond", "ndo", "do ", "eza", "za ",
+    ),
+    "sna": (
+        " va", "van", "anh", "nhu", "hu ", "ano", "nob", "obe", "ber",
+        "ere", "rek", "ekw", "kwa", "wa ", " vo", "vos", "ose", "se ",
+        "aka", "kas", "asu", "sun", "unu", "nun", "ung", "guk", "uka",
+        "ka ", "enz", "nza", "zan", "ana", "na ", "kod", "odz", "dze",
+        "zer", "ero", "ro ", "dza", "zav", "avo", "vo ", "pfu", "fun",
+        "ngw", "gwa", "han", "ne ", " ne", "uye", "ye ", " ku", "kub",
+        "uba", "bat", "ata", "tan", " dz", "dzo", "zva", " zv", "iro",
+        "nhu", "chi", " ch", "ich", "sha",
+    ),
+}
+# fmt: on
+
+# ---------------------------------------------------------------------------
+# Devanagari hin/mar/nep disambiguation (same shape as CYRILLIC_PROFILES):
+# whatlang separates the three by trigrams; the script alone cannot.
+# ---------------------------------------------------------------------------
+
+# fmt: off
+DEVANAGARI_PROFILES: dict[str, tuple[str, ...]] = {
+    "hin": (
+        " है", "है ", " और", "और ", " के", "के ", " की", "की ", " का",
+        "का ", " को", "को ", "में", "ें ", " से", "से ", " ने",
+        "ने ", " पर", "पर ", "ों ", "या ", " कि", "कि ", "िए ", "ता ",
+        "ान ", " जा", "ाता", " हो", "हो ", "ार ", "ाव ", " उन", "उन्",
+        "न्ह", "्हे", "हें", " भी", "भी ", " यह", "यह ", "िक ", "ाएं",
+        " प्", "प्र", "्रा", " चा", "चाह", "ाहि", "हिए",
+    ),
+    "mar": (
+        " आह", "आहे", "हे ", " व ", " आण", "आणि", "णि ", "त्य", "्या",
+        "या ", "ांन", "ंना", "ना ", " सम", "समा", "मान", " सर", "सर्",
+        "र्व", " अस", "असे", "से ", "ची ", "चा ", "चे ", "ील ",
+        "ीत ", "ात ", "ाने", "ने ", "ता ", "त्व", "्वा", "ण्य", "यां",
+        "ांच", "ंच्", "च्य", " ला", "लाभ", " भा", "भाव", "ावन", "वने",
+        "नेन", "ेने", "ली ", "ेली", "करा", "राव", "ावे",
+    ),
+    "nep": (
+        " छ ", " र ", "को ", " को", "का ", "हरू", "रू ", "रूल", "ूले",
+        "ले ", "मा ", " मा", "लाई", "ाई ", " ला", "न् ", "ुन्", "हुन",
+        " हु", "ेको", "एको", "ोले", " नि", "निज", "िजह", "जहर",
+        " सब", "सबै", "बै ", "ैको", " गर", "गर्", "र्न", "्नु", "नु ",
+        " पर", "पर्", "र्छ", "्छ ", "बाट", "ाट ", " भा", "भात", "ातृ",
+        "त्व", "्वक", "वको",
+    ),
 }
 # fmt: on
 
@@ -186,24 +376,24 @@ LETTER_BONUS: dict[str, tuple[str, ...]] = {
     "ñ": ("spa",),
     "å": ("swe", "dan", "nob"),
     "ã": ("por",),
-    "õ": ("por",),
-    "è": ("fra",),  # also ita; fra dominates in practice
+    "õ": ("por", "est"),  # Estonian's õ is its hallmark vowel
+    "è": ("fra",),  # also ita/cat; fra dominates in practice
     "ê": ("fra",),
-    "à": ("fra",),
-    "ç": ("fra",),  # also por/tur; tie-broken by trigrams
+    "à": ("fra", "cat"),
+    "ç": ("fra", "cat"),  # also por/tur; tie-broken by trigrams
     "ù": ("fra",),
     "œ": ("fra",),
     # r4 additions (VERDICT r3 #6 inventory extension)
     "ł": ("pol",),
-    "ą": ("pol",),
-    "ę": ("pol",),
+    "ą": ("pol", "lit"),
+    "ę": ("pol", "lit"),
     "ś": ("pol",),
     "ź": ("pol",),
     "ż": ("pol",),
     "ř": ("ces",),
     "ě": ("ces",),
     "ů": ("ces",),
-    "ý": ("ces",),  # also isl/slk; within this inventory Czech-only
+    "ý": ("ces", "slk", "tuk"),
     "ș": ("ron",),
     "ț": ("ron",),
     "ă": ("ron",),
@@ -211,6 +401,33 @@ LETTER_BONUS: dict[str, tuple[str, ...]] = {
     "æ": ("dan", "nob"),
     "ő": ("hun",),
     "ű": ("hun",),
+    # r5 additions (VERDICT r4 missing #2: full whatlang Latin inventory)
+    "ľ": ("slk",),
+    "ĺ": ("slk",),
+    "ŕ": ("slk",),
+    "ô": ("slk", "fra"),  # Slovak vô-/stôl; also French circumflex
+    "ė": ("lit",),
+    "ų": ("lit",),
+    "į": ("lit",),
+    "ū": ("lit", "lav"),
+    "ā": ("lav",),
+    "ē": ("lav",),
+    "ī": ("lav",),
+    "ļ": ("lav",),
+    "ņ": ("lav",),
+    "ģ": ("lav",),
+    "ķ": ("lav",),
+    "ò": ("cat", "ita"),
+    "ŀ": ("cat",),  # l·l sometimes encoded with U+0140
+    "ž": ("hrv", "slv", "ces", "slk", "lit", "lav", "est", "tuk"),
+    "č": ("hrv", "slv", "ces", "slk", "lit", "lav"),
+    "š": ("hrv", "slv", "ces", "slk", "lit", "lav", "est"),
+    "ć": ("hrv", "pol"),  # also srp-Latin; within inventory hrv/pol
+    "đ": ("hrv",),  # shared with vie, but vie short-circuits first
+    "ň": ("ces", "slk", "tuk"),
+    "ä": ("deu", "swe", "fin", "est", "slk", "tuk"),
+    "ö": ("deu", "swe", "fin", "est", "tur", "hun", "aze", "tuk"),
+    "ü": ("deu", "est", "tur", "aze", "tuk"),
 }
 
 # ---------------------------------------------------------------------------

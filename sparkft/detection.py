@@ -60,6 +60,10 @@ _PERSIAN_MARKERS = frozenset(
     [0x67E, 0x686, 0x698, 0x6A9, 0x6AF, 0x6CC, 0x6C0] + list(range(0x6F0, 0x6FA))
 )
 _PERSIAN_MARKER_ARR = np.array(sorted(_PERSIAN_MARKERS), dtype=np.uint32)
+# Urdu-only letters: ٹ ڈ ڑ (retroflexes), ں (noon ghunna), ے (yeh barree),
+# ھ (heh doachashmee) — absent from both Arabic and Persian orthography
+_URDU_MARKER_ARR = np.array(
+    [0x679, 0x688, 0x691, 0x6BA, 0x6BE, 0x6D2], dtype=np.uint32)
 
 # language -> script, used to restrict allow_list candidates to the detected
 # script (whatlang's allowlist filter is script-scoped: a Thai run can never
@@ -79,12 +83,16 @@ _LANG_SCRIPT.update(
         "srp": T.CYRILLIC,
         "bel": T.CYRILLIC,
         "mkd": T.CYRILLIC,
+        "kaz": T.CYRILLIC,
+        "yid": T.HEBREW,
+        "mar": T.DEVANAGARI,
+        "nep": T.DEVANAGARI,
     }
 )
 for _latin_lang in (
     "eng deu fra spa ita por nld swe dan nor fin pol ces slk hun ron hrv slv "
     "est lav lit tur vie ind msa tgl cat epo isl afr sqi aze bos eus gle glg "
-    "mlt nob nno ltz"
+    "mlt nob nno ltz lat jav tuk aka zul sna uzb"
 ).split():
     _LANG_SCRIPT[_latin_lang] = T.LATIN
 
@@ -130,6 +138,50 @@ def _cyrillic_language(text: str) -> str:
     return "rus"
 
 
+def _devanagari_language(text: str) -> str:
+    """hin/mar/nep share the Devanagari script; whatlang separates them by
+    trigrams. ळ short-circuits to Marathi (standard Hindi orthography does
+    not use it); otherwise the trigram model with the usual gates, falling
+    back to Hindi (the script's whatlang-default)."""
+    low = text[:_LATIN_SAMPLE_CHARS]
+    if "ळ" in low:
+        return "mar"
+    # _word_re's [^\W\d_] drops combining matras/virama (category Mn/Mc),
+    # shattering Devanagari words — count trigrams over whole block runs
+    import re
+
+    global _deva_word_re
+    if _deva_word_re is None:
+        _deva_word_re = re.compile(r"[ऀ-ॣ॰-ॿ]+")
+    from collections import Counter
+
+    tri: Counter = Counter()
+    for w in _deva_word_re.findall(low):
+        p = f" {w} "
+        for i in range(len(p) - 2):
+            tri[p[i:i + 3]] += 1
+    if tri:
+        scores, hits = _score_profiles(
+            tri, _deva_trigram_weights(), ("hin", "mar", "nep"))
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        best, bs = ranked[0]
+        if bs > 0.0 and hits[best] >= 4 and bs >= 1.10 * ranked[1][1]:
+            return best
+    return "hin"
+
+
+def _deva_trigram_weights() -> dict[str, dict[str, int]]:
+    global _DEVA_TRIGRAM_WEIGHTS
+    try:
+        return _DEVA_TRIGRAM_WEIGHTS
+    except NameError:
+        pass
+    from ._trigrams import DEVANAGARI_PROFILES
+
+    _DEVA_TRIGRAM_WEIGHTS = _weights_of(DEVANAGARI_PROFILES)
+    return _DEVA_TRIGRAM_WEIGHTS
+
+
 # ---------------------------------------------------------------------------
 # Latin trigram language ID (whatlang's Cavnar–Trenkle model, reduced)
 # ---------------------------------------------------------------------------
@@ -148,17 +200,31 @@ def _cyrillic_language(text: str) -> str:
 # German and decompounding them with no allow_list).
 
 # written-language pairs too close for the absolute margin gate; membership
-# makes the gate compare against the best NON-group score instead
-_CONFUSABLE_GROUPS = (frozenset({"dan", "nob"}),)
+# makes the gate compare against the best NON-group score instead.
+# Latin shares its lexical core with its Romance daughters (est/que/in/um),
+# so lat-vs-Romance margins are structurally thin the same way dan/nob are.
+_CONFUSABLE_GROUPS = (
+    frozenset({"dan", "nob"}),
+    frozenset({"lat", "fra", "spa", "por", "ita", "cat", "ron"}),
+    frozenset({"hrv", "slv"}),
+    frozenset({"ces", "slk"}),
+)
 
 # ă dropped from the marker set: Romanian shares it (whatlang resolves the
 # overlap with trigrams; the U+1EA0-1EF9 tone-mark block below is the
-# reliable Vietnamese-only signal, and ơ/ư/đ stay unique in this inventory)
-_VIE_EXTRA = frozenset("ơưđ")
-_TUR_MARKERS = frozenset("ğış")
+# reliable Vietnamese-only signal, and ơ/ư stay unique in this inventory).
+# đ dropped in r5: Croatian/Latin-Serbian use it too (rađaju) — real
+# Vietnamese prose always carries tone-marked vowels or ơ/ư anyway.
+_VIE_EXTRA = frozenset("ơư")
+# ş dropped in r5: Turkmen shares it (garaýyş) — ğ and dotless ı remain
+# Turkish-only, and no real Turkish sentence lacks ı
+_TUR_MARKERS = frozenset("ğı")
+_EPO_MARKERS = frozenset("ĉĝĥĵŝŭ")
+_AKA_MARKERS = frozenset("ɛɔ")
 _DEU_LETTERS = frozenset("äöüß")
 _LATIN_SAMPLE_CHARS = 400  # whatlang-style bounded sample per run
 _word_re = None  # compiled lazily (module import stays light)
+_deva_word_re = None
 
 
 def _weights_of(profiles: dict[str, tuple]) -> dict[str, dict[str, int]]:
@@ -257,8 +323,21 @@ def detect_latin_language(text: str,
     chars = set(low)
     if chars & _VIE_EXTRA or any(0x1EA0 <= ord(c) <= 0x1EF9 for c in chars):
         return "vie" if (allowed is None or "vie" in allowed) else None
+    # Azerbaijani before Turkish: aze text carries ı/ğ/ş too, but schwa (ə)
+    # exists in no other Latin orthography of this inventory. Marker
+    # languages without trigram profiles demand REPEATED evidence (two
+    # occurrences / two distinct letters): a single quoted foreign word or
+    # IPA fragment ("lŭtum", "ə") must not hijack the whole run.
+    if low.count("ə") >= 2:
+        return "aze" if (allowed is None or "aze" in allowed) else None
     if chars & _TUR_MARKERS:
         return "tur" if (allowed is None or "tur" in allowed) else None
+    if len(chars & _EPO_MARKERS) >= 2:  # ĉ/ĝ/ĥ/ĵ/ŝ/ŭ circumflexes
+        return "epo" if (allowed is None or "epo" in allowed) else None
+    if len(chars & _AKA_MARKERS) == 2:  # both ɛ AND ɔ: Akan's open vowels
+        return "aka" if (allowed is None or "aka" in allowed) else None
+    if low.count("ʻ") >= 2:  # U+02BB okina: Uzbek Latin's oʻ/gʻ
+        return "uzb" if (allowed is None or "uzb" in allowed) else None
 
     weights = _trigram_weights()
     langs = [l for l in weights if allowed is None or l in allowed]
@@ -404,8 +483,21 @@ class RunDetection:
             kana = bool(((cps >= 0x3040) & (cps <= 0x30FF)).any())
             lang = "jpn" if kana else "cmn"
         elif script == T.ARABIC:
-            lang = ("pes" if bool(np.isin(cps, _PERSIAN_MARKER_ARR).any())
-                    else "ara")
+            # Urdu first: Urdu text also carries the Persian letters, but
+            # its own retroflex/yeh-barree forms exist in neither ara nor pes
+            if bool(np.isin(cps, _URDU_MARKER_ARR).any()):
+                lang = "urd"
+            elif bool(np.isin(cps, _PERSIAN_MARKER_ARR).any()):
+                lang = "pes"
+            else:
+                lang = "ara"
+        elif script == T.HEBREW:
+            # Yiddish's digraph ligatures (װ ױ ײ, U+05F0-05F2) exist only in
+            # Yiddish orthography; Hebrew never uses them
+            lang = ("yid" if bool(((cps >= 0x5F0) & (cps <= 0x5F2)).any())
+                    else "heb")
+        elif script == T.DEVANAGARI:
+            lang = _devanagari_language(self.text)
         elif script == T.CYRILLIC:
             lang = _cyrillic_language(self.text)
         elif script == T.LATIN:
