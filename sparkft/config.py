@@ -122,7 +122,10 @@ DEFAULT_CONFIG = TokenizerConfig()
 # this guard (no fingerprint recorded) pass unchecked.
 # ---------------------------------------------------------------------------
 
-TOKENIZER_BEHAVIOR_VERSION = 2  # r4: camelCase digit/symbol+Upper+lower fix
+# r5: Urdu detection (urd has no registered Arabic-script segmenter, so
+# Urdu runs leave the ال-split path — reference parity: charabia registers
+# ArabicSegmenter for ara/pes only and whatlang detects urd)
+TOKENIZER_BEHAVIOR_VERSION = 3
 
 # digest cache keyed by (path, mtime_ns, size) — injected CJK dictionaries
 # run to several MB and fingerprints are computed per build/reader, not once
