@@ -186,8 +186,14 @@ def segment_arabic(s: str) -> list[str]:
 
 
 class Trie:
-    """Byte-trie with longest-prefix lookup (port of fst longest-prefix walk,
-    charabia/src/segmenter/utils.rs:80-97)."""
+    """Character-trie with longest-prefix lookup (port of fst longest-prefix
+    walk, charabia/src/segmenter/utils.rs:80-97). Keyed by CHARACTERS, not
+    UTF-8 bytes: the reference walks the fst byte-by-byte, but a Python
+    dict hop costs the same for a char as for a byte, so char keys cut the
+    walk to 1/3 the hops on 3-byte scripts (Thai/Khmer) and drop the
+    byte<->char offset bookkeeping from the cursor entirely. Match lengths
+    agree with the byte walk because UTF-8 prefixes align with char
+    prefixes."""
 
     __slots__ = ("root",)
 
@@ -197,20 +203,20 @@ class Trie:
             if not w:
                 continue
             node = root
-            for b in w.encode("utf-8"):
-                node = node.setdefault(b, {})
+            for ch in w:
+                node = node.setdefault(ch, {})
             node[True] = True  # final marker
         self.root = root
 
-    def longest_prefix_len(self, data: bytes, start: int = 0) -> int:
-        """Length in bytes of the longest dict word that is a prefix of
-        data[start:]; 0 if none."""
+    def longest_prefix_len(self, s: str, start: int = 0) -> int:
+        """Length in chars of the longest dict word that is a prefix of
+        s[start:]; 0 if none."""
         node = self.root
         best = 0
         i = start
-        n = len(data)
+        n = len(s)
         while i < n:
-            node = node.get(data[i])
+            node = node.get(s[i])
             if node is None:
                 break
             i += 1
@@ -221,67 +227,44 @@ class Trie:
 
 class FstLikeSegmenter:
     """Port of `FstSegmenter` + `SegmentationCursor`
-    (charabia/src/segmenter/utils.rs:19-57,123-199)."""
+    (charabia/src/segmenter/utils.rs:19-57,123-199), in char offsets.
+
+    One deviation from the literal cursor loop, output-invariant: when a
+    match terminates a buffered unknown run, the reference flushes the
+    buffer and RE-FINDS the same match on the next loop iteration
+    (utils.rs:137-147); the trie is deterministic, so we emit the match
+    immediately and skip the second walk."""
 
     def __init__(self, trie: Trie, max_char_count: Optional[int]):
         self.trie = trie
         self.max_char_count = max_char_count
 
     def segment(self, s: str) -> list[str]:
-        data = s.encode("utf-8")
-        # map byte offset -> char offset for slicing
         out: list[str] = []
-        offset = 0  # byte offset
+        offset = 0
         buf_head: Optional[int] = None
-        n = len(data)
-        # precompute byte->char index only if non-ascii
-        if len(data) != len(s):
-            byte_to_char: dict[int, int] = {}
-            b = 0
-            for ci, ch in enumerate(s):
-                byte_to_char[b] = ci
-                b += len(ch.encode("utf-8"))
-            byte_to_char[b] = len(s)
-
-            def sl(a: int, z: int) -> str:
-                return s[byte_to_char[a]: byte_to_char[z]]
-        else:
-            def sl(a: int, z: int) -> str:
-                return s[a:z]
-
-        def char_len_at(off: int) -> int:
-            b0 = data[off]
-            if b0 < 0x80:
-                return 1
-            if b0 < 0xE0:
-                return 2
-            if b0 < 0xF0:
-                return 3
-            return 4
-
-        while True:
-            if offset >= n:
-                if buf_head is not None and buf_head < offset:
-                    out.append(sl(buf_head, offset))
-                return out
-            mlen = self.trie.longest_prefix_len(data, offset)
+        n = len(s)
+        lpl = self.trie.longest_prefix_len
+        maxc = self.max_char_count
+        while offset < n:
+            mlen = lpl(s, offset)
             if mlen:
                 if buf_head is not None:
-                    # flush buffer first; the match is re-found next loop
                     if buf_head < offset:
-                        out.append(sl(buf_head, offset))
+                        out.append(s[buf_head:offset])
                     buf_head = None
-                else:
-                    out.append(sl(offset, offset + mlen))
-                    offset += mlen
+                out.append(s[offset: offset + mlen])
+                offset += mlen
             else:
                 if buf_head is None:
                     buf_head = offset
-                offset += char_len_at(offset)
-                if self.max_char_count is not None:
-                    if len(sl(buf_head, offset)) >= self.max_char_count:
-                        out.append(sl(buf_head, offset))
-                        buf_head = None
+                offset += 1
+                if maxc is not None and offset - buf_head >= maxc:
+                    out.append(s[buf_head:offset])
+                    buf_head = None
+        if buf_head is not None and buf_head < offset:
+            out.append(s[buf_head:offset])
+        return out
 
 
 def _load_words(name: str) -> list[str]:
@@ -367,46 +350,56 @@ class ChineseSegmenter:
         # max_len slices at every position — the dominant cost for large
         # injected dictionaries whose max_len far exceeds the typical
         # extension depth
-        pfx: set[str] = set()
+        # Single combined probe table (jieba's gen_pfdict shape): every
+        # strict prefix of every word maps to None (freq-0 sentinel), every
+        # word to its precomputed log-probability. The DAG scan then pays
+        # ONE slice+hash per fragment instead of three (freqs membership,
+        # prefix-liveness, and the DP's logp re-slice) — the fragment
+        # hashing was the dominant cut cost.
+        probe: dict[str, Optional[float]] = {}
         for w in freqs:
             for i in range(1, len(w)):
-                pfx.add(w[:i])
-        self._prefixes = pfx
-        # log-probabilities precomputed once: the route DP probes one per
-        # DAG edge, and math.log per probe was ~30% of the cut
-        self._logp = {w: math.log(f) - self.logtotal
-                      for w, f in freqs.items()}
+                probe.setdefault(w[:i], None)
+        for w, f in freqs.items():
+            probe[w] = math.log(f) - self.logtotal
+        self._probe = probe
         self._logp_miss = -self.logtotal  # log(1) - log(total)
 
     def _cut_dag_no_hmm(self, sentence: str) -> list[str]:
         n = len(sentence)
         if n == 0:
             return []
-        freqs = self.freqs
-        prefixes = self._prefixes
-        logp = self._logp
+        probe = self._probe
         miss = self._logp_miss
         kmax = self.max_len
-        dag: list[list[int]] = []
+        # dag[k] = [(j, logp), ...] — edge end + edge weight captured during
+        # the scan so the route DP never re-slices the sentence
+        dag: list[list[tuple[int, float]]] = []
         for k in range(n):
-            ends = []
+            ends: list[tuple[int, float]] = []
             jmax = min(n, k + kmax)
             for j in range(k + 1, jmax + 1):
-                frag = sentence[k:j]
-                if frag in freqs:
-                    ends.append(j)
-                if frag not in prefixes:
-                    break  # no longer word starts with frag: stop extending
+                e = probe.get(sentence[k:j], False)
+                if e is not None:
+                    if e is False:
+                        break  # not a word, not a live prefix: stop
+                    ends.append((j, e))
             if not ends:
-                ends.append(k + 1)
+                ends.append((k + 1, miss))
             dag.append(ends)
         # route DP, jieba tie-break preserved: equal value -> larger j wins
         val = [0.0] * (n + 1)
         nxt = [0] * (n + 1)
         for k in range(n - 1, -1, -1):
+            ends = dag[k]
+            if len(ends) == 1:
+                j, lp = ends[0]
+                val[k] = lp + val[j]
+                nxt[k] = j
+                continue
             bv, bj = None, k + 1
-            for j in dag[k]:
-                v = logp.get(sentence[k:j], miss) + val[j]
+            for j, lp in ends:
+                v = lp + val[j]
                 if bv is None or v > bv or (v == bv and j > bj):
                     bv, bj = v, j
             val[k] = bv
@@ -497,15 +490,23 @@ class LatticeSegmenter:
         self.conn = conn
         self.default_conn = default_conn
         self.max_len = max((len(w) for w in lexicon), default=1)
-        # same prefix-dict trick as ChineseSegmenter (jieba.gen_pfdict):
-        # the lattice scan extends a candidate word only while it is still
-        # a live prefix of some lexicon entry, instead of probing max_len
-        # slices at every position
-        pfx: set[str] = set()
+        # same combined probe table as ChineseSegmenter (jieba.gen_pfdict):
+        # strict prefixes map to None, lexicon words to their entry tuple —
+        # the lattice scan pays one slice+hash per candidate instead of two
+        probe: dict[str, Optional[tuple]] = {}
         for w in lexicon:
             for i in range(1, len(w)):
-                pfx.add(w[:i])
-        self._prefixes = pfx
+                probe.setdefault(w[:i], None)
+        for w, entries in lexicon.items():
+            probe[w] = tuple(entries)
+        self._probe = probe
+        # per-source-tag connection rows: the Viterbi inner loop replaces a
+        # tuple-key dict probe (one tuple allocation per edge) with a hoisted
+        # row + plain-key probe
+        conn_from: dict[str, dict[str, int]] = {}
+        for (a, b), c in conn.items():
+            conn_from.setdefault(a, {})[b] = c
+        self._conn_from = conn_from
 
     def _conn(self, a: str, b: str) -> int:
         return self.conn.get((a, b), self.default_conn)
@@ -532,23 +533,31 @@ class LatticeSegmenter:
         # dp[i]: {tag: (cost, start, word, prev_tag)} best path covering s[:i]
         dp: list[dict] = [dict() for _ in range(n + 1)]
         dp[0]["BOS"] = (0, -1, "", "")
+        probe = self._probe
+        conn_from = self._conn_from
+        dflt = self.default_conn
+        empty_row: dict[str, int] = {}
         for i in range(n):
-            if not dp[i]:
+            di = dp[i]
+            if not di:
                 continue
             nodes = []
-            lex = self.lexicon
-            prefixes = self._prefixes
             for l in range(1, min(self.max_len, n - i) + 1):
                 w = s[i: i + l]
-                for pos, cost in lex.get(w, ()):
+                e = probe.get(w, False)
+                if e is None:
+                    continue  # live prefix, no entry yet: keep extending
+                if e is False:
+                    break  # no lexicon entry starts here: stop extending
+                for pos, cost in e:
                     nodes.append((i + l, pos, cost, w))
-                if w not in prefixes:
-                    break  # no lexicon entry starts with w: stop extending
             ue, upos, ucost = self._unknown_node(s, i)
             nodes.append((ue, upos, ucost, s[i:ue]))
-            for prev_tag, (pcost, *_rest) in dp[i].items():
+            for prev_tag, pentry in di.items():
+                pcost = pentry[0]
+                row = conn_from.get(prev_tag, empty_row)
                 for j, pos, cost, w in nodes:
-                    total = pcost + self._conn(prev_tag, pos) + cost
+                    total = pcost + row.get(pos, dflt) + cost
                     cur = dp[j].get(pos)
                     if cur is None or total < cur[0]:
                         dp[j][pos] = (total, i, w, prev_tag)
