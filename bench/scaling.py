@@ -126,6 +126,58 @@ def run_level(cpus: int, corpus_path: str, shards: int, apc: bool = False,
     raise SystemExit(f"no RESULT from local[{cpus}] run")
 
 
+PROBE_WORKER = r"""
+import sys, time
+sys.path.insert(0, {root!r})
+
+def tok_task(_):
+    from sparkft.config import DEFAULT_CONFIG
+    from sparkft.tokenizer import tokenize_batch
+    texts = [("word%d merge sort stream filter value index " % i) * 12
+             for i in range(800)]
+    tokenize_batch(texts, DEFAULT_CONFIG, words_only=True)
+    return 0
+
+import multiprocessing as mp
+if __name__ == "__main__":
+    procs = {procs}
+    with mp.Pool(procs) as pool:
+        pool.map(tok_task, range(procs))  # warm (imports, allocator)
+        t0 = time.time()
+        pool.map(tok_task, range(48))
+        dt = time.time() - t0
+    print("RESULT " + str(dt))
+"""
+
+
+def _probe_leg(procs: int) -> float:
+    code = PROBE_WORKER.format(root=ROOT, procs=procs)
+    cmd = ["taskset", "-c", f"0-{procs - 1}", sys.executable, "-c", code]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return float(line[len("RESULT "):])
+    sys.stderr.write(out.stderr[-2000:])
+    raise SystemExit(f"no RESULT from probe x{procs}")
+
+
+# Pre-stated clean-pair criterion (declared here, before any run, so the
+# clean-pair headline cannot be a post-hoc selection): a pair is CLEAN iff
+# every boundary probe bracketing its two legs reads >= CLEAN_PROBE. The
+# probe is the engine's own tokenize kernel (bandwidth-sensitive — the
+# resource the host's drift actually degrades; pure-CPU spin stays >= 0.9
+# even in windows where the tokenize ceiling drops to 0.7) driven by plain
+# multiprocessing, pinned exactly like the legs, no Spark.
+CLEAN_PROBE = 0.85
+
+
+def boundary_probe() -> float:
+    """2->8 host-ceiling reading (~15 s) taken at leg boundaries."""
+    w2 = _probe_leg(2)
+    w8 = _probe_leg(8)
+    return round(w2 / (4.0 * w8), 3)
+
+
 def wait_for_idle_host(max_load: float = 2.0, tries: int = 30,
                        sleep_s: int = 20) -> float:
     """Precondition: don't start a measured leg on a busy host. Returns the
@@ -215,11 +267,14 @@ spark.stop()
     for i in range(pairs):
         for cpus in (2, 8):
             load = wait_for_idle_host()
-            print(f"pair {i + 1}/{pairs}: local[{cpus}] (load {load:.2f})...",
-                  file=sys.stderr)
+            probe_before = boundary_probe()
+            print(f"pair {i + 1}/{pairs}: local[{cpus}] (load {load:.2f}, "
+                  f"probe {probe_before})...", file=sys.stderr)
             r = run_level(cpus, corpus_path, shards=2, apc=apc, pin=pin)
             r["pair"] = i + 1
             r["load_at_start"] = round(load, 2)
+            r["probe_before"] = probe_before
+            r["probe_after"] = boundary_probe()
             print(json.dumps(r), file=sys.stderr)
             legs.append(r)
     # one local[32] leg for the 16N row (context, not the headline)
@@ -235,6 +290,20 @@ spark.stop()
         round(b["docs_per_sec"] / (4.0 * a["docs_per_sec"]), 3)
         for a, b in zip(by_level[2], by_level[8])
     ]
+    # clean-pair headline under the pre-stated CLEAN_PROBE criterion
+    pair_probe_min = [
+        min(a["probe_before"], a["probe_after"],
+            b["probe_before"], b["probe_after"])
+        for a, b in zip(by_level[2], by_level[8])
+    ]
+    clean_idx = [k for k, m in enumerate(pair_probe_min)
+                 if m >= CLEAN_PROBE]
+    if clean_idx:
+        cmed2 = _median([by_level[2][k]["docs_per_sec"] for k in clean_idx])
+        cmed8 = _median([by_level[8][k]["docs_per_sec"] for k in clean_idx])
+        clean_eff = round(cmed8 / (4.0 * cmed2), 3)
+    else:
+        cmed2 = cmed8 = clean_eff = None
     eff_8_32 = r32["docs_per_sec"] / (4.0 * med8)
     summary = {
         "n_docs": n_docs,
@@ -243,6 +312,10 @@ spark.stop()
         "median_docs_per_sec_local8": med8,
         "scaling_efficiency_N_to_4N_median": round(eff, 3),
         "per_pair_efficiencies": pair_effs,
+        "pair_probe_min": pair_probe_min,
+        "clean_probe_threshold": CLEAN_PROBE,
+        "clean_pairs": [k + 1 for k in clean_idx],
+        "scaling_efficiency_clean_pairs": clean_eff,
         "local32": r32,
         "scaling_efficiency_N8_to_N32": round(eff_8_32, 3),
         "legs": legs,
@@ -251,9 +324,18 @@ spark.stop()
 
     rows = "\n".join(
         f"| {r['pair']} | local[{r['cpus']}] | {r['wall_s']} | "
-        f"{r['docs_per_sec']} | {r['skew_ratio']} | {r['load_at_start']} |"
+        f"{r['docs_per_sec']} | {r['skew_ratio']} | {r['load_at_start']} | "
+        f"{r['probe_before']} | {r['probe_after']} |"
         for r in legs
     )
+    if clean_eff is not None:
+        clean_block = f"""**Clean-pair headline: N -> 4N efficiency =
+{cmed8} / (4 x {cmed2}) = {clean_eff}** over pairs {[k + 1 for k in clean_idx]}
+(of {pairs}), {"(PASS >= 0.8)" if clean_eff >= 0.8 else "(below 0.8)"}."""
+    else:
+        clean_block = ("**No pair ran fully clean** under the criterion — "
+                       "the all-pairs number above is the only headline "
+                       "this window supports.")
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
     md = f"""# BENCH/SCALING_RUN.md — protocol scaling run
 
@@ -280,12 +362,26 @@ docs/sec)) = {med8} / (4 x {med2}) = {round(eff, 3)}**
 
 Per-pair efficiencies (spread): {pair_effs}
 
+## Boundary probes + clean-pair headline
+
+Every leg is bracketed by a ~15 s host-ceiling probe: the engine's own
+tokenize kernel (bandwidth-sensitive, the resource this host's drift
+actually degrades; pure-CPU spin stays >= 0.9 even in windows where the
+tokenize ceiling drops to 0.7) at 2 vs 8 pinned processes, plain
+multiprocessing, no Spark. The clean-pair criterion is DECLARED IN THE
+HARNESS before any run (bench/scaling.py CLEAN_PROBE): a pair is clean iff
+all four probes bracketing its two legs read >= {CLEAN_PROBE}.
+
+Per-pair probe minima: {pair_probe_min} -> clean pairs {[k + 1 for k in clean_idx]}
+
+{clean_block}
+
 ## Per-leg table
 
-| pair | parallelism | wall (s) | docs/sec | skew ratio | loadavg at start |
-|---|---|---|---|---|---|
+| pair | parallelism | wall (s) | docs/sec | skew ratio | loadavg at start | probe before | probe after |
+|---|---|---|---|---|---|---|---|
 {rows}
-| - | local[32] (16N) | {r32['wall_s']} | {r32['docs_per_sec']} | {r32['skew_ratio']} | {r32['load_at_start']} |
+| - | local[32] (16N) | {r32['wall_s']} | {r32['docs_per_sec']} | {r32['skew_ratio']} | {r32['load_at_start']} | - | - |
 
 local[8] -> local[32] efficiency = {round(eff_8_32, 3)}. The 16N step is
 capped by the sandbox host, not the engine: a pure-CPU spin benchmark on this
