@@ -145,6 +145,39 @@ def tokenize_str(
     return out
 
 
+def _word_lemmas(
+    text: str,
+    cfg: TokenizerConfig,
+    chinese: Optional[ChineseSegmenter] = None,
+    memo: Optional[dict] = None,
+) -> list[str]:
+    """Words-only scalar tokenize: ordered word/stop-word lemmas with no
+    Token construction and no char/byte offset accounting (the batch TF
+    path never reads either). `memo` is an optional per-batch cache keyed
+    by (segment, script, language): normalize_lemma is pure for a fixed
+    cfg, and word repetition in natural text (Zipf) makes the hit rate
+    high — the memo lives for one batch call, so it cannot grow beyond
+    the batch's vocabulary or leak across configs."""
+    out: list[str] = []
+    if memo is None:
+        for seg, script, language, _ in _segments(text, cfg, chinese):
+            lemma, kind = normalize_lemma(seg, script, language, cfg)
+            if lemma and kind in (WORD, STOP_WORD):
+                out.append(lemma)
+        return out
+    get = memo.get
+    for seg, script, language, _ in _segments(text, cfg, chinese):
+        key = (seg, script, language)
+        r = get(key)
+        if r is None:
+            r = normalize_lemma(seg, script, language, cfg)
+            memo[key] = r
+        lemma, kind = r
+        if lemma and kind in (WORD, STOP_WORD):
+            out.append(lemma)
+    return out
+
+
 def reconstruct(
     text: str,
     cfg: TokenizerConfig = DEFAULT_CONFIG,
@@ -205,6 +238,7 @@ def tokenize_words_arrow(
     slow_rows: list[int] = []
     slow_lemmas: list[str] = []
     uni: dict = {}  # (script, lang) -> (runs, class_surrogates, rows)
+    norm_memo: dict = {}  # per-batch normalize cache (see _word_lemmas)
     for i, t in enumerate(texts):
         if t is None or not t:
             continue
@@ -257,15 +291,13 @@ def tokenize_words_arrow(
                             g[1].append(ucs)
                             g[2].append(i)
                             continue
-                for tok in tokenize_str(run, cfg):
-                    if tok.kind in (WORD, STOP_WORD) and tok.lemma:
-                        slow_rows.append(i)
-                        slow_lemmas.append(tok.lemma)
+                for lemma in _word_lemmas(run, cfg, memo=norm_memo):
+                    slow_rows.append(i)
+                    slow_lemmas.append(lemma)
             continue
-        for tok in tokenize_str(t, cfg):
-            if tok.kind in (WORD, STOP_WORD) and tok.lemma:
-                slow_rows.append(i)
-                slow_lemmas.append(tok.lemma)
+        for lemma in _word_lemmas(t, cfg, memo=norm_memo):
+            slow_rows.append(i)
+            slow_lemmas.append(lemma)
 
     parts_rows = []
     parts_words = []
@@ -317,17 +349,23 @@ def tokenize_batch(
     fast_texts: list[str] = []
     fast_meta: list[tuple[int, int]] = []
     uni: dict = {}  # (script, lang) -> (runs, class_surrogates, metas)
+    norm_memo: dict = {}  # per-batch normalize cache (see _word_lemmas)
 
     def scalar_piece(i: int, seq: int, t: str) -> None:
-        for tok in tokenize_str(t, cfg):
-            # words_only also drops fully-deleted lemmas (e.g. a lone
-            # combining mark normalizes to ''): the index path
-            # (tokenize_words_arrow) never emits them, and the oracle
-            # must count the same tokens per doc
-            if not words_only or (tok.kind in (WORD, STOP_WORD) and tok.lemma):
+        # words_only also drops fully-deleted lemmas (e.g. a lone
+        # combining mark normalizes to ''): the index path
+        # (tokenize_words_arrow) never emits them, and the oracle
+        # must count the same tokens per doc
+        if words_only:
+            for lemma in _word_lemmas(t, cfg, memo=norm_memo):
                 out_rows.append(i)
                 out_seqs.append(seq)
-                out_lemmas.append(tok.lemma)
+                out_lemmas.append(lemma)
+            return
+        for tok in tokenize_str(t, cfg):
+            out_rows.append(i)
+            out_seqs.append(seq)
+            out_lemmas.append(tok.lemma)
 
     for i, t in enumerate(texts):
         if t is None or not t:
