@@ -273,6 +273,29 @@ def _tokenize_doc_lengths(spark, sf_dir):
     )
 
 
+def _tokenizer_settings_tokenize(spark, sf_dir):
+    """Meilisearch v1.4 separatorTokens through the distributed tokenize
+    stage: rewrite every space to '|' (NOT a default separator —
+    'foo|bar' is ONE default token), tokenize under
+    IndexSettings(separator_tokens=('|',)).tokenizer_config(), and count
+    tokens per doc. The custom separator must recover exactly the
+    space-split token count the oracle computes — charabia builder
+    parity (tokenizer.rs:341-375 merged automaton) end to end."""
+    from sparkft.service import IndexSettings
+    from sparkft.spark_util import ensure_parallelism
+
+    cfg = IndexSettings(separator_tokens=("|",)).tokenizer_config()
+    fn = make_tokenize_arrow_fn(cfg, "text", emit_sha=False)
+    piped = _docs(spark, sf_dir).select(
+        "doc_id", F.regexp_replace("text", " ", "|").alias("text"))
+    return (
+        ensure_parallelism(piped)
+        .mapInArrow(fn, POSTINGS_SCHEMA)
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("n_tokens"))
+    )
+
+
 def _term_frequencies(spark, sf_dir):
     return (
         _postings(spark, sf_dir)
@@ -3282,6 +3305,7 @@ def _stale_first(entries: dict) -> dict:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _stale_first({
         "tokenize_doc_lengths": _tokenize_doc_lengths,
+        "tokenizer_settings_tokenize": _tokenizer_settings_tokenize,
         "term_frequencies": _term_frequencies,
         "doc_term_tf": _doc_term_tf,
         "bm25_topk": _bm25_topk,
@@ -3382,6 +3406,8 @@ def oracle_sql() -> dict[str, str]:
         "filter_expr_engine_topk": _filter_expr_sql(""),
         "facet_search_values": _facet_search_sql(""),
         "tokenize_doc_lengths": f"SELECT doc_id, count(*) AS n_tokens FROM ({_SQL_TOKS}) GROUP BY doc_id",
+        # the custom '|' separator recovers the space-split stream exactly
+        "tokenizer_settings_tokenize": f"SELECT doc_id, count(*) AS n_tokens FROM ({_SQL_TOKS}) GROUP BY doc_id",
         "term_frequencies": f"SELECT token, sum(tf)::BIGINT AS cnt, count(*) AS df FROM ({_SQL_POSTINGS}) GROUP BY token",
         "doc_term_tf": _SQL_POSTINGS,
         "bm25_topk": _bm25_topk_sql(""),

@@ -126,7 +126,8 @@ def main() -> int:
     timed("df_token_dict_prep",
           lambda: entry._token_dictionary(spark, sf_dir).count())
     headline = [
-        "tokenize_doc_lengths", "term_frequencies", "bm25_topk",
+        "tokenize_doc_lengths", "tokenizer_settings_tokenize",
+        "term_frequencies", "bm25_topk",
         "bm25_engine_topk", "phrase_match",
         "dedup_exact", "minhash_signatures", "lsh_band_buckets",
         "ngram_jaccard_pairs", "dedup_clusters", "simhash",

@@ -82,6 +82,40 @@ class IndexSettings:
     # Meilisearch v1.3 sortFacetValuesBy: facetDistribution value order —
     # 'alpha' (default) or 'count' (desc, value asc tie-break)
     sort_facet_values_by: str = "alpha"
+    # Meilisearch v1.4 tokenizer customization (charabia builder parity:
+    # tokenizer.rs:341-375 merges custom separators and a words dict into
+    # the segmentation automaton). These are INDEX-side settings: they
+    # change the lemma stream, so they feed the tokenizer contract
+    # fingerprint via tokenizer_config() and a store built under different
+    # values refuses to serve (IndexReader.verify_config fail-fast), same
+    # as any other tokenization change.
+    separator_tokens: tuple = ()  # ADDED to the default separator set
+    non_separator_tokens: tuple = ()  # REMOVED from the default set
+    # words segmented as single tokens (words_dict). Matches RAW text —
+    # the dict merges into the segmentation automaton, which runs BEFORE
+    # normalization (charabia tokenizer.rs:341-375) — so entries are
+    # case/diacritic-sensitive: ("J. R. R.",) matches "J. R. R.", not
+    # "j. r. r.".
+    dictionary: tuple = ()
+
+    def tokenizer_config(self, base: TokenizerConfig = None) -> TokenizerConfig:
+        """The TokenizerConfig these settings imply, layered over `base`
+        (default DEFAULT_CONFIG). No-op when all three tokenizer settings
+        are empty — callers can apply it unconditionally."""
+        cfg = base if base is not None else DEFAULT_CONFIG
+        if not (self.separator_tokens or self.non_separator_tokens
+                or self.dictionary):
+            return cfg
+        from ._tables import default_separators
+
+        seps = cfg.separators if cfg.separators is not None \
+            else tuple(default_separators())
+        drop = set(self.non_separator_tokens)
+        seps = tuple(s for s in seps if s not in drop) \
+            + tuple(s for s in self.separator_tokens if s not in seps)
+        words = tuple(cfg.words_dict or ()) + tuple(
+            w for w in self.dictionary if w not in (cfg.words_dict or ()))
+        return cfg.with_(separators=seps, words_dict=words or None)
 
 
 _UNSET = object()
@@ -93,7 +127,10 @@ class SearchService:
                  cfg: TokenizerConfig = DEFAULT_CONFIG):
         self.reader = IndexReader(None, index_dir)
         self.settings = settings
-        self.cfg = cfg
+        # v1.4 tokenizer settings layer over the caller's config; the
+        # reader's fingerprint check then enforces that the index was
+        # built under the SAME effective tokenization.
+        self.cfg = settings.tokenizer_config(cfg)
         self.document_store = document_store
         self._attrs: Optional[AttributeStore] = None
 
@@ -203,6 +240,9 @@ class SearchService:
         response is internally consistent."""
         from .tokenizer import tokenize_batch
 
+        # the q-syntax paths verify via reader.query_terms; this is the
+        # plain paths' tokenize site, so the contract guard lives here too
+        self.reader.verify_config(self.cfg)
         s = self.settings
         _, lemmas = tokenize_batch([query], self.cfg, words_only=True)
         words = list(dict.fromkeys(t for t in lemmas if t))
