@@ -20,6 +20,7 @@ no Spark job per query, no driver bottleneck."""
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from time import perf_counter as _perf_counter
 from typing import Optional
 
 import numpy as np
@@ -82,6 +83,14 @@ class IndexSettings:
     # Meilisearch v1.3 sortFacetValuesBy: facetDistribution value order —
     # 'alpha' (default) or 'count' (desc, value asc tie-break)
     sort_facet_values_by: str = "alpha"
+    # Meilisearch pagination.maxTotalHits (default 1000): the deepest
+    # result any pagination can reach. Takes precedence over offset/limit
+    # and over hitsPerPage*page; totalHits/estimatedTotalHits report at
+    # most this value. The guard exists for the same reason upstream's
+    # does: offset-N pagination costs a fetch of N+k ranked rows, so an
+    # unbounded crawler walking pages turns top-k serving into full-corpus
+    # sorts.
+    max_total_hits: int = 1000
     # Meilisearch v1.4 tokenizer customization (charabia builder parity:
     # tokenizer.rs:341-375 merges custom separators and a words dict into
     # the segmentation automaton). These are INDEX-side settings: they
@@ -717,11 +726,25 @@ class SearchService:
                show_matches_position: bool = False,
                crop_length: Optional[int] = None,
                crop_marker: str = "…",
+               highlight_pre_tag: str = "<em>",
+               highlight_post_tag: str = "</em>",
+               hits_per_page: Optional[int] = None,
+               page: Optional[int] = None,
                attributes_to_retrieve: Optional[list] = None) -> dict:
         """Meilisearch-shaped response:
         {"hits": [{"doc_id", "score"|attr, "_formatted"?, ...}],
          "offset": ..., "facetDistribution"?: {col: {value: count}},
-         "estimatedTotalHits"?: n}
+         "estimatedTotalHits"?: n, "processingTimeMs": ms}
+
+        hits_per_page/page switch to Meilisearch EXHAUSTIVE pagination:
+        the response carries totalHits (exact, capped at
+        settings.max_total_hits), totalPages, hitsPerPage, page instead
+        of offset/estimatedTotalHits (hitsPerPage defaults to 20, page
+        to 1 — upstream's defaults). In both modes max_total_hits is the
+        pagination ceiling: results past it are unreachable and totals
+        are capped, like upstream's pagination.maxTotalHits.
+        highlight_pre_tag/highlight_post_tag wrap matched words in
+        _formatted (Meilisearch highlightPreTag/highlightPostTag).
 
         filter=(col, value) restricts candidates (BM25 stats stay global);
         sort=(col, descending) replaces relevance order by the attribute —
@@ -739,6 +762,37 @@ class SearchService:
         estimatedTotalHits — here EXACT, not an estimate: the strategy
         runs unbounded (O(query postings), same reads as the search) and
         the page is sliced from the full ranking."""
+        t0 = _perf_counter()
+        mth = self.settings.max_total_hits
+        want_estimate = estimate_total
+        exhaustive = hits_per_page is not None or page is not None
+        if exhaustive:
+            hits_per_page = 20 if hits_per_page is None else hits_per_page
+            page = 1 if page is None else page
+            if hits_per_page < 0 or page < 1:
+                raise ValueError("hitsPerPage must be >= 0 and page >= 1")
+            offset = (page - 1) * hits_per_page
+            k = hits_per_page
+            estimate_total = True  # totalPages needs the (capped) total
+        # maxTotalHits window clamp: pages past the ceiling come back empty
+        k = max(0, min(k, mth - offset)) if offset < mth else 0
+
+        def _finish(out: dict) -> dict:
+            total = out.pop("estimatedTotalHits", None)
+            if total is not None:
+                total = min(int(total), mth)
+            if exhaustive:
+                out.pop("offset", None)
+                out["totalHits"] = total
+                out["hitsPerPage"] = hits_per_page
+                out["page"] = page
+                out["totalPages"] = (
+                    -(-total // hits_per_page) if hits_per_page else 0)
+            elif want_estimate:
+                out["estimatedTotalHits"] = total
+            out["processingTimeMs"] = round((_perf_counter() - t0) * 1000, 1)
+            return out
+
         if show_ranking_score_details:
             # per-rule decomposition is defined over the relevance ranking
             # (the sort branches replace it); q-syntax operators would be
@@ -759,11 +813,11 @@ class SearchService:
             # Meilisearch placeholder search: an empty `q` — or one whose
             # words are ALL stop words — browses the live corpus instead
             # of matching terms (filter/sort/facets/pagination still apply)
-            return self._placeholder_search(
+            return _finish(self._placeholder_search(
                 k, filter=filter, sort=sort, facets=facets, offset=offset,
                 estimate_total=estimate_total,
                 show_ranking_score=show_ranking_score,
-                attributes_to_retrieve=attributes_to_retrieve)
+                attributes_to_retrieve=attributes_to_retrieve))
         if filter is not None and filter[0] == "_geoRadius":
             # Meilisearch geosearch: filter=("_geoRadius", ((lat, lng),
             # radius_m)) behind "_geo" in filterableAttributes. Resolved
@@ -1007,12 +1061,14 @@ class SearchService:
                     cropped = crop_around_match(t, terms, crop_length,
                                                 marker=crop_marker,
                                                 cfg=self.cfg)
-                    h["_formatted"] = (format_highlight(cropped, terms,
-                                                        cfg=self.cfg)
+                    h["_formatted"] = (format_highlight(
+                        cropped, terms, pre=highlight_pre_tag,
+                        post=highlight_post_tag, cfg=self.cfg)
                                        if highlight else cropped)
                 elif highlight:
-                    h["_formatted"] = format_highlight(t, terms,
-                                                       cfg=self.cfg)
+                    h["_formatted"] = format_highlight(
+                        t, terms, pre=highlight_pre_tag,
+                        post=highlight_post_tag, cfg=self.cfg)
                 if show_matches_position:
                     # Meilisearch showMatchesPosition: per-attribute match
                     # spans over the ORIGINAL text ({start, length} —
@@ -1025,4 +1081,4 @@ class SearchService:
                                                         cfg=self.cfg)
                         ]
                     }
-        return out
+        return _finish(out)
