@@ -42,6 +42,21 @@ spark = (SparkSession.builder.master(f"local[{{cpus}}]")
     # same job at two cluster sizes.
     .config("spark.sql.shuffle.partitions", "64")
     .config("spark.sql.adaptive.enabled", "true")
+    # FIXED task granularity, part 2 (round-5): the sandbox corpus is small
+    # (~83 MB / 64 files), so Spark's default 128 MiB split target packs the
+    # tokenize scan into ~cores tasks — with measured per-task skew ~1.7 the
+    # straggler directly idles ~40% of the 8-core leg. A 10^12-file corpus
+    # has millions of splits (tasks >> cores), so fine splits are the
+    # faithful emulation, not a tweak; the SAME value at every level keeps
+    # one physical plan. 2 MiB ~= one corpus file per task (~64 tokenize
+    # tasks, ~8 waves at 4N, ~32 at N).
+    .config("spark.sql.files.maxPartitionBytes", "2m")
+    .config("spark.sql.files.openCostInBytes", "131072")
+    # AQE's partition coalescing targets defaultParallelism (= cores), which
+    # would re-collapse the 64-partition merge shuffle to ~cores tasks AND
+    # give the two levels different physical plans. Keep AQE (skew-join
+    # handling) but pin the shuffle partitioning.
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
     .config("spark.ui.enabled", "false")
     .config("spark.driver.memory", "48g")
     # RAM-backed shuffle dir: the sandbox's ONE virtio disk scales 2->8
