@@ -352,6 +352,7 @@ spark.stop()
                        "the all-pairs number above is the only headline "
                        "this window supports.")
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
+    flags = ("" if not pin else " --pin") + ("" if not apc else " --apc")
     md = f"""# BENCH/SCALING_RUN.md — protocol scaling run
 
 ## Protocol (round-3, VERDICT r2 #3)
@@ -414,7 +415,7 @@ charabia/README.md:19). The engine's per-core tokenize+TF stage measures
 ~12 MiB/s/core in the vectorized Arrow path (pure-Python worker), and the
 full distributed build reaches the docs/sec above.
 
-Generated by `python bench/scaling.py {n_docs} --pairs {pairs}`.
+Generated by `python bench/scaling.py {n_docs} --pairs {pairs}{flags}`.
 """
     # smoke runs (pairs < 3) must not clobber the protocol record
     fname = "SCALING_RUN.md" if pairs >= 3 else "SCALING_RUN_smoke.md"
