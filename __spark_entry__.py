@@ -2929,6 +2929,36 @@ ORDER BY round(sc, 4) DESC, doc_id LIMIT 10
 """
 
 
+def _index_stats_fields(spark, sf_dir):
+    """Meilisearch `GET /indexes/{uid}/stats` over the tombstoned index:
+    numberOfDocuments and per-field fieldDistribution are LIVE counts
+    (tombstones excluded, merge-on-read — the store itself still holds
+    every row). Oracle: per-column non-null counts over the documents
+    table restricted to the same deterministic live set; lat/lng are the
+    synthetic never-null coordinates so their count is COUNT(*)."""
+    from sparkft.service import SearchService
+
+    svc = SearchService(_deleted_index(spark, sf_dir, compacted=False))
+    st = svc.stats()
+    rows = [("numberOfDocuments", int(st["numberOfDocuments"]))]
+    rows += [(f"field:{k}", int(v))
+             for k, v in sorted(st["fieldDistribution"].items())]
+    return spark.createDataFrame(rows, "stat string, n long")
+
+
+def _index_stats_sql(sf: str) -> str:
+    return f"""
+WITH live AS (SELECT * FROM documents WHERE doc_id % {DELETE_MOD} <> 0)
+SELECT 'numberOfDocuments' AS stat, count(*) AS n FROM live
+UNION ALL SELECT 'field:lang', count(lang) FROM live
+UNION ALL SELECT 'field:lat', count(*) FROM live
+UNION ALL SELECT 'field:lng', count(*) FROM live
+UNION ALL SELECT 'field:n_chars', count(n_chars) FROM live
+UNION ALL SELECT 'field:source', count(source) FROM live
+UNION ALL SELECT 'field:text', count(text) FROM live
+"""
+
+
 def _compacted_engine_topk(spark, sf_dir):
     """Same delete set, post-compaction: segments and stats are rebuilt over
     live docs only, so scores equal a fresh build on the live corpus.
@@ -3380,6 +3410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "words_engine_topk": _words_engine_topk,
         "deleted_engine_topk": _deleted_engine_topk,
         "compacted_engine_topk": _compacted_engine_topk,
+        "index_stats_fields": _index_stats_fields,
         "facet_counts": _facet_counts_df,
         # static tail (reordered by _stale_first like everything above)
         "lang_id_votes": _lang_id_votes,
@@ -3456,6 +3487,7 @@ def oracle_sql() -> dict[str, str]:
         "words_ranked_topk": _words_sql(""),
         "words_engine_topk": _words_sql(""),
         "deleted_engine_topk": _deleted_sql(""),
+        "index_stats_fields": _index_stats_sql(""),
         "compacted_engine_topk": _compacted_sql(""),
         "facet_counts": _facet_sql(""),
         "facet_engine_counts": _facet_sql(""),

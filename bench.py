@@ -147,6 +147,7 @@ def main() -> int:
         "filtered_search_topk", "filtered_engine_topk",
         "words_ranked_topk", "words_engine_topk",
         "deleted_engine_topk", "compacted_engine_topk",
+        "index_stats_fields",
         "facet_counts", "facet_engine_counts",
         "sorted_search_topk", "sorted_engine_topk",
         "sorted_desc_string_topk", "sorted_multi_topk",
