@@ -2399,6 +2399,47 @@ def _attribute_ranked_topk(spark, sf_dir):
     )
 
 
+PROX_ATTR_QUERY = "dup sort"  # 'dup' is rare -> both cost classes surface
+
+
+def _proximity_by_attr_topk(spark, sf_dir):
+    """Meilisearch v1.7 proximityPrecision=byAttribute over the title/body
+    multi-index: a consecutive query pair costs 1 when ONE attribute holds
+    both words, MAX_DISTANCE (8) when the pair is split across attributes;
+    docs must contain every word. The path reads NO positions — the
+    setting's documented precision-for-cost trade. Oracle: the same set
+    algebra over title (first 3 words) / body token sets."""
+    from sparkft.multiindex import (MultiIndexReader,
+                                    proximity_by_attribute_topk)
+
+    multi = MultiIndexReader(spark, _multi_engine_index(spark, sf_dir))
+    hits = proximity_by_attribute_topk(multi, PROX_ATTR_QUERY, 20)
+    return spark.createDataFrame(
+        [(int(d), int(c)) for d, c in hits], "doc_id long, proximity long")
+
+
+def _proximity_by_attr_sql(sf: str) -> str:
+    a, b = PROX_ATTR_QUERY.split()
+    return f"""
+WITH sp AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+attr AS (
+  SELECT doc_id, 'title' AS a, unnest(w[1:3]) AS tok FROM sp
+  UNION ALL SELECT doc_id, 'body', unnest(w[4:]) FROM sp),
+p AS (SELECT DISTINCT doc_id, a, tok FROM attr
+      WHERE tok IN ('{a}', '{b}')),
+allw AS (SELECT doc_id FROM (SELECT DISTINCT doc_id, tok FROM p)
+         GROUP BY doc_id HAVING count(*) = 2),
+co AS (SELECT DISTINCT x.doc_id FROM p x
+       JOIN p y ON x.doc_id = y.doc_id AND x.a = y.a
+       WHERE x.tok = '{a}' AND y.tok = '{b}')
+SELECT w.doc_id,
+       CASE WHEN w.doc_id IN (SELECT doc_id FROM co)
+            THEN 1 ELSE 8 END AS proximity
+FROM allw w
+ORDER BY proximity, doc_id LIMIT 20
+"""
+
+
 def _attribute_ranked_sql(sf: str) -> str:
     vals = ", ".join(f"('{t}')" for t in ATTR_QUERY.split())
 
@@ -3399,6 +3440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "typo_ranked_topk": _typo_ranked_engine,
         "matching_frequency_topk": _matching_frequency_topk,
         "attribute_ranked_topk": _attribute_ranked_topk,
+        "proximity_by_attr_topk": _proximity_by_attr_topk,
         "attrs_search_on_topk": _attrs_search_on_topk,
         "federated_search_topk": _federated_search_topk,
         "prefix_search_topk": _prefix_search_topk,
@@ -3477,6 +3519,7 @@ def oracle_sql() -> dict[str, str]:
         "typo_ranked_topk": _typo_ranked_sql(""),
         "matching_frequency_topk": _matching_frequency_sql(""),
         "attribute_ranked_topk": _attribute_ranked_sql(""),
+        "proximity_by_attr_topk": _proximity_by_attr_sql(""),
         "attrs_search_on_topk": _attrs_search_on_sql(),
         "federated_search_topk": _federated_sql(""),
         "prefix_search_topk": _prefix_sql(""),

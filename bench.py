@@ -158,6 +158,7 @@ def main() -> int:
         "proximity_search_topk", "proximity_engine_topk",
         "matching_last_topk", "matching_frequency_topk",
         "typo_ranked_topk", "attribute_ranked_topk",
+        "proximity_by_attr_topk",
         "federated_search_topk", "exactness_engine_topk",
         "synonym_search_topk", "synonym_engine_topk",
         "ranking_pipeline_topk",

@@ -1454,7 +1454,8 @@ def custom_rules_topk(reader: IndexReader, query: str,
                       rules=DEFAULT_RANKING_RULES, k: int = 10,
                       cfg: TokenizerConfig = DEFAULT_CONFIG,
                       store=None, sort_by: Optional[tuple] = None,
-                      allowed: Optional[set] = None) -> list[tuple]:
+                      allowed: Optional[set] = None,
+                      proximity_precision: str = "byWord") -> list[tuple]:
     """Meilisearch's `rankingRules` SETTING: the bucket-sort pipeline in a
     USER-CHOSEN rule order, with custom `attr:asc` / `attr:desc` rules
     slotted anywhere (Meilisearch docs "custom ranking rules"; milli
@@ -1532,16 +1533,40 @@ def custom_rules_topk(reader: IndexReader, query: str,
                 if d in acc:
                     cnt[d] = cnt.get(d, 0) + 1
                     typos[d] = typos.get(d, 0) + dist
-    need_pos = ("proximity" in rules) or ("exactness" in rules)
+    by_attr = proximity_precision == "byAttribute"
+    need_pos = (("proximity" in rules and not by_attr)
+                or ("exactness" in rules))
     prox: dict = {}
     exact: set = set()
     if need_pos:
         pos = _query_positions(reader, query, cfg)
-        if "proximity" in rules:
+        if "proximity" in rules and not by_attr:
             prox = dict(proximity_topk(reader, query, k=len(acc), cfg=cfg,
                                        pos=pos))
         if "exactness" in rules:
             exact = set(phrase_match_counts(reader, query, cfg, pos=pos))
+    if "proximity" in rules and by_attr:
+        # Meilisearch v1.7 proximityPrecision=byAttribute: pair cost is
+        # attribute-level co-occurrence, not word distance. One searchable
+        # attribute here -> every doc holding ALL base words costs
+        # 1 x pairs; docs missing a base word keep the missing-term
+        # sentinel, exactly byWord's gate. NO positional read — the
+        # doc-level base postings decide (the setting's cost trade; the
+        # multi-attribute discriminating form is
+        # multiindex.proximity_by_attribute_topk).
+        from .tokenizer import tokenize_batch
+
+        _, _lem = tokenize_batch([query], cfg, words_only=True)
+        base = [t for t in _lem if t]
+        seqd = [t for i, t in enumerate(base)
+                if i == 0 or t != base[i - 1]]
+        if len(seqd) >= 2:
+            bp = reader.load_postings(sorted(set(seqd)))
+            if all(t in bp for t in set(seqd)):
+                dead = reader.deleted
+                sets = [{d for d in u64_to_i64(bp[t][0]).tolist()
+                         if d not in dead} for t in sorted(set(seqd))]
+                prox = {d: len(seqd) - 1 for d in set.intersection(*sets)}
     docs = sorted(acc)
     ids = np.asarray(docs, dtype=np.int64)
     key_fns = []     # per effective rule: (sort_key(d), display_value(d))

@@ -106,6 +106,17 @@ class IndexSettings:
     # case/diacritic-sensitive: ("J. R. R.",) matches "J. R. R.", not
     # "j. r. r.".
     dictionary: tuple = ()
+    # Meilisearch v1.7 proximityPrecision: 'byWord' (default — word-distance
+    # proximity via the positional store) or 'byAttribute' (attribute-level
+    # co-occurrence only; upstream's documented precision-for-cost trade).
+    # Under byAttribute the proximity rule reads NO positions: on this
+    # service's single searchable attribute every all-words doc lands in
+    # one proximity bucket (pair cost 1), and ranking falls through to the
+    # next rules — the discriminating multi-attribute form is
+    # multiindex.proximity_by_attribute_topk. Serving-level setting here
+    # (positions are always indexed); Meilisearch additionally skips
+    # building the word-pair store at indexing time.
+    proximity_precision: str = "byWord"
 
     def tokenizer_config(self, base: TokenizerConfig = None) -> TokenizerConfig:
         """The TokenizerConfig these settings imply, layered over `base`
@@ -135,6 +146,10 @@ class SearchService:
                  document_store: Optional[str] = None,
                  cfg: TokenizerConfig = DEFAULT_CONFIG):
         self.reader = IndexReader(None, index_dir)
+        if settings.proximity_precision not in ("byWord", "byAttribute"):
+            raise ValueError(
+                "proximity_precision must be 'byWord' or 'byAttribute', "
+                f"got {settings.proximity_precision!r}")
         self.settings = settings
         # v1.4 tokenizer settings layer over the caller's config; the
         # reader's fingerprint check then enforces that the index was
@@ -462,13 +477,28 @@ class SearchService:
         max_typo = sum(a for _, _, _, a in per_word)
         base_q = " ".join(words)
         pos = _query_positions(self.reader, base_q, self.cfg)
-        prox = dict(proximity_topk(self.reader, base_q, k=self.reader.N,
-                                   cfg=self.cfg, pos=pos))
-        exact = set(phrase_match_counts(self.reader, base_q, self.cfg,
-                                        pos=pos))
         seqd = [t for i, t in enumerate(words)
                 if i == 0 or t != words[i - 1]]
         npairs = len(seqd) - 1
+        if s.proximity_precision == "byAttribute":
+            # v1.7 proximityPrecision=byAttribute: attribute-level
+            # co-occurrence grades the proximity component — one
+            # searchable attribute, so every all-base-words doc costs
+            # 1 x pairs (no word-distance read)
+            dead = self.reader.deleted
+            allb = []
+            for t in sorted(set(seqd)):
+                p = self.reader.load_postings([t]).get(t)
+                allb.append({d for d in u64_to_i64(p[0]).tolist()
+                             if d not in dead} if p is not None else set())
+            prox = ({d: npairs for d in set.intersection(*allb)}
+                    if allb and all(allb) else {})
+        else:
+            prox = dict(proximity_topk(self.reader, base_q,
+                                       k=self.reader.N,
+                                       cfg=self.cfg, pos=pos))
+        exact = set(phrase_match_counts(self.reader, base_q, self.cfg,
+                                        pos=pos))
         max_cost = MAX_DISTANCE * npairs
         for h in hits:
             d = h["doc_id"]
@@ -914,7 +944,8 @@ class SearchService:
             rows = self._distinct_pairs(custom_rules_topk(
                 self.reader, query, rules=self.settings.ranking_rules,
                 k=fetch, cfg=self.cfg, store=self.attrs, sort_by=sort_by,
-                allowed=allowed))
+                allowed=allowed,
+                proximity_precision=self.settings.proximity_precision))
             total = len(rows)
             hits = [{"doc_id": r[0], "score": r[-1]}
                     for r in rows[offset:offset + k]]
