@@ -117,6 +117,15 @@ class IndexSettings:
     # (positions are always indexed); Meilisearch additionally skips
     # building the word-pair store at indexing time.
     proximity_precision: str = "byWord"
+    # Meilisearch v1.12 prefixSearch: 'indexingTime' (default — the last
+    # query word matches as a prefix in search_as_you_type) or 'disabled'
+    # (every word matches exactly). Name kept from upstream; this engine
+    # expands prefixes from the term dictionary at QUERY time, so
+    # 'disabled' here saves query-time expansion, not index size.
+    prefix_search: str = "indexingTime"
+    # Meilisearch v1.12 facetSearch: False disables the /facet-search
+    # endpoint (facet_search() raises), exactly upstream's behavior.
+    facet_search_enabled: bool = True
 
     def tokenizer_config(self, base: TokenizerConfig = None) -> TokenizerConfig:
         """The TokenizerConfig these settings imply, layered over `base`
@@ -150,6 +159,10 @@ class SearchService:
             raise ValueError(
                 "proximity_precision must be 'byWord' or 'byAttribute', "
                 f"got {settings.proximity_precision!r}")
+        if settings.prefix_search not in ("indexingTime", "disabled"):
+            raise ValueError(
+                "prefix_search must be 'indexingTime' or 'disabled', "
+                f"got {settings.prefix_search!r}")
         self.settings = settings
         # v1.4 tokenizer settings layer over the caller's config; the
         # reader's fingerprint check then enforces that the index was
@@ -722,6 +735,30 @@ class SearchService:
         return {"numberOfDocuments": n_live, "isIndexing": False,
                 "fieldDistribution": fd}
 
+    def search_as_you_type(self, query: str, k: int = 10,
+                           filter=None) -> dict:
+        """As-you-type serving under the v1.12 `prefixSearch` setting:
+        'indexingTime' (default) expands the LAST typed word as a prefix
+        (search_as_you_type_topk); 'disabled' serves every word exactly —
+        the plain ranked search. Returns the same response shape as
+        search()."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        if self.settings.prefix_search == "disabled":
+            return self.search(query, k, filter=filter)
+        from .search import has_query_syntax, search_as_you_type_topk
+
+        if has_query_syntax(query):
+            raise ValueError("search-as-you-type does not compose with "
+                             "quoted-phrase / negative query syntax")
+        allowed = self._allowed(filter)
+        hits = search_as_you_type_topk(self.reader, query, k,
+                                       cfg=self.cfg, allowed=allowed)
+        out = [{"doc_id": d, "score": s} for d, s in hits]
+        return {"hits": out, "query": query, "estimatedTotalHits": len(out),
+                "processingTimeMs": int((_time.perf_counter() - t0) * 1000)}
+
     def facet_search(self, facet_name: str, facet_query: str = "",
                      q: Optional[str] = None, k: int = 100) -> dict:
         """Meilisearch /facet-search: {"facetHits": [{"value", "count"},
@@ -730,6 +767,10 @@ class SearchService:
         else the whole live corpus. The facet must be filterable."""
         from .facets import facet_value_search
 
+        if not self.settings.facet_search_enabled:
+            # Meilisearch v1.12 facetSearch=false: the endpoint errors
+            raise ValueError("facet search is disabled for this index "
+                             "(settings.facetSearch)")
         if facet_name not in self.settings.filterable_attributes:
             raise ValueError(f"attribute {facet_name!r} is not filterable")
         terms, allowed = None, None
