@@ -3364,8 +3364,21 @@ def _stale_first(entries: dict) -> dict:
                 rows = json.load(f)
             if not isinstance(rows, dict):
                 continue
-            for name in rows:
-                last[name] = max(last.get(name, -1), rnd)
+            for name, row in rows.items():
+                # A failed row is NOT a check: an entry that errored or
+                # mismatched must sort stale so the next round's gate
+                # re-examines it (r4's attribute_ranked_topk ERROR would
+                # otherwise rotate out exactly when the judge wants it
+                # re-verified green).
+                ok = (
+                    isinstance(row, dict)
+                    and not row.get("err")
+                    and row.get("rows_match") is not False
+                    and row.get("schema_match") is not False
+                    and row.get("hash_match") is not False
+                )
+                if ok:
+                    last[name] = max(last.get(name, -1), rnd)
         reg = {name: i for i, name in enumerate(entries)}
         ordered = sorted(entries, key=lambda n: (last.get(n, -1), reg[n]))
         return {n: entries[n] for n in ordered}

@@ -125,7 +125,10 @@ DEFAULT_CONFIG = TokenizerConfig()
 # r5: Urdu detection (urd has no registered Arabic-script segmenter, so
 # Urdu runs leave the ال-split path — reference parity: charabia registers
 # ArabicSegmenter for ara/pes only and whatlang detects urd)
-TOKENIZER_BEHAVIOR_VERSION = 3
+# v4: fastscript 4-context probe — Σ (contextual Final_Sigma beyond final
+# position, e.g. 'ΆΣ0') is no longer table-admitted; Σ-bearing uniform runs
+# route scalar, fixing a batch/scalar parity divergence ('ασ0' vs 'ας0').
+TOKENIZER_BEHAVIOR_VERSION = 4
 
 # digest cache keyed by (path, mtime_ns, size) — injected CJK dictionaries
 # run to several MB and fingerprints are computed per build/reader, not once

@@ -97,20 +97,29 @@ def _probe_fold(c: str, script: str, language: Optional[str],
     """-> (fold, final_fold) where fold is the char's 1:1 normalization in
     word-initial/medial position and final_fold its (possibly different)
     word-final normalization; (None, None) if unproven (length-changing,
-    context-dependent beyond final position, or fold spans context)."""
+    context-dependent beyond final position, or fold spans context).
+
+    Four probe contexts: initial, medial-before-cased, medial-before-
+    NON-cased ('0'), and final. The third catches Unicode Final_Sigma's
+    full condition — Σ in 'αΣ0' lowers contextually to ς (no cased letter
+    FOLLOWS within the token) while the token does not END with it, so
+    neither the medial fold nor the word-final suffix rule applies; such
+    a char is context-dependent beyond final position and must stay
+    scalar (hypothesis-found parity case 'ΆΣ0')."""
     a, b = ctx[0], ctx[1]
     outs = []
     for seg, pre, post in ((c + a + b, "", a + b),
                            (a + c + b, a, b),
+                           (a + c + "0", a, "0"),
                            (a + b + c, a + b, "")):
         lem, _k = normalize_lemma(seg, script, language, DEFAULT_CONFIG)
         if (not (2 <= len(lem) <= 3) or not lem.startswith(pre)
                 or not lem.endswith(post)):
             return None, None
         outs.append(lem[len(pre): len(lem) - len(post)])
-    if outs[0] != outs[1]:
+    if outs[0] != outs[1] or outs[2] != outs[1]:
         return None, None
-    return outs[1], outs[2]
+    return outs[1], outs[3]
 
 
 @functools.lru_cache(maxsize=16)

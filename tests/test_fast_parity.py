@@ -5,7 +5,7 @@ tokenizer.rs:433-438)."""
 
 import string
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from sparkft import TokenizerConfig, tokenize_str
@@ -286,6 +286,12 @@ uniform_text = st.text(
 
 @settings(max_examples=400, deadline=None)
 @given(st.lists(uniform_text, max_size=6))
+# Unicode Final_Sigma beyond word-final position: Σ followed by a
+# non-cased char lowers contextually to ς while the token does not END
+# with it, so neither the medial fold nor the suffix rule covers it —
+# the 4-context probe must reject Σ from the uniform table (scalar route)
+@example(texts=["ΆΣ0"])
+@example(texts=["ΑΣ0Β αβΣ ΤΟ ΔΆΣΟΣ"])
 def test_tokenize_batch_matches_scalar_uniform_scripts(texts):
     """The INTEGRATED batch entry (ASCII + surrogate + uniform two-buffer +
     scalar routing) must equal the scalar pipeline per row, IN ORDER, over
