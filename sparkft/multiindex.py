@@ -48,6 +48,7 @@ MULTI_MANIFEST = "multi.json"
 def build_multi_index(spark, df, out_dir: str, attrs: list[tuple[str, str]],
                       doc_id_col: str = "doc_id",
                       cfg: TokenizerConfig = DEFAULT_CONFIG,
+                      attr_cfgs: Optional[dict] = None,
                       **build_kwargs) -> dict:
     """Build one subindex per searchable attribute.
 
@@ -55,16 +56,23 @@ def build_multi_index(spark, df, out_dir: str, attrs: list[tuple[str, str]],
     (Meilisearch `searchableAttributes`). Each subindex is a full,
     independently serveable index; `multi.json` records the order. Extra
     kwargs (num_shards, num_buckets, index_positions, ...) pass through to
-    every `build_index` call."""
+    every `build_index` call.
+
+    `attr_cfgs` (Meilisearch v1.10 localizedAttributes) overrides the
+    tokenizer config per attribute NAME — typically
+    {name: settings.tokenizer_config_for(name)}; attributes absent from
+    the dict use `cfg`. Each subindex records ITS config's fingerprint, so
+    a query tokenized under the wrong locale refuses to serve."""
     from .index_build import build_index
 
     os.makedirs(out_dir, exist_ok=True)
     results = {}
     for name, col in attrs:
         sub = os.path.join(out_dir, "attrs", name)
+        acfg = (attr_cfgs or {}).get(name, cfg)
         results[name] = build_index(
             spark, df.select(doc_id_col, col), sub,
-            text_col=col, doc_id_col=doc_id_col, cfg=cfg, **build_kwargs,
+            text_col=col, doc_id_col=doc_id_col, cfg=acfg, **build_kwargs,
         )
     with open(os.path.join(out_dir, MULTI_MANIFEST), "w") as f:
         json.dump({"attrs": [name for name, _ in attrs]}, f)
@@ -92,7 +100,8 @@ class MultiIndexReader:
 
 
 def attribute_ranked_topk(multi: MultiIndexReader, query: str, k: int = 10,
-                          cfg: TokenizerConfig = DEFAULT_CONFIG
+                          cfg: TokenizerConfig = DEFAULT_CONFIG,
+                          cfgs: Optional[list] = None,
                           ) -> list[tuple[int, int, int, float]]:
     """Meilisearch "attribute" RANKING RULE over the per-attribute
     subindexes: documents whose query words appear in more important
@@ -101,16 +110,31 @@ def attribute_ranked_topk(multi: MultiIndexReader, query: str, k: int = 10,
     attribute rank ASC, then the summed per-attribute BM25 DESC, then
     doc_id ASC. Returns [(doc_id, n_words, attr_rank_sum, score)].
 
+    `cfgs` (Meilisearch v1.10 localizedAttributes) supplies one tokenizer
+    config per reader, aligned with `multi.attr_names`: the query is
+    tokenized PER ATTRIBUTE under that attribute's locale config, so each
+    subindex is probed in its own lemma space (and its fingerprint check
+    passes). A "word" is then a distinct LEMMA across the per-attribute
+    term sets — identical to the shared-terms behavior when all configs
+    tokenize the query the same way. Divergence from upstream (which
+    segments the query once, under the query locale) is deliberate: with
+    per-locale normalization a single segmentation cannot probe every
+    attribute's lemma space.
+
     Cost: one O(query terms) bucket-pruned read per searched attribute —
     never O(index); the compose step is numpy/dict over candidate docs."""
-    if k <= 0:
+    if k <= 0 or not multi.readers:
         return []
-    terms = multi.readers[0].query_terms(query, cfg) if multi.readers else []
-    if not terms:
-        return []
+    if cfgs is not None and len(cfgs) != len(multi.readers):
+        raise ValueError(
+            f"cfgs has {len(cfgs)} entries for {len(multi.readers)} readers")
+    per_cfg = cfgs if cfgs is not None else [cfg] * len(multi.readers)
     score: dict[int, float] = {}
-    best: list[dict[int, int]] = [dict() for _ in terms]  # per word: doc -> attr
+    best: dict[str, dict[int, int]] = {}  # lemma -> doc -> best attr rank
     for ai, reader in enumerate(multi.readers):
+        terms = reader.query_terms(query, per_cfg[ai])
+        if not terms:
+            continue
         postings = reader.load_postings(terms)
         if not postings:
             continue
@@ -118,10 +142,10 @@ def attribute_ranked_topk(multi: MultiIndexReader, query: str, k: int = 10,
         for d, s in acc.items():
             score[d] = score.get(d, 0.0) + s
         dead = reader.deleted
-        for wi, t in enumerate(terms):
+        for t in terms:
             if t not in postings:
                 continue
-            b = best[wi]
+            b = best.setdefault(t, {})
             for d in u64_to_i64(postings[t][0]).tolist():
                 # per-subindex tombstones: a doc deleted from THIS attribute
                 # must not be credited this attribute's rank (acc already
@@ -132,7 +156,7 @@ def attribute_ranked_topk(multi: MultiIndexReader, query: str, k: int = 10,
         return []
     n_words: dict[int, int] = {}
     rank_sum: dict[int, int] = {}
-    for b in best:
+    for b in best.values():
         for d, ai in b.items():
             if d in score:
                 n_words[d] = n_words.get(d, 0) + 1

@@ -126,6 +126,43 @@ class IndexSettings:
     # Meilisearch v1.12 facetSearch: False disables the /facet-search
     # endpoint (facet_search() raises), exactly upstream's behavior.
     facet_search_enabled: bool = True
+    # Meilisearch v1.10 localizedAttributes: ((attributePatterns, locales),
+    # ...) — each rule pairs a tuple of attribute patterns (exact name or
+    # trailing-'*' glob; '*' alone matches everything) with a tuple of
+    # ISO-639-3 locales. FIRST matching rule wins, like upstream; an empty
+    # locales tuple means auto-detect (no allow_list). The locales feed the
+    # tokenizer's allow_list for that attribute (charabia
+    # tokenizer.rs:217-249 allow_list), so they are INDEX-side settings:
+    # a per-attribute store built under different locales fingerprints
+    # differently and refuses to serve (same contract as the v1.4
+    # tokenizer settings). Search-side `locales` overrides are NOT
+    # supported — the per-attribute contract already pins the locale, and
+    # serving a query tokenized under a different allow_list against that
+    # store is exactly what the fingerprint guard exists to refuse.
+    localized_attributes: tuple = ()
+
+    def locales_for(self, attr: str) -> Optional[tuple]:
+        """The locales of the FIRST localized_attributes rule matching
+        `attr`, or None when no rule matches or the matching rule's
+        locales are empty (auto-detect)."""
+        for rule in self.localized_attributes:
+            patterns, locales = rule
+            for p in patterns:
+                if p == "*" or p == attr or (
+                        p.endswith("*") and attr.startswith(p[:-1])):
+                    return tuple(locales) or None
+        return None
+
+    def tokenizer_config_for(self, attr: str,
+                             base: TokenizerConfig = None) -> TokenizerConfig:
+        """Per-attribute tokenizer config: the v1.4 tokenizer settings
+        layered over `base`, then the attribute's locales (if any rule
+        matches) as the allow_list."""
+        cfg = self.tokenizer_config(base)
+        locales = self.locales_for(attr)
+        if locales is not None:
+            cfg = cfg.with_(allow_list=locales)
+        return cfg
 
     def tokenizer_config(self, base: TokenizerConfig = None) -> TokenizerConfig:
         """The TokenizerConfig these settings imply, layered over `base`
