@@ -346,7 +346,11 @@ def _bm25_topk(spark, sf_dir):
 
 
 def _bm25_topk_sql(sf: str) -> str:
-    terms = ", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)
+    return _bm25_sql_terms(BM25_QUERY_TERMS)
+
+
+def _bm25_sql_terms(query_terms) -> str:
+    terms = ", ".join(f"('{t}')" for t in query_terms)
     return f"""
 WITH postings AS ({_SQL_POSTINGS}),
 doclen AS ({_SQL_DOCLEN}),
@@ -2849,6 +2853,87 @@ ORDER BY n_chars DESC, doc_id LIMIT 10
 """
 
 
+def _cutoff_degraded_topk(spark, sf_dir):
+    """Meilisearch v1.8 searchCutoffMs: with a 0 ms budget every rule in
+    the custom rankingRules pipeline is SKIPPED (the response is flagged
+    degraded, upstream's contract) and the always-on BM25/doc_id tail
+    orders alone — exactly the plain BM25 ranking, so the oracle is the
+    same SQL as bm25_topk. The assert keeps the entry honest: it must be
+    the DEGRADED path producing this ranking, not a served pipeline."""
+    from sparkft.service import IndexSettings, SearchService
+
+    svc = SearchService(_engine_index(spark, sf_dir), IndexSettings(
+        ranking_rules=("words", "n_chars:asc", "proximity", "exactness"),
+        search_cutoff_ms=0))
+    res = svc.search(" ".join(BM25_QUERY_TERMS), 10)
+    assert res.get("degraded") is True
+    return spark.createDataFrame(
+        [(int(h["doc_id"]), round(h["score"], 4)) for h in res["hits"]],
+        "doc_id long, score double",
+    )
+
+
+def _multi_search_topk(spark, sf_dir):
+    """Meilisearch v1.1 POST /multi-search (NON-federated; federation has
+    its own entry): two requests in one call, responses in request order,
+    each tagged with its request number here. Oracle: the two BM25
+    rankings UNION ALL'd under their request numbers."""
+    from sparkft.service import IndexSettings, SearchService, multi_search
+
+    idx = _engine_index(spark, sf_dir)
+    services = {"docs": SearchService(idx, IndexSettings())}
+    out = multi_search(services, [
+        {"indexUid": "docs", "q": " ".join(BM25_QUERY_TERMS), "k": 10},
+        {"indexUid": "docs", "q": " ".join(PHRASE), "k": 10},
+    ])
+    rows = []
+    for i, res in enumerate(out["results"]):
+        assert res["indexUid"] == "docs"
+        for h in res["hits"]:
+            rows.append((i, int(h["doc_id"]), round(h["score"], 4)))
+    return spark.createDataFrame(rows, "req long, doc_id long, score double")
+
+
+def _multi_search_sql(sf: str) -> str:
+    return f"""
+SELECT * FROM (SELECT 0 AS req, doc_id, score
+               FROM ({_bm25_sql_terms(BM25_QUERY_TERMS)}))
+UNION ALL
+SELECT * FROM (SELECT 1 AS req, doc_id, score
+               FROM ({_bm25_sql_terms(PHRASE)}))
+ORDER BY req, score DESC, doc_id
+"""
+
+
+def _displayed_attrs_topk(spark, sf_dir):
+    """Meilisearch displayedAttributes: attributesToRetrieve is
+    INTERSECTED with the displayed set — requesting ('lang', 'n_chars')
+    against displayedAttributes=('lang',) serves lang and silently drops
+    n_chars (upstream's contract; non-stored attributes still error).
+    Oracle: the BM25 ranking joined to the documents table for lang."""
+    from sparkft.service import IndexSettings, SearchService
+
+    svc = SearchService(_engine_index(spark, sf_dir), IndexSettings(
+        displayed_attributes=("lang",)))
+    res = svc.search(" ".join(BM25_QUERY_TERMS), 10,
+                     attributes_to_retrieve=["lang", "n_chars"])
+    assert res["hits"] and all("n_chars" not in h for h in res["hits"])
+    return spark.createDataFrame(
+        [(int(h["doc_id"]), h["lang"], round(h["score"], 4))
+         for h in res["hits"]],
+        "doc_id long, lang string, score double",
+    )
+
+
+def _displayed_attrs_sql(sf: str) -> str:
+    return f"""
+SELECT s.doc_id, d.lang, s.score
+FROM ({_bm25_sql_terms(BM25_QUERY_TERMS)}) s
+JOIN documents d USING (doc_id)
+ORDER BY s.score DESC, s.doc_id
+"""
+
+
 def _highlight_topk(spark, sf_dir):
     """Highlighting (_formatted): for the BM25 top-10, the number of
     matched-word spans located in the ORIGINAL text via the tokenizer's
@@ -3429,6 +3514,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_browse": _filter_browse,
         "stopword_search_topk": _stopword_search_topk,
         "placeholder_browse_topk": _placeholder_browse_topk,
+        "cutoff_degraded_topk": _cutoff_degraded_topk,
+        "multi_search_topk": _multi_search_topk,
+        "displayed_attrs_topk": _displayed_attrs_topk,
         "upsert_engine_topk": _upsert_engine_topk,
         "custom_rules_topk": _custom_rules_topk,
         # NOTE: the static order below is only the tie-break — _stale_first
@@ -3510,6 +3598,9 @@ def oracle_sql() -> dict[str, str]:
         "filter_browse": _FILTER_BROWSE_SQL,
         "stopword_search_topk": _bm25_topk_sql(""),
         "placeholder_browse_topk": _PLACEHOLDER_BROWSE_SQL,
+        "cutoff_degraded_topk": _bm25_topk_sql(""),
+        "multi_search_topk": _multi_search_sql(""),
+        "displayed_attrs_topk": _displayed_attrs_sql(""),
         "upsert_engine_topk": _upsert_sql(""),
         "custom_rules_topk": _custom_rules_sql(""),
         "ivf_cosine_topk": _EMB_COS_SQL,

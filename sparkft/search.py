@@ -22,6 +22,7 @@ import heapq
 import json
 import os
 import re as _re
+import time as _time
 from typing import Optional
 
 import numpy as np
@@ -1455,7 +1456,9 @@ def custom_rules_topk(reader: IndexReader, query: str,
                       cfg: TokenizerConfig = DEFAULT_CONFIG,
                       store=None, sort_by: Optional[tuple] = None,
                       allowed: Optional[set] = None,
-                      proximity_precision: str = "byWord") -> list[tuple]:
+                      proximity_precision: str = "byWord",
+                      cutoff_ms: Optional[float] = None,
+                      info: Optional[dict] = None) -> list[tuple]:
     """Meilisearch's `rankingRules` SETTING: the bucket-sort pipeline in a
     USER-CHOSEN rule order, with custom `attr:asc` / `attr:desc` rules
     slotted anywhere (Meilisearch docs "custom ranking rules"; milli
@@ -1488,9 +1491,25 @@ def custom_rules_topk(reader: IndexReader, query: str,
     keys surface as their raw stored value, direction applied in the sort
     only. Cost: one TAAT accumulation + at most one positional read + one
     bucket-pruned attribute gather per attr rule — O(query postings),
-    never O(index)."""
+    never O(index).
+
+    `cutoff_ms` (Meilisearch v1.8 searchCutoffMs): a processing-time
+    budget. Candidate retrieval (postings load + TAAT, incl. the typo
+    settings' variant widening) always completes; each RULE's key
+    computation is reached in rule order and SKIPPED — no column — once
+    the budget is exhausted, exactly upstream's degraded bucket sort
+    (remaining ranking rules are dropped, the BM25/doc_id tail still
+    orders the results). Skipped rule names land in `info["skipped_rules"]`
+    when an `info` dict is passed; non-empty means the response is
+    degraded."""
     if k <= 0:
         return []
+    t0 = _time.perf_counter()
+
+    def _expired() -> bool:
+        return (cutoff_ms is not None
+                and (_time.perf_counter() - t0) * 1000.0 >= cutoff_ms)
+
     seen = set()
     for r in rules:
         if r in seen:
@@ -1516,12 +1535,18 @@ def custom_rules_topk(reader: IndexReader, query: str,
         acc = {d: s for d, s in acc.items() if d in allowed}
     if not acc:
         return []
-    if use_typo:
+
+    _typo_cache: list = []
+
+    def _typo_block() -> tuple[dict, dict]:
         # per-word typo cost and words-matched-through-variants, exactly
-        # typo_ranked_topk's accumulation
+        # typo_ranked_topk's accumulation; shared by words (through
+        # variants) and typo — computed once, on the first unskipped rule
+        if _typo_cache:
+            return _typo_cache[0]
         docs_of = {t: set(u64_to_i64(postings[t][0]).tolist())
                    for t in postings}
-        cnt = {}
+        cnt2: dict[int, int] = {}
         typos: dict[int, int] = {}
         for g in groups:
             best: dict[int, int] = {}
@@ -1531,21 +1556,23 @@ def custom_rules_topk(reader: IndexReader, query: str,
                         best[d] = dist
             for d, dist in best.items():
                 if d in acc:
-                    cnt[d] = cnt.get(d, 0) + 1
+                    cnt2[d] = cnt2.get(d, 0) + 1
                     typos[d] = typos.get(d, 0) + dist
+        _typo_cache.append((cnt2, typos))
+        return _typo_cache[0]
+
     by_attr = proximity_precision == "byAttribute"
-    need_pos = (("proximity" in rules and not by_attr)
-                or ("exactness" in rules))
-    prox: dict = {}
-    exact: set = set()
-    if need_pos:
-        pos = _query_positions(reader, query, cfg)
-        if "proximity" in rules and not by_attr:
-            prox = dict(proximity_topk(reader, query, k=len(acc), cfg=cfg,
-                                       pos=pos))
-        if "exactness" in rules:
-            exact = set(phrase_match_counts(reader, query, cfg, pos=pos))
-    if "proximity" in rules and by_attr:
+    _pos_cache: list = []
+
+    def _positions():
+        if not _pos_cache:
+            _pos_cache.append(_query_positions(reader, query, cfg))
+        return _pos_cache[0]
+
+    def _prox_block() -> dict:
+        if not by_attr:
+            return dict(proximity_topk(reader, query, k=len(acc), cfg=cfg,
+                                       pos=_positions()))
         # Meilisearch v1.7 proximityPrecision=byAttribute: pair cost is
         # attribute-level co-occurrence, not word distance. One searchable
         # attribute here -> every doc holding ALL base words costs
@@ -1566,19 +1593,25 @@ def custom_rules_topk(reader: IndexReader, query: str,
                 dead = reader.deleted
                 sets = [{d for d in u64_to_i64(bp[t][0]).tolist()
                          if d not in dead} for t in sorted(set(seqd))]
-                prox = {d: len(seqd) - 1 for d in set.intersection(*sets)}
+                return {d: len(seqd) - 1 for d in set.intersection(*sets)}
+        return {}
+
     docs = sorted(acc)
     ids = np.asarray(docs, dtype=np.int64)
+    skipped: list[str] = []
     key_fns = []     # per effective rule: (sort_key(d), display_value(d))
     for r in rules:
         custom = _parse_custom_rule(r)
+        if r == "sort" and sort_by is None:
+            continue
+        if r == "attribute":
+            # no-op (single-attribute index), no column, no cost
+            continue
+        if _expired():
+            skipped.append(r)
+            continue
         if custom is not None or r == "sort":
-            if r == "sort":
-                if sort_by is None:
-                    continue
-                attr, desc = sort_by
-            else:
-                attr, desc = custom
+            attr, desc = sort_by if r == "sort" else custom
             if store is None:
                 raise ValueError(
                     f"ranking rule {r!r} needs an attribute store")
@@ -1586,18 +1619,24 @@ def custom_rules_topk(reader: IndexReader, query: str,
             raw = dict(zip(docs, store.lookup(ids, attr).tolist()))
             key_fns.append((keys.__getitem__, raw.__getitem__))
         elif r == "words":
-            key_fns.append((lambda d: -cnt.get(d, 0),
-                            lambda d: cnt.get(d, 0)))
+            wc = _typo_block()[0] if use_typo else cnt
+            key_fns.append((lambda d, c=wc: -c.get(d, 0),
+                            lambda d, c=wc: c.get(d, 0)))
         elif r == "typo":
-            key_fns.append((lambda d: typos.get(d, 0),
-                            lambda d: typos.get(d, 0)))
+            ty = _typo_block()[1]
+            key_fns.append((lambda d, t=ty: t.get(d, 0),
+                            lambda d, t=ty: t.get(d, 0)))
         elif r == "proximity":
-            key_fns.append((lambda d: prox.get(d, _NO_PROXIMITY),
-                            lambda d: prox.get(d, _NO_PROXIMITY)))
+            prox = _prox_block()
+            key_fns.append((lambda d, p=prox: p.get(d, _NO_PROXIMITY),
+                            lambda d, p=prox: p.get(d, _NO_PROXIMITY)))
         elif r == "exactness":
-            key_fns.append((lambda d: -(d in exact),
-                            lambda d: int(d in exact)))
-        # "attribute": no-op (single-attribute index), no column
+            exact = set(phrase_match_counts(reader, query, cfg,
+                                            pos=_positions()))
+            key_fns.append((lambda d, e=exact: -(d in e),
+                            lambda d, e=exact: int(d in e)))
+    if info is not None:
+        info["skipped_rules"] = skipped
     order = sorted(
         acc,
         key=lambda d: tuple(kf(d) for kf, _ in key_fns) + (-acc[d], d),

@@ -126,6 +126,21 @@ class IndexSettings:
     # Meilisearch v1.12 facetSearch: False disables the /facet-search
     # endpoint (facet_search() raises), exactly upstream's behavior.
     facet_search_enabled: bool = True
+    # Meilisearch v1.8 searchCutoffMs: a per-search processing budget in
+    # milliseconds (upstream default 1500; None = unlimited, the
+    # deterministic default here). Honored by the rankingRules bucket
+    # pipeline: rules not reached before the budget expires are SKIPPED
+    # (candidate retrieval and the BM25/doc_id tail always complete), and
+    # the response carries "degraded": true — upstream's degraded-search
+    # contract. With ranking_rules=None the default serve is a single
+    # indivisible BM25 pass: there is no rule to skip, so the budget is
+    # not consulted (documented divergence; results are never degraded).
+    search_cutoff_ms: Optional[int] = None
+    # Meilisearch displayedAttributes: which stored attributes search
+    # responses may carry. attributesToRetrieve is INTERSECTED with this
+    # set (non-displayed attributes are silently dropped, upstream's
+    # behavior); ("*",) — the default — displays everything.
+    displayed_attributes: tuple = ("*",)
     # Meilisearch v1.10 localizedAttributes: ((attributePatterns, locales),
     # ...) — each rule pairs a tuple of attribute patterns (exact name or
     # trailing-'*' glob; '*' alone matches everything) with a tuple of
@@ -679,8 +694,11 @@ class SearchService:
 
     def _retrieve_attributes(self, hits: list, cols) -> None:
         """attributesToRetrieve: annotate each hit dict with the requested
-        stored attribute values (['*'] = every stored column). k bucket-
-        pruned gathers over the page's ids — O(page), never O(corpus)."""
+        stored attribute values (['*'] = every stored column), INTERSECTED
+        with settings.displayed_attributes — non-displayed attributes are
+        silently dropped, Meilisearch's displayedAttributes contract. k
+        bucket-pruned gathers over the page's ids — O(page), never
+        O(corpus)."""
         if not hits:
             return
         stored = list(self.attrs.columns())
@@ -692,6 +710,9 @@ class SearchService:
                 raise ValueError(
                     f"attributesToRetrieve {bad} are not stored attributes "
                     f"(columns: {sorted(stored)})")
+        displayed = self.settings.displayed_attributes
+        if "*" not in displayed:
+            cols = [c for c in cols if c in displayed]
         ids = np.fromiter((h["doc_id"] for h in hits), dtype=np.int64,
                           count=len(hits))
         for col in cols:
@@ -871,6 +892,7 @@ class SearchService:
         runs unbounded (O(query postings), same reads as the search) and
         the page is sliced from the full ranking."""
         t0 = _perf_counter()
+        degraded = None  # searchCutoffMs: skipped-rule names when exceeded
         mth = self.settings.max_total_hits
         want_estimate = estimate_total
         exhaustive = hits_per_page is not None or page is not None
@@ -899,6 +921,8 @@ class SearchService:
             elif want_estimate:
                 out["estimatedTotalHits"] = total
             out["processingTimeMs"] = round((_perf_counter() - t0) * 1000, 1)
+            if degraded:
+                out["degraded"] = True  # searchCutoffMs exceeded (v1.8)
             return out
 
         if show_ranking_score_details:
@@ -1019,14 +1043,20 @@ class SearchService:
                 if col not in self.settings.sortable_attributes:
                     raise ValueError(f"attribute {col!r} is not sortable")
                 sort_by = (col, desc)
+            cut_info: dict = {}
             rows = self._distinct_pairs(custom_rules_topk(
                 self.reader, query, rules=self.settings.ranking_rules,
                 k=fetch, cfg=self.cfg, store=self.attrs, sort_by=sort_by,
                 allowed=allowed,
-                proximity_precision=self.settings.proximity_precision))
+                proximity_precision=self.settings.proximity_precision,
+                cutoff_ms=self.settings.search_cutoff_ms, info=cut_info))
             total = len(rows)
             hits = [{"doc_id": r[0], "score": r[-1]}
                     for r in rows[offset:offset + k]]
+            if cut_info.get("skipped_rules"):
+                # Meilisearch v1.8 searchCutoffMs exceeded: remaining
+                # ranking rules were skipped — the response is degraded
+                degraded = cut_info["skipped_rules"]
         elif sort is not None and isinstance(sort, list) and len(sort) > 1:
             # Meilisearch multi-criteria sort: sort=[("price", False),
             # ("name", True), ...] in priority order, doc_id tie-break
@@ -1191,3 +1221,31 @@ class SearchService:
                         ]
                     }
         return _finish(out)
+
+
+def multi_search(services: dict, queries: list) -> dict:
+    """Meilisearch v1.1 `POST /multi-search` (the NON-federated form;
+    `search.federated_topk` serves the federated one): run several search
+    requests in one call, each against its own index, and return the
+    per-request responses IN REQUEST ORDER — upstream's contract.
+
+    `services` maps indexUid -> SearchService; each request in `queries`
+    is a dict with "indexUid", "q", and any of SearchService.search()'s
+    keyword arguments (pythonic names). Returns {"results": [{"indexUid",
+    ...search response}, ...]}. Requests are independent single-index
+    searches — an unknown indexUid fails the whole call (upstream returns
+    400 index_not_found), and no partial results are served."""
+    unknown = sorted({q.get("indexUid") for q in queries}
+                     - set(services))
+    if unknown:
+        raise ValueError(f"multi_search: unknown indexUid(s) {unknown} "
+                         f"(known: {sorted(services)})")
+    results = []
+    for req in queries:
+        req = dict(req)
+        uid = req.pop("indexUid")
+        query = req.pop("q", "")
+        out = services[uid].search(query, **req)
+        out["indexUid"] = uid
+        results.append(out)
+    return {"results": results}
