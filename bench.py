@@ -165,6 +165,9 @@ def main() -> int:
         "stopword_search_topk", "placeholder_browse_topk",
         "ranking_details_topk", "upsert_engine_topk",
         "custom_rules_topk",
+        "attrs_search_on_topk", "geo_bbox_engine_topk", "sayt_engine_topk",
+        "doc_term_tf", "lang_id_votes", "token_count_estimate",
+        "cutoff_degraded_topk", "multi_search_topk", "displayed_attrs_topk",
     ]
     for name in headline:
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
