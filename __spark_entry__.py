@@ -2578,7 +2578,68 @@ def _part_engine_index(spark: SparkSession, sf_dir: str) -> str:
             spark, parts, idx_dir, text_col="text", doc_id_col="doc_id",
             num_shards=1, num_buckets=8, verify_sha=False, resume=True,
         )
+    if not os.path.exists(f"{idx_dir}/attrs/_meta.json"):
+        # attribute store for the federated-facets entry (added after the
+        # index cache may already exist — written idempotently alongside)
+        from sparkft.facets import write_attribute_store
+
+        brands = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+            F.col("p_partkey").cast("long").alias("doc_id"),
+            F.col("p_brand").alias("brand"),
+        )
+        write_attribute_store(spark, brands, idx_dir, cols=("brand",))
     return idx_dir
+
+
+def _federated_facets_counts(spark, sf_dir):
+    """Meilisearch v1.11 federated facets (federation.facetsByIndex): one
+    federated query over the documents + part-name indexes, with each
+    index's facetDistribution counted over ITS full matched candidate set
+    (docs matching >= 1 query term) — 'lang' for documents, 'brand' for
+    part. Rows: (index_name, facet, value, cnt). Oracle: per-corpus
+    match-any-term GROUP BY counts UNION ALL'd under the index names."""
+    from sparkft.facets import AttributeStore
+    from sparkft.search import IndexReader, federated_facets
+
+    docs_dir = _engine_index(spark, sf_dir)
+    part_dir = _part_engine_index(spark, sf_dir)
+    docs_idx = IndexReader(spark, docs_dir)
+    part_idx = IndexReader(spark, part_dir)
+    hits, fac = federated_facets(
+        [("documents", docs_idx, FED_WEIGHTS["documents"]),
+         ("part", part_idx, FED_WEIGHTS["part"])],
+        FED_QUERY, k=10,
+        facets_by_index={
+            "documents": (AttributeStore(docs_dir), ["lang"]),
+            "part": (AttributeStore(part_dir), ["brand"]),
+        })
+    assert hits  # the merged ranking still serves alongside the counts
+    rows = [(name, facet, str(val), int(cnt))
+            for name, by_facet in fac.items()
+            for facet, counts in by_facet.items()
+            for val, cnt in counts.items()]
+    return spark.createDataFrame(
+        rows, "index_name string, facet string, value string, cnt long")
+
+
+def _federated_facets_sql(sf: str) -> str:
+    toks = "[" + ", ".join(f"'{t}'" for t in FED_QUERY.split()) + "]"
+    return f"""
+SELECT 'documents' AS index_name, 'lang' AS facet,
+       lang AS value, count(*) AS cnt
+FROM documents
+WHERE list_has_any(list_filter(string_split(text, ' '), x -> x <> ''),
+                   {toks})
+GROUP BY lang
+UNION ALL
+SELECT 'part' AS index_name, 'brand' AS facet,
+       p_brand AS value, count(*) AS cnt
+FROM part
+WHERE list_has_any(list_filter(string_split(p_name, ' '), x -> x <> ''),
+                   {toks})
+GROUP BY p_brand
+ORDER BY index_name, facet, value
+"""
 
 
 def _matching_frequency_topk(spark, sf_dir):
@@ -3515,6 +3576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_search_topk": _stopword_search_topk,
         "placeholder_browse_topk": _placeholder_browse_topk,
         "cutoff_degraded_topk": _cutoff_degraded_topk,
+        "federated_facets_counts": _federated_facets_counts,
         "multi_search_topk": _multi_search_topk,
         "displayed_attrs_topk": _displayed_attrs_topk,
         "upsert_engine_topk": _upsert_engine_topk,
@@ -3599,6 +3661,7 @@ def oracle_sql() -> dict[str, str]:
         "stopword_search_topk": _bm25_topk_sql(""),
         "placeholder_browse_topk": _PLACEHOLDER_BROWSE_SQL,
         "cutoff_degraded_topk": _bm25_topk_sql(""),
+        "federated_facets_counts": _federated_facets_sql(""),
         "multi_search_topk": _multi_search_sql(""),
         "displayed_attrs_topk": _displayed_attrs_sql(""),
         "upsert_engine_topk": _upsert_sql(""),

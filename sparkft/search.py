@@ -601,6 +601,48 @@ def federated_topk(indexes: list[tuple[str, "IndexReader", float]],
     return out[:k]
 
 
+def federated_facets(indexes: list[tuple[str, "IndexReader", float]],
+                     query: str, facets_by_index: dict, k: int = 10,
+                     cfg: TokenizerConfig = DEFAULT_CONFIG
+                     ) -> tuple[list[tuple[str, int, float]], dict]:
+    """Meilisearch v1.11 federated facets (`federation.facetsByIndex`):
+    the federated merge of `federated_topk`, plus per-index
+    facetDistribution counted over EACH index's FULL matched candidate
+    set (not the merged top-k page) — upstream's semantics, where the
+    facet counts describe what the whole federation matched.
+
+    `indexes` is [(index_name, reader, weight)] exactly as in
+    federated_topk; `facets_by_index` maps index_name -> (AttributeStore,
+    [facet columns]) for the indexes whose facets were requested (absent
+    names contribute hits but no counts, like an empty facets list
+    upstream). Returns (hits, {index_name: {facet: {value: count}}}).
+
+    Cost: the same O(query postings) per-index pass federated_topk pays —
+    the candidate ids are REUSED for the counts — plus one bucket-pruned
+    code gather + bincount per requested facet; federation still adds no
+    shuffle and no cross-index state."""
+    from .facets import facet_counts
+
+    out: list[tuple[str, int, float]] = []
+    fac: dict = {}
+    for name, reader, weight in indexes:
+        terms = reader.query_terms(query, cfg)
+        postings = reader.load_postings(terms)
+        acc: dict = {}
+        if postings:
+            acc, _ = taat_accumulate(reader, postings)
+            out.extend((name, d, weight * s) for d, s in acc.items())
+        if name in facets_by_index:
+            store, cols = facets_by_index[name]
+            ids = np.fromiter(acc.keys(), dtype=np.int64, count=len(acc))
+            ids.sort()
+            fac[name] = {c: facet_counts(reader, store, query, c, cfg=cfg,
+                                         candidates=ids)
+                         for c in cols}
+    out.sort(key=lambda t: (-t[2], t[0], t[1]))
+    return out[:k], fac
+
+
 def taat_topk(reader: IndexReader, query: str, k: int = 10,
               cfg: TokenizerConfig = DEFAULT_CONFIG) -> list[tuple[int, float]]:
     """Exhaustive term-at-a-time scoring; returns [(doc_id, score)]."""

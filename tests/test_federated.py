@@ -62,3 +62,42 @@ def test_federated_same_docid_different_index_both_kept(spark, two_indexes):
     assert len(pairs) == len(set(pairs))
     # doc_id 1 exists in BOTH indexes and both rows survive the merge
     assert ("a", 1) in pairs and ("b", 1) in pairs
+
+
+def test_federated_facets_counts_match_brute_force(spark, two_indexes):
+    """v1.11 facetsByIndex: per-index facetDistribution over the FULL
+    matched candidate set; the merged hits stay federated_topk's."""
+    from sparkft.facets import AttributeStore, write_attribute_store
+    from sparkft.search import federated_facets
+
+    a_dir, b_dir = two_indexes
+    # attribute stores: a 'grp' value derived from doc_id, recomputable
+    a_attrs = spark.createDataFrame(
+        [(d, f"g{d % 3}") for d in range(1, 21)], "doc_id long, grp string")
+    b_attrs = spark.createDataFrame(
+        [(d, f"h{d % 4}") for d in range(1, 31)], "doc_id long, grp string")
+    write_attribute_store(spark, a_attrs, a_dir, cols=("grp",))
+    write_attribute_store(spark, b_attrs, b_dir, cols=("grp",))
+
+    a, b = IndexReader(spark, a_dir), IndexReader(spark, b_dir)
+    q = "merge ring"
+    hits, fac = federated_facets(
+        [("a", a, 1.0), ("b", b, 2.5)], q, k=10,
+        facets_by_index={"a": (AttributeStore(a_dir), ["grp"]),
+                         "b": (AttributeStore(b_dir), ["grp"])})
+    assert hits == federated_topk([("a", a, 1.0), ("b", b, 2.5)], q, 10)
+    # every a-doc contains 'merge' (all 20 match); same for every b-doc
+    assert fac["a"]["grp"] == {"g0": 6, "g1": 7, "g2": 7}
+    assert fac["b"]["grp"] == {"h0": 7, "h1": 8, "h2": 8, "h3": 7}
+    # a name absent from facets_by_index contributes hits but no counts
+    _, fac_a = federated_facets(
+        [("a", a, 1.0), ("b", b, 1.0)], q, k=10,
+        facets_by_index={"a": (AttributeStore(a_dir), ["grp"])})
+    assert set(fac_a) == {"a"}
+    # a query matching only one index: the other's counts are empty
+    _, fac_ring = federated_facets(
+        [("a", a, 1.0), ("b", b, 1.0)], "ring", k=10,
+        facets_by_index={"a": (AttributeStore(a_dir), ["grp"]),
+                         "b": (AttributeStore(b_dir), ["grp"])})
+    assert fac_ring["a"]["grp"] == {}
+    assert sum(fac_ring["b"]["grp"].values()) == 30
