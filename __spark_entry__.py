@@ -780,6 +780,76 @@ def _hybrid_engine_topk(spark, sf_dir):
     )
 
 
+def _hybrid_filtered_topk(spark, sf_dir):
+    """Hybrid search composed with a Meilisearch `filter` (v1.11 vector-
+    store filtering): allowed = docs with lang='en'; BOTH halves of the
+    hybrid score are computed within the filtered universe — the keyword
+    max-normalization runs over admissible candidates only, exactly as a
+    filtered keyword search gates WAND. Oracle: the hybrid SQL with the
+    admissible set joined into scored/sem and the max."""
+    import numpy as np
+    import pyarrow.dataset as ds
+    import pyarrow.parquet as pq
+
+    from sparkft.hybrid import hybrid_topk
+    from sparkft.search import IndexReader
+
+    reader = IndexReader(spark, _engine_index(spark, sf_dir))
+    allowed = ds.dataset(f"{sf_dir}/documents.parquet").to_table(
+        columns=["doc_id"],
+        filter=ds.field("lang") == "en")["doc_id"].to_numpy()
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    emb = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    qvec = emb[ids == 0][0]
+    live = ids != 0
+    hits = hybrid_topk(reader, " ".join(BM25_QUERY_TERMS), ids[live],
+                       emb[live], qvec, k=10, ratio=HYBRID_RATIO,
+                       allowed=allowed)
+    return spark.createDataFrame(
+        [(int(d), float(s)) for d, s in hits], "doc_id long, hybrid double"
+    )
+
+
+def _hybrid_filtered_sql(sf: str) -> str:
+    terms = ", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)
+    r = HYBRID_RATIO
+    return f"""
+WITH postings AS ({_SQL_POSTINGS}),
+doclen AS ({_SQL_DOCLEN}),
+stats AS (SELECT count(*) AS n, sum(dl) AS tt FROM doclen),
+adm AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+q(token) AS (VALUES {terms}),
+term_df AS (SELECT token, count(*) AS df FROM postings
+            WHERE token IN (SELECT token FROM q) GROUP BY token),
+scored AS (
+  SELECT p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * ({K1} + 1.0)
+                 / (p.tf + {K1} * (1.0 - {B} + {B} * l.dl / (s.tt * 1.0 / s.n)))) ) AS sc
+  FROM postings p
+  JOIN term_df d USING (token)
+  JOIN doclen l ON p.doc_id = l.doc_id
+  JOIN adm a ON p.doc_id = a.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id),
+mx AS (SELECT max(sc) AS m FROM scored),
+qv AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+      WHERE vec_id <> 0 AND vec_id IN (SELECT doc_id FROM adm)),
+sem AS (SELECT vec_id,
+               (1 + list_inner_product(emb, qv.e)
+                    / (sqrt(list_inner_product(emb, emb))
+                       * sqrt(list_inner_product(qv.e, qv.e)))) / 2 AS sn
+        FROM v, qv)
+SELECT sem.vec_id AS doc_id,
+       round((1 - {r}) * coalesce(s.sc / m.m, 0) + {r} * sem.sn, 4) AS hybrid
+FROM sem CROSS JOIN mx m LEFT JOIN scored s ON s.doc_id = sem.vec_id
+ORDER BY hybrid DESC, doc_id LIMIT 10
+"""
+
+
 def _hybrid_sql(sf: str) -> str:
     terms = ", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)
     r = HYBRID_RATIO
@@ -3577,6 +3647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "placeholder_browse_topk": _placeholder_browse_topk,
         "cutoff_degraded_topk": _cutoff_degraded_topk,
         "federated_facets_counts": _federated_facets_counts,
+        "hybrid_filtered_topk": _hybrid_filtered_topk,
         "multi_search_topk": _multi_search_topk,
         "displayed_attrs_topk": _displayed_attrs_topk,
         "upsert_engine_topk": _upsert_engine_topk,
@@ -3662,6 +3733,7 @@ def oracle_sql() -> dict[str, str]:
         "placeholder_browse_topk": _PLACEHOLDER_BROWSE_SQL,
         "cutoff_degraded_topk": _bm25_topk_sql(""),
         "federated_facets_counts": _federated_facets_sql(""),
+        "hybrid_filtered_topk": _hybrid_filtered_sql(""),
         "multi_search_topk": _multi_search_sql(""),
         "displayed_attrs_topk": _displayed_attrs_sql(""),
         "upsert_engine_topk": _upsert_sql(""),

@@ -168,7 +168,7 @@ def main() -> int:
         "attrs_search_on_topk", "geo_bbox_engine_topk", "sayt_engine_topk",
         "doc_term_tf", "lang_id_votes", "token_count_estimate",
         "cutoff_degraded_topk", "multi_search_topk", "displayed_attrs_topk",
-        "federated_facets_counts",
+        "federated_facets_counts", "hybrid_filtered_topk",
     ]
     for name in headline:
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())

@@ -92,16 +92,25 @@ def _cosines(emb: np.ndarray, qvec: np.ndarray) -> np.ndarray:
 
 
 def _keyword_norms(reader: IndexReader, query: str,
-                   cfg: TokenizerConfig) -> tuple[np.ndarray, np.ndarray]:
+                   cfg: TokenizerConfig,
+                   allowed: Optional[np.ndarray] = None
+                   ) -> tuple[np.ndarray, np.ndarray]:
     """(candidate doc_ids sorted asc, kw_norm per candidate): exhaustive
     BM25 over the query's disjunctive candidate set, normalized by the max
-    candidate score (the keyword half of the hybrid formula)."""
+    candidate score (the keyword half of the hybrid formula). `allowed`
+    (sorted int64 array) gates candidates BEFORE the normalization — with
+    a filter the max is over the ADMISSIBLE candidates, so filtered
+    serving normalizes within the universe it actually ranks (BM25 stats
+    stay global, exactly filtered_topk's contract)."""
     terms = reader.query_terms(query, cfg)
     postings = reader.load_postings(terms)
     if not postings:
         e = np.empty(0, dtype=np.int64)
         return e, np.empty(0, dtype=np.float64)
     ids, sums, _ = taat_arrays(reader, postings)
+    if allowed is not None and len(ids):
+        m = np.isin(ids, allowed)
+        ids, sums = ids[m], sums[m]
     if len(ids) == 0:
         return ids, sums
     mx = sums.max()
@@ -110,8 +119,8 @@ def _keyword_norms(reader: IndexReader, query: str,
 
 def hybrid_topk(reader: IndexReader, query: str, emb_ids: np.ndarray,
                 emb, qvec, k: int = 10, ratio: float = 0.5,
-                cfg: TokenizerConfig = DEFAULT_CONFIG
-                ) -> list[tuple[int, float]]:
+                cfg: TokenizerConfig = DEFAULT_CONFIG,
+                allowed=None) -> list[tuple[int, float]]:
     """Exact hybrid top-k over the embedded corpus: [(doc_id, score)],
     ranked (round(hybrid, 4) DESC, doc_id ASC). `emb_ids` (n,) int64 and
     `emb` (n, d) are the embedded docs (any order); `qvec` the query
@@ -121,7 +130,14 @@ def hybrid_topk(reader: IndexReader, query: str, emb_ids: np.ndarray,
     Serving callers issuing many queries should pass an `EmbeddingSet` as
     `emb` (with `emb_ids=None` or the set's ids): the per-doc norms are
     then precomputed once instead of per query (596 -> 210 ms/query at
-    800k x 64, bit-identical)."""
+    800k x 64, bit-identical).
+
+    `allowed` (a set/iterable of doc ids — the resolved Meilisearch
+    `filter`, v1.11 vector-store filtering) restricts the ranked universe
+    AND the keyword normalization to admissible docs: both halves of the
+    hybrid score are computed within the filtered universe, exactly as a
+    filtered keyword search gates WAND. One isin mask per side — no extra
+    postings or embedding reads."""
     if isinstance(emb, EmbeddingSet):
         es = emb
         emb_ids, sem_src = es.ids, es
@@ -131,10 +147,18 @@ def hybrid_topk(reader: IndexReader, query: str, emb_ids: np.ndarray,
             raise ValueError("emb_ids and emb row count mismatch")
         sem_src = None
     qvec = np.asarray(qvec, dtype=np.float64)
-    # the ranked universe: embedded docs, tombstones out
+    al = None
+    if allowed is not None:
+        al = np.fromiter(allowed, dtype=np.int64)
+        al.sort()
+    # the ranked universe: embedded docs, tombstones out, filter applied
     live = None
     if reader.deleted:
         live = ~reader.deleted.mask(emb_ids)
+    if al is not None:
+        adm = np.isin(emb_ids, al)
+        live = adm if live is None else (live & adm)
+    if live is not None:
         emb_ids = emb_ids[live]
         if sem_src is None:
             emb = emb[live]
@@ -147,7 +171,7 @@ def hybrid_topk(reader: IndexReader, query: str, emb_ids: np.ndarray,
         sem = (1.0 + cos) / 2.0
     else:
         sem = (1.0 + _cosines(emb, qvec)) / 2.0
-    cand_ids, kw = _keyword_norms(reader, query, cfg)
+    cand_ids, kw = _keyword_norms(reader, query, cfg, allowed=al)
     kw_of = np.zeros(len(emb_ids), dtype=np.float64)
     if len(cand_ids):
         pos = np.searchsorted(cand_ids, emb_ids)

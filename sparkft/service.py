@@ -73,6 +73,11 @@ class IndexSettings:
     typo_min_word_size_one: int = 5
     typo_min_word_size_two: int = 9
     typo_disable_on_words: tuple = ()
+    # Meilisearch v1.12 typoTolerance.disableOnNumbers: no typo expansion
+    # for query words containing a digit ('2024' must not match '2025';
+    # same for mixed tokens like 'v2' — a digit anywhere disables, the
+    # conservative reading of upstream's numbers rule).
+    typo_disable_on_numbers: bool = False
     matching_strategy: str = "any"  # 'any' | 'all' | 'last' | 'frequency'
     filterable_attributes: tuple = ()
     sortable_attributes: tuple = ()
@@ -343,7 +348,9 @@ class SearchService:
         disabled = frozenset(s.typo_disable_on_words)
         for w in words:
             g = {w}
-            if sym is not None and w not in disabled:
+            if (sym is not None and w not in disabled
+                    and not (s.typo_disable_on_numbers
+                             and any(c.isdigit() for c in w))):
                 g.update(sym.expand(w, s.typo_min_word_size_one,
                                     s.typo_min_word_size_two))
             for syn in s.synonyms.get(w, ()):
@@ -518,7 +525,9 @@ class SearchService:
         per_word = []  # (base_docs, zero_typo_docs, any_variant_docs, allowance)
         for w in words:
             typos = set()
-            if sym is not None and w not in disabled:
+            if (sym is not None and w not in disabled
+                    and not (s.typo_disable_on_numbers
+                             and any(c.isdigit() for c in w))):
                 typos = set(sym.expand(w, s.typo_min_word_size_one,
                                        s.typo_min_word_size_two)) - {w}
             syns = {t for syn in s.synonyms.get(w, ())

@@ -208,3 +208,52 @@ def test_exclusion_pool_plan_has_no_literal_id_list(spark):
     assert got == set(range(50, 900)) | set(range(960, 1000))
     # empty/None sets are no-ops
     assert _exclusion_pool(df, "vec_id", np.empty(0, np.int64), None) is df
+
+
+def test_allowed_filter_gates_both_sides(setup):
+    """Meilisearch filter composed with hybrid (v1.11 vector-store
+    filtering): the ranked universe AND the keyword max-normalization are
+    restricted to admissible docs, while BM25 stats (N, avgdl, df) stay
+    GLOBAL — the same contract as filtered keyword search."""
+    reader, ids, emb, qvec, texts = setup
+    allowed = {d for d in range(N) if d % 3 == 0}
+    got = hybrid_topk(reader, QUERY, ids, emb, qvec, k=10, ratio=0.5,
+                      allowed=allowed)
+    assert got and all(d in allowed for d, _ in got)
+    # brute: GLOBAL-stats BM25, then gate + renormalize over allowed
+    toks = [t.split() for t in texts]
+    terms = QUERY.split()
+    avgdl = sum(len(t) for t in toks) / N
+    df = {w: sum(1 for t in toks if w in t) for w in terms}
+    kw = {}
+    for d in range(N):
+        s = 0.0
+        for w in sorted(terms):
+            tf = toks[d].count(w)
+            if tf and df[w]:
+                idf = math.log1p((N - df[w] + 0.5) / (df[w] + 0.5))
+                s += idf * (tf * (K1 + 1.0)
+                            / (tf + K1 * (1.0 - B + B * len(toks[d]) / avgdl)))
+        if s > 0 and d in allowed:
+            kw[d] = s
+    mx = max(kw.values()) if kw else 0.0
+    qn = math.sqrt(sum(x * x for x in qvec))
+    rows = []
+    for d in sorted(allowed):
+        e = emb[d]
+        cos = float(np.dot(e, qvec)) / (math.sqrt(float(np.dot(e, e))) * qn)
+        sem = (1.0 + cos) / 2.0
+        kwn = (kw.get(d, 0.0) / mx) if mx > 0 else 0.0
+        rows.append((d, round(0.5 * kwn + 0.5 * sem, 4)))
+    rows.sort(key=lambda t: (-t[1], t[0]))
+    assert got == pytest.approx(rows[:10])
+    # empty admissible set -> no hits
+    assert hybrid_topk(reader, QUERY, ids, emb, qvec, k=10,
+                       allowed=set()) == []
+    # EmbeddingSet path gives identical results
+    from sparkft.hybrid import EmbeddingSet
+
+    es = EmbeddingSet(ids, emb)
+    got_es = hybrid_topk(reader, QUERY, None, es, qvec, k=10, ratio=0.5,
+                         allowed=allowed)
+    assert got_es == got

@@ -385,3 +385,38 @@ def test_search_as_you_type_last_word_only_prefix(spark, tmp_path):
     assert stats3["expanded_terms"] == ["window", "windows", "winter"]
     # empty query
     assert search_as_you_type_topk(reader, "", 10) == []
+
+
+def test_typo_disable_on_numbers(tmp_path):
+    """Meilisearch v1.12 typoTolerance.disableOnNumbers: digit-bearing
+    query words get NO typo expansion ('2024' must not match '2025');
+    plain words keep expanding under the same settings."""
+    from pyspark.sql import SparkSession
+
+    from sparkft.index_build import build_index
+    from sparkft.service import IndexSettings, SearchService
+
+    spark = (SparkSession.builder.master("local[4]")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    docs = spark.createDataFrame(
+        [(0, "2024 graft report"), (1, "2025 report"), (2, "v2 notes")],
+        "doc_id long, text string")
+    out = str(tmp_path / "nidx")
+    build_index(spark, docs, out, text_col="text", doc_id_col="doc_id",
+                num_shards=1, num_buckets=2, verify_sha=False)
+    base = dict(typo_tolerance=True, typo_min_word_size_one=2)
+    svc = SearchService(out, IndexSettings(**base))
+    assert svc._word_groups("2024") == [["2024", "2025"]]  # d=1 expands
+    svc_n = SearchService(out, IndexSettings(
+        **base, typo_disable_on_numbers=True))
+    assert svc_n._word_groups("2024") == [["2024"]]
+    # mixed alnum counts as a number too (digit anywhere disables)
+    assert svc_n._word_groups("v2") == [["v2"]]
+    # plain words still expand under the same settings
+    assert "graft" in svc_n._word_groups("graft")[0]
+    # end-to-end: only the exact-2024 doc matches
+    hits = svc_n.search("2024", 10)["hits"]
+    assert [h["doc_id"] for h in hits] == [0]
+    hits_on = svc.search("2024", 10)["hits"]
+    assert {h["doc_id"] for h in hits_on} == {0, 1}
