@@ -2984,6 +2984,32 @@ ORDER BY n_chars DESC, doc_id LIMIT 10
 """
 
 
+def _documents_browse(spark, sf_dir):
+    """Meilisearch GET /documents (POST /documents/fetch form with a
+    filter): browse the live corpus in doc_id order — offset/limit paging,
+    field selection, exact total, no ranking and no postings read. Oracle:
+    the same relational slice over the documents table."""
+    from sparkft.service import IndexSettings, SearchService
+
+    svc = SearchService(_engine_index(spark, sf_dir), IndexSettings(
+        filterable_attributes=("lang",)))
+    res = svc.get_documents(offset=5, limit=10,
+                            fields=["lang", "n_chars"],
+                            filter=("lang", "en"))
+    assert res["total"] > 15 and res["offset"] == 5 and res["limit"] == 10
+    return spark.createDataFrame(
+        [(r["doc_id"], r["lang"], int(r["n_chars"])) for r in res["results"]],
+        "doc_id long, lang string, n_chars long",
+    )
+
+
+_DOCUMENTS_BROWSE_SQL = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE lang = 'en'
+ORDER BY doc_id LIMIT 10 OFFSET 5
+"""
+
+
 def _cutoff_degraded_topk(spark, sf_dir):
     """Meilisearch v1.8 searchCutoffMs: with a 0 ms budget every rule in
     the custom rankingRules pipeline is SKIPPED (the response is flagged
@@ -3648,6 +3674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cutoff_degraded_topk": _cutoff_degraded_topk,
         "federated_facets_counts": _federated_facets_counts,
         "hybrid_filtered_topk": _hybrid_filtered_topk,
+        "documents_browse": _documents_browse,
         "multi_search_topk": _multi_search_topk,
         "displayed_attrs_topk": _displayed_attrs_topk,
         "upsert_engine_topk": _upsert_engine_topk,
@@ -3734,6 +3761,7 @@ def oracle_sql() -> dict[str, str]:
         "cutoff_degraded_topk": _bm25_topk_sql(""),
         "federated_facets_counts": _federated_facets_sql(""),
         "hybrid_filtered_topk": _hybrid_filtered_sql(""),
+        "documents_browse": _DOCUMENTS_BROWSE_SQL,
         "multi_search_topk": _multi_search_sql(""),
         "displayed_attrs_topk": _displayed_attrs_sql(""),
         "upsert_engine_topk": _upsert_sql(""),

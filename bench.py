@@ -169,6 +169,7 @@ def main() -> int:
         "doc_term_tf", "lang_id_votes", "token_count_estimate",
         "cutoff_degraded_topk", "multi_search_topk", "displayed_attrs_topk",
         "federated_facets_counts", "hybrid_filtered_topk",
+        "documents_browse",
     ]
     for name in headline:
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())

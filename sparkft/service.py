@@ -730,6 +730,76 @@ class SearchService:
                 if col not in h:       # never clobber score/_geoDistance
                     h[col] = v
 
+    def get_documents(self, offset: int = 0, limit: int = 20,
+                      fields=None, filter=None) -> dict:
+        """Meilisearch `GET /indexes/{uid}/documents` (and the v1.2
+        `POST /documents/fetch` form that adds a filter): browse the LIVE
+        corpus in doc_id order — no ranking, no postings read; candidates
+        come from the attribute store's id runs, the filter resolves the
+        same way search()'s does (geo filters excluded — they are
+        term-seeded). `fields` restricts the returned attributes (None or
+        '*' = every stored attribute; upstream's documents route ignores
+        displayedAttributes — it returns all fields — so no intersection
+        here, unlike search). Response: {"results", "offset", "limit",
+        "total"} with total the EXACT live count matching the filter
+        (upstream's documents total is exact, unlike search estimates).
+        DIVERGENCE: upstream pages by internal docid order; ours is
+        doc_id ASC — same stability contract, different key. Cost:
+        O(page) bucket-pruned gathers after an O(live) id slice."""
+        from .facets import _mask_allowed, live_docs
+
+        if isinstance(filter, tuple) and filter and filter[0] in (
+                "_geoRadius", "_geoBoundingBox"):
+            raise ValueError("documents browse does not serve geo filters")
+        if offset < 0 or limit < 0:
+            raise ValueError("offset and limit must be >= 0")
+        allowed = self._allowed(filter)
+        ids = _mask_allowed(live_docs(self.reader, self.attrs), allowed)
+        total = int(len(ids))
+        page = ids[offset:offset + limit]
+        stored = list(self.attrs.columns())
+        if fields is None or fields == "*" or list(fields) == ["*"]:
+            cols = stored
+        else:
+            bad = sorted(set(fields) - set(stored))
+            if bad:
+                raise ValueError(
+                    f"fields {bad} are not stored attributes "
+                    f"(columns: {sorted(stored)})")
+            cols = list(fields)
+        results = [{"doc_id": int(d)} for d in page.tolist()]
+        for col in cols:
+            vals = self.attrs.lookup(page, col).tolist()
+            for r, v in zip(results, vals):
+                r[col] = v
+        return {"results": results, "offset": offset, "limit": limit,
+                "total": total}
+
+    def get_document(self, doc_id: int, fields=None) -> dict:
+        """Meilisearch `GET /indexes/{uid}/documents/{id}`: one live doc's
+        stored attributes; a missing or tombstoned id raises (upstream's
+        404 document_not_found)."""
+        ids = self.attrs.doc_ids
+        pos = np.searchsorted(ids, doc_id)
+        if pos >= len(ids) or ids[pos] != doc_id or doc_id in \
+                self.reader.deleted:
+            raise ValueError(f"document {doc_id} not found")
+        one = np.asarray([doc_id], dtype=np.int64)
+        stored = list(self.attrs.columns())
+        if fields is None or fields == "*" or list(fields) == ["*"]:
+            cols = stored
+        else:
+            bad = sorted(set(fields) - set(stored))
+            if bad:
+                raise ValueError(
+                    f"fields {bad} are not stored attributes "
+                    f"(columns: {sorted(stored)})")
+            cols = list(fields)
+        doc = {"doc_id": int(doc_id)}
+        for col in cols:
+            doc[col] = self.attrs.lookup(one, col).tolist()[0]
+        return doc
+
     def delete_by_filter(self, filter) -> int:
         """Meilisearch v1.2 `POST /documents/delete` with a filter: resolve
         the filter (a (col, value) tuple or a filter-expression string —

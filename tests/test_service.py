@@ -639,3 +639,58 @@ def test_sort_facet_values_by_count(built):
     assert list(by_count) == [v for v, _ in
                               sorted(alpha.items(),
                                      key=lambda kv: (-kv[1], kv[0]))]
+
+
+def test_get_documents_browse(built):
+    """GET /documents: doc_id-ordered live browse with exact total, field
+    selection, filter; GET /documents/{id} single-doc + 404 contract."""
+    import numpy as np
+
+    out, _, rows = built
+    svc = SearchService(out, SETTINGS)
+    all_ids = sorted(int(r["doc_id"]) for r in rows)
+    res = svc.get_documents(offset=0, limit=5)
+    assert res["total"] == len(all_ids)
+    assert [r["doc_id"] for r in res["results"]] == all_ids[:5]
+    assert all("repo" in r and "n_chars" in r for r in res["results"])
+    # pagination tiles without overlap, in doc_id order
+    res2 = svc.get_documents(offset=5, limit=5)
+    assert [r["doc_id"] for r in res2["results"]] == all_ids[5:10]
+    # fields selection
+    only = svc.get_documents(0, 3, fields=["repo"])
+    assert all(set(r) == {"doc_id", "repo"} for r in only["results"])
+    with pytest.raises(ValueError, match="not stored"):
+        svc.get_documents(0, 3, fields=["nope"])
+    # filter: exact total + only matching docs
+    repo0 = rows[0]["repo"]
+    want = sorted(int(r["doc_id"]) for r in rows if r["repo"] == repo0)
+    got = svc.get_documents(0, 1000, filter=("repo", repo0))
+    assert got["total"] == len(want)
+    assert [r["doc_id"] for r in got["results"]] == want
+    # single-doc fetch + 404
+    one = svc.get_document(all_ids[0])
+    assert one["doc_id"] == all_ids[0] and "repo" in one
+    with pytest.raises(ValueError, match="not found"):
+        svc.get_document(999_999_999_999)
+
+
+def test_get_documents_excludes_tombstones(spark, tmp_path):
+    from sparkft.facets import write_attribute_store
+    from sparkft.index_build import build_index, delete_docs
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta", "a"), (2, "gamma delta", "b"),
+         (3, "epsilon zeta", "c")],
+        "doc_id long, text string, tag string")
+    out = str(tmp_path / "bidx")
+    build_index(spark, df, out, text_col="text", doc_id_col="doc_id",
+                num_shards=1, num_buckets=2, verify_sha=False)
+    write_attribute_store(spark, df.select("doc_id", "tag"), out,
+                          cols=("tag",))
+    delete_docs(out, [2])
+    svc = SearchService(out, IndexSettings())
+    res = svc.get_documents()
+    assert [r["doc_id"] for r in res["results"]] == [1, 3]
+    assert res["total"] == 2
+    with pytest.raises(ValueError, match="not found"):
+        svc.get_document(2)
