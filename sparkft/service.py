@@ -1328,3 +1328,31 @@ def multi_search(services: dict, queries: list) -> dict:
         out["indexUid"] = uid
         results.append(out)
     return {"results": results}
+
+
+def swap_indexes(services: dict, pairs: list) -> dict:
+    """Meilisearch v0.30 `POST /swap-indexes`: atomically exchange which
+    SearchService each uid serves — upstream's zero-downtime reindex move
+    (build `movies_new`, swap `[movies, movies_new]`, drop the old one).
+    Every uid named in `pairs` must exist (upstream errors the whole task:
+    index_not_found), a uid may appear in at most ONE pair
+    (invalid_swap_duplicate_index_found), and a pair must name two
+    DIFFERENT uids. All swaps apply atomically — either the whole task
+    mutates `services` or none of it does. Returns
+    {"swaps": [{"indexes": [a, b]}, ...]}, the upstream task detail."""
+    seen: set = set()
+    for p in pairs:
+        a, b = p
+        if a == b:
+            raise ValueError(f"swap pair names the same index twice: {a!r}")
+        for uid in (a, b):
+            if uid in seen:
+                raise ValueError(
+                    f"index {uid!r} appears in more than one swap pair")
+            seen.add(uid)
+            if uid not in services:
+                raise ValueError(f"swap_indexes: unknown indexUid {uid!r} "
+                                 f"(known: {sorted(services)})")
+    for a, b in pairs:  # validated above: applying all is now safe
+        services[a], services[b] = services[b], services[a]
+    return {"swaps": [{"indexes": [a, b]} for a, b in pairs]}

@@ -194,3 +194,31 @@ def test_multi_search_unknown_uid_fails_whole_call(built):
     with pytest.raises(ValueError, match="unknown indexUid"):
         multi_search(services, [{"indexUid": "code", "q": "a"},
                                 {"indexUid": "nope", "q": "b"}])
+
+
+# ----------------------------------------------------- swap-indexes
+
+def test_swap_indexes(built):
+    from sparkft.service import swap_indexes
+
+    a = SearchService(built, IndexSettings())
+    b = SearchService(built, IndexSettings(displayed_attributes=("repo",)))
+    c = SearchService(built, IndexSettings())
+    services = {"movies": a, "movies_new": b, "other": c}
+    out = swap_indexes(services, [("movies", "movies_new")])
+    assert out == {"swaps": [{"indexes": ["movies", "movies_new"]}]}
+    assert services["movies"] is b and services["movies_new"] is a
+    assert services["other"] is c
+    # validation: unknown uid, duplicate uid, self-swap — and atomicity
+    # (the failed call must not have mutated anything)
+    before = dict(services)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown indexUid"):
+        swap_indexes(services, [("movies", "nope")])
+    with _pytest.raises(ValueError, match="more than one swap pair"):
+        swap_indexes(services, [("movies", "other"),
+                                ("movies", "movies_new")])
+    with _pytest.raises(ValueError, match="same index twice"):
+        swap_indexes(services, [("movies", "movies")])
+    assert services == before
