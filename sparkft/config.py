@@ -128,7 +128,10 @@ DEFAULT_CONFIG = TokenizerConfig()
 # v4: fastscript 4-context probe — Σ (contextual Final_Sigma beyond final
 # position, e.g. 'ΆΣ0') is no longer table-admitted; Σ-bearing uniform runs
 # route scalar, fixing a batch/scalar parity divergence ('ασ0' vs 'ας0').
-TOKENIZER_BEHAVIOR_VERSION = 4
+TOKENIZER_BEHAVIOR_VERSION = 5  # v5: cased non-Ll/Lu chars (Greek
+# ypogegrammeni U+037A etc.) excluded from the uniform-script fast-path
+# tables — their runs serve scalar, fixing a batch/scalar camel parity
+# divergence on position-0 Other_Lowercase chars
 
 # digest cache keyed by (path, mtime_ns, size) — injected CJK dictionaries
 # run to several MB and fingerprints are computed per build/reader, not once

@@ -162,6 +162,23 @@ def uniform_tables(script: str, language: Optional[str]):
             c = chr(cp)
             if c in multi_chars:
                 continue
+            # EVERY admitted char must carry THIS script's id or Other:
+            # runs split where a char's script differs from the last
+            # non-Other script seen (split_script_runs / mod.rs:155-168),
+            # and charabia's tables classify some punctuation as Latin
+            # (e.g. '«'), so a foreign-scripted char inside e.g. a Greek
+            # route splits runs around its NEIGHBORS — '΄«0΄' tokenizes
+            # ['΄','«','0','΄'] scalar-side while a class scan admitting
+            # '«' as a mere separator would merge '0΄' into one token
+            # (hypothesis-found parity case). With all chars in {script,
+            # Other} the ffill rule provably yields zero internal run
+            # boundaries, so the separator scan is exact. (The Ll/Lu/Lo
+            # letter branch has always enforced this; it is required for
+            # separators and inert glue too.)
+            sid0 = int(T.script_ids_of_codepoints(
+                np.array([cp], dtype=np.uint32))[0])
+            if T.SCRIPTS[sid0] not in (script, T.OTHER):
+                continue
             if c in seps:
                 toks = tokenize_str(f"ab{c}cd", DEFAULT_CONFIG)
                 words = [t for t in toks if t.kind == WORD]
@@ -173,6 +190,18 @@ def uniform_tables(script: str, language: Optional[str]):
                 lemma_map[cp] = k  # separator lemmas are dropped
                 continue
             cat = ud.category(c)
+            if c.islower() or c.isupper():
+                # CASED chars are admitted only through the Ll/Lu classes
+                # below. A cased char of any OTHER category (e.g. Greek
+                # ypogegrammeni U+037A: Lm + Other_Lowercase) would be
+                # class-inert '$' here, but the scalar camel rule counts
+                # it lowercase at token position 0 (str.islower, the
+                # char::is_lowercase parity of camel_case.rs), so 'ͺͰ'
+                # splits scalar-side and would not split under the class
+                # scan — hypothesis-found parity case; such runs stay
+                # scalar
+                if cat not in ("Ll", "Lu"):
+                    continue
             if cat in ("Mn", "Mc", "Me", "Cf", "Lm"):
                 # combining marks / format chars / modifier letters:
                 # boundary-inert word glue the chain either keeps 1:1 or
@@ -181,6 +210,7 @@ def uniform_tables(script: str, language: Optional[str]):
                 # sliced with deletion-adjusted offsets (see
                 # tokenize_uniform_batch); camel parity holds since these
                 # categories are neither Ll nor Lu in the scalar rule
+                # (uncased ones only — cased glue is rejected above)
                 fold, final = _probe_fold(c, script, language, ctx)
                 if fold is None or final != fold or len(fold) > 1:
                     continue

@@ -292,6 +292,15 @@ uniform_text = st.text(
 # the 4-context probe must reject Σ from the uniform table (scalar route)
 @example(texts=["ΆΣ0"])
 @example(texts=["ΑΣ0Β αβΣ ΤΟ ΔΆΣΟΣ"])
+# Greek ypogegrammeni U+037A: Lm + Other_Lowercase — scalar counts it
+# lowercase at token position 0 (char::is_lowercase parity), so ͺͰ camel-
+# splits; cased non-Ll/Lu chars must be rejected from the uniform tables
+@example(texts=["ͺͰ"])
+# '«' is script-LATIN in charabia's tables: inside a Greek route it splits
+# script runs around its NEIGHBORS ('΄«0΄' -> ['΄','«','0','΄']), which a
+# class scan admitting it as a mere separator cannot replicate — every
+# admitted char must carry the route script's id or Other
+@example(texts=["΄«0΄"])
 def test_tokenize_batch_matches_scalar_uniform_scripts(texts):
     """The INTEGRATED batch entry (ASCII + surrogate + uniform two-buffer +
     scalar routing) must equal the scalar pipeline per row, IN ORDER, over
