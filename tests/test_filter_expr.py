@@ -192,3 +192,73 @@ def test_real_store_numeric_dtype_probe(tmp_path):
         sorted(i for i in range(20) if (i % 4) * 10 != 20)
     assert filter_ids("lang = l1", st, ai).tolist() == \
         sorted(i for i in range(20) if i % 3 == 1)
+
+
+# --- hypothesis: random expression ASTs, engine vs pandas oracle ---
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _leaf_num(op, k):
+    import operator
+
+    fns = {"=": operator.eq, "!=": operator.ne, "<": operator.lt,
+           "<=": operator.le, ">": operator.gt, ">=": operator.ge}
+    return (f"x {op} {k}", lambda df, f=fns[op], kk=k: f(df.x, kk))
+
+
+_num_leaf = st.tuples(
+    st.sampled_from(["=", "!=", "<", "<=", ">", ">="]),
+    st.integers(0, 50)).map(lambda t: _leaf_num(*t))
+_range_leaf = st.tuples(st.integers(0, 50), st.integers(0, 50)).map(
+    lambda t: (f"x {min(t)} TO {max(t)}",
+               lambda df, lo=min(t), hi=max(t): (df.x >= lo) & (df.x <= hi)))
+_num_in_leaf = st.lists(st.integers(0, 50), min_size=1, max_size=4).map(
+    lambda ks: (f"x IN [{', '.join(map(str, ks))}]",
+                lambda df, kk=tuple(ks): df.x.isin(kk)))
+_str_leaf = st.tuples(st.sampled_from(["=", "!="]),
+                      st.sampled_from(["a", "b", "c"])).map(
+    lambda t: (f"s {t[0]} {t[1]}",
+               lambda df, o=t[0], v=t[1]:
+               (df.s == v) if o == "=" else (df.s != v)))
+_str_in_leaf = st.lists(st.sampled_from(["a", "b", "c"]),
+                        min_size=1, max_size=3).map(
+    lambda vs: (f"s IN [{', '.join(vs)}]",
+                lambda df, vv=tuple(vs): df.s.isin(vv)))
+
+_leaves = st.one_of(_num_leaf, _range_leaf, _num_in_leaf,
+                    _str_leaf, _str_in_leaf)
+
+
+def _combine(children):
+    return st.one_of(
+        st.tuples(children, children, st.sampled_from(["AND", "OR"])).map(
+            lambda t: (f"({t[0][0]}) {t[2]} ({t[1][0]})",
+                       lambda df, a=t[0][1], b=t[1][1], op=t[2]:
+                       (a(df) & b(df)) if op == "AND" else (a(df) | b(df)))),
+        children.map(lambda c: (f"NOT ({c[0]})",
+                                lambda df, a=c[1]: ~a(df))),
+    )
+
+
+_exprs = st.recursive(_leaves, _combine, max_leaves=8)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_exprs, st.randoms(use_true_random=False))
+def test_random_expressions_match_pandas_oracle(expr_mask, rnd):
+    """Parser + set-algebra evaluator vs a pandas mask built from the SAME
+    random AST — any divergence in precedence, range/IN semantics, NOT
+    complement, or the numeric-vs-index routing shows up here."""
+    import pandas as pd
+
+    n = 60
+    xs = [rnd.randrange(0, 51) for _ in range(n)]
+    ss = [rnd.choice("abc") for _ in range(n)]
+    store = FakeStore(ids=range(0, 2 * n, 2), cols={"x": xs, "s": ss})
+    df = pd.DataFrame({"doc_id": store.doc_ids, "x": xs, "s": ss})
+    expr, mask_fn = expr_mask
+    got = filter_ids(expr, store).tolist()
+    want = df.loc[mask_fn(df), "doc_id"].tolist()
+    assert got == want, expr
