@@ -1674,6 +1674,35 @@ def _facet_stats_sql(sf: str) -> str:
     return _FACET_STATS_SQL.format(toks=_SQL_TOKS, terms=terms)
 
 
+def _facet_max_values(spark, sf_dir):
+    """Meilisearch faceting.maxValuesPerFacet: facetDistribution sorted in
+    the display order (sortFacetValuesBy='alpha' default = value ASC) and
+    truncated to the setting — here 3, so the response keeps the three
+    lexicographically-smallest langs among the docs matching >= 1 query
+    term. Counts are unchanged by the truncation (it is presentational)."""
+    from sparkft.service import IndexSettings, SearchService
+
+    svc = SearchService(_engine_index(spark, sf_dir),
+                        IndexSettings(filterable_attributes=("lang",),
+                                      max_values_per_facet=3))
+    res = svc.search(" ".join(BM25_QUERY_TERMS), 1, facets=["lang"])
+    return spark.createDataFrame(
+        [(v, int(c)) for v, c in res["facetDistribution"]["lang"].items()],
+        "lang string, n_docs long",
+    )
+
+
+def _facet_max_values_sql(sf: str) -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return f"""
+SELECT lang, count(*) AS n_docs FROM documents
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM ({_SQL_TOKS})
+                 WHERE token IN ({terms}))
+GROUP BY lang
+ORDER BY lang LIMIT 3
+"""
+
+
 def _sorted_search_topk(spark, sf_dir):
     """The `sort` ranking rule (Meilisearch), DataFrame path: docs matching
     >= 1 query term ordered by the n_chars attribute DESC (doc_id ASC
@@ -3683,6 +3712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reorders at call time so never-checked entries and the entries
         # whose last driver row is oldest always land inside the cap.
         "facet_engine_counts": _facet_engine_counts,
+        "facet_max_values": _facet_max_values,
         "sorted_search_topk": _sorted_search_topk,
         "sorted_engine_topk": _sorted_engine_topk,
         "distinct_search_topk": _distinct_search_topk,
@@ -3801,6 +3831,7 @@ def oracle_sql() -> dict[str, str]:
         "compacted_engine_topk": _compacted_sql(""),
         "facet_counts": _facet_sql(""),
         "facet_engine_counts": _facet_sql(""),
+        "facet_max_values": _facet_max_values_sql(""),
         "sorted_search_topk": _sorted_sql(""),
         "sorted_desc_string_topk": _sorted_desc_string_sql(""),
         "sorted_multi_topk": _sorted_multi_sql(""),

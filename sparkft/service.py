@@ -88,6 +88,14 @@ class IndexSettings:
     # Meilisearch v1.3 sortFacetValuesBy: facetDistribution value order —
     # 'alpha' (default) or 'count' (desc, value asc tie-break)
     sort_facet_values_by: str = "alpha"
+    # Meilisearch faceting.maxValuesPerFacet (default 100): at most this
+    # many values per facet in facetDistribution, and the cap on
+    # /facet-search hits. Values are sorted FIRST (per sortFacetValuesBy),
+    # then truncated — upstream returns the first N in display order, so
+    # 'alpha' keeps the lexicographically smallest values and 'count' the
+    # most frequent. facetStats stay computed over the FULL candidate set
+    # (truncation is presentational, not a re-count).
+    max_values_per_facet: int = 100
     # Meilisearch pagination.maxTotalHits (default 1000): the deepest
     # result any pagination can reach. Takes precedence over offset/limit
     # and over hitsPerPage*page; totalHits/estimatedTotalHits report at
@@ -682,12 +690,10 @@ class SearchService:
             for col in facets:
                 if col not in self.settings.filterable_attributes:
                     raise ValueError(f"attribute {col!r} is not filterable")
-                fd[col] = facet_counts(self.reader, self.attrs, "", col,
-                                       cfg=self.cfg, allowed=allowed,
-                                       candidates=cand)
-                if self.settings.sort_facet_values_by == "count":
-                    fd[col] = dict(sorted(fd[col].items(),
-                                          key=lambda kv: (-kv[1], kv[0])))
+                fd[col] = self._shape_facets(
+                    facet_counts(self.reader, self.attrs, "", col,
+                                 cfg=self.cfg, allowed=allowed,
+                                 candidates=cand))
                 try:
                     st = facet_stats(self.reader, self.attrs, "", col,
                                      cfg=self.cfg, allowed=allowed,
@@ -700,6 +706,19 @@ class SearchService:
             if fs:
                 out["facetStats"] = fs
         return out
+
+    def _shape_facets(self, counts: dict) -> dict:
+        """Order a facet's {value: count} map per sortFacetValuesBy
+        ('alpha' = value asc, Meilisearch's default display order;
+        'count' = count desc, value asc tie-break) and truncate to
+        settings.max_values_per_facet (faceting.maxValuesPerFacet) —
+        sort-then-cut, so 'alpha' keeps the smallest values and 'count'
+        the most frequent, like upstream."""
+        if self.settings.sort_facet_values_by == "count":
+            items = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        else:
+            items = sorted(counts.items())
+        return dict(items[:self.settings.max_values_per_facet])
 
     def _retrieve_attributes(self, hits: list, cols) -> None:
         """attributesToRetrieve: annotate each hit dict with the requested
@@ -915,9 +934,12 @@ class SearchService:
             # q-syntax gates the candidate set here too (ADVICE r4: this
             # path previously re-tokenized `-word` into a positive term)
             terms, allowed = self._terms_and_gate(q, None)
+        # faceting.maxValuesPerFacet caps /facet-search hits too (upstream:
+        # "facet search returns a maximum of 100 results" = the setting)
         hits = facet_value_search(self.reader, self.attrs, facet_name,
                                   facet_query, query=q, cfg=self.cfg,
-                                  terms=terms, allowed=allowed, k=k)
+                                  terms=terms, allowed=allowed,
+                                  k=min(k, self.settings.max_values_per_facet))
         return {"facetHits": [{"value": v, "count": c} for v, c in hits],
                 "facetQuery": facet_query}
 
@@ -938,7 +960,9 @@ class SearchService:
                highlight_post_tag: str = "</em>",
                hits_per_page: Optional[int] = None,
                page: Optional[int] = None,
-               attributes_to_retrieve: Optional[list] = None) -> dict:
+               attributes_to_retrieve: Optional[list] = None,
+               attributes_to_highlight: Optional[list] = None,
+               attributes_to_crop: Optional[list] = None) -> dict:
         """Meilisearch-shaped response:
         {"hits": [{"doc_id", "score"|attr, "_formatted"?, ...}],
          "offset": ..., "facetDistribution"?: {col: {value: count}},
@@ -1242,12 +1266,10 @@ class SearchService:
             for col in facets:
                 if col not in self.settings.filterable_attributes:
                     raise ValueError(f"attribute {col!r} is not filterable")
-                fd[col] = facet_counts(self.reader, self.attrs, query, col,
-                                       cfg=self.cfg, terms=terms_used,
-                                       allowed=facet_allowed)
-                if self.settings.sort_facet_values_by == "count":
-                    fd[col] = dict(sorted(fd[col].items(),
-                                          key=lambda kv: (-kv[1], kv[0])))
+                fd[col] = self._shape_facets(
+                    facet_counts(self.reader, self.attrs, query, col,
+                                 cfg=self.cfg, terms=terms_used,
+                                 allowed=facet_allowed))
                 try:
                     st = facet_stats(self.reader, self.attrs, query, col,
                                      cfg=self.cfg, terms=terms_used,
@@ -1260,7 +1282,87 @@ class SearchService:
             if fs:
                 out["facetStats"] = fs
 
-        if (highlight or show_matches_position or crop_length) and hits:
+        if (attributes_to_highlight or attributes_to_crop) and hits:
+            # Meilisearch attributesToHighlight / attributesToCrop: the
+            # PER-ATTRIBUTE formatting surface. _formatted here is the
+            # upstream OBJECT shape {attr: formatted_value} covering every
+            # attribute named by either list ('*' = 'text' + all stored
+            # attributes, intersected with displayedAttributes like
+            # attributesToRetrieve); unknown attributes are silently
+            # ignored (upstream's lenient contract). attributesToCrop
+            # entries take the 'attr:N' per-attribute length syntax, else
+            # the cropLength parameter, else upstream's default 10. The
+            # legacy boolean highlight=True path below keeps the compact
+            # string _formatted (this engine's original shape) and is
+            # skipped when either list is given. Cost: one document-store
+            # read for 'text' + one bucket-pruned gather per named stored
+            # attribute — O(page), never O(corpus).
+            from .highlight import (crop_around_match, format_highlight,
+                                    highlight_spans)
+
+            stored = set(self.attrs.columns())
+            displayed = self.settings.displayed_attributes
+
+            def _expand(names):
+                if names and ("*" in names):
+                    cols = ["text"] + sorted(stored)
+                else:
+                    cols = [n for n in (names or [])]
+                if "*" not in displayed:
+                    cols = [c for c in cols if c in displayed]
+                return [c for c in cols
+                        if c == "text" or c in stored]
+
+            hl_attrs = set(_expand(attributes_to_highlight))
+            crop_specs: dict = {}
+            for spec in (attributes_to_crop or []):
+                name, _, n = str(spec).partition(":")
+                if name == "*":
+                    for c in _expand(["*"]):
+                        crop_specs.setdefault(c, crop_length or 10)
+                    continue
+                if name in _expand([name]):
+                    crop_specs[name] = (int(n) if n
+                                        else (crop_length or 10))
+            fmt_attrs = sorted(hl_attrs | set(crop_specs))
+            ids = [h["doc_id"] for h in hits]
+            texts = (self._texts(ids)
+                     if ("text" in fmt_attrs or show_matches_position)
+                     else {})
+            attr_vals = {c: dict(zip(ids, self.attrs.lookup(
+                np.asarray(ids, dtype=np.int64), c).tolist()))
+                for c in fmt_attrs if c != "text"}
+            for h in hits:
+                fmt: dict = {}
+                for attr in fmt_attrs:
+                    v = (texts.get(h["doc_id"]) if attr == "text"
+                         else attr_vals[attr].get(h["doc_id"]))
+                    if v is None:
+                        continue
+                    v = v if isinstance(v, str) else str(v)
+                    if attr in crop_specs:
+                        v = crop_around_match(v, terms_used,
+                                              crop_specs[attr],
+                                              marker=crop_marker,
+                                              cfg=self.cfg)
+                    if attr in hl_attrs:
+                        v = format_highlight(v, terms_used,
+                                             pre=highlight_pre_tag,
+                                             post=highlight_post_tag,
+                                             cfg=self.cfg)
+                    fmt[attr] = v
+                h["_formatted"] = fmt
+                if show_matches_position:
+                    t = texts.get(h["doc_id"])
+                    if t is not None:
+                        h["_matchesPosition"] = {
+                            "text": [
+                                {"start": a, "length": b - a}
+                                for a, b in highlight_spans(
+                                    t, terms_used, cfg=self.cfg)
+                            ]
+                        }
+        elif (highlight or show_matches_position or crop_length) and hits:
             from .highlight import (crop_around_match, format_highlight,
                                     highlight_spans)
 

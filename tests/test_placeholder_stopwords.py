@@ -45,9 +45,12 @@ def built(spark, tmp_path_factory):
     return out, rows
 
 
+# cap raised above the fixture's repo cardinality: test_placeholder_facets
+# asserts the EXACT full facet map (default 100 would truncate it)
 SETTINGS = IndexSettings(
     filterable_attributes=("repo",),
     sortable_attributes=("n_chars",),
+    max_values_per_facet=10**9,
 )
 
 

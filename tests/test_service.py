@@ -46,9 +46,13 @@ def built(spark, tmp_path_factory):
     return out, store_path, rows
 
 
+# max_values_per_facet raised above the fixture's repo cardinality: these
+# tests assert EXACT full facet maps; the default 100 (Meilisearch parity)
+# would truncate them. The cap itself is tested in test_max_values_per_facet.
 SETTINGS = IndexSettings(
     filterable_attributes=("repo",),
     sortable_attributes=("n_chars",),
+    max_values_per_facet=10**9,
 )
 
 
@@ -166,7 +170,8 @@ def test_facets_and_highlight_use_expanded_terms(built):
     syn = {"merge": ["sort"]}
     svc = SearchService(
         out,
-        IndexSettings(synonyms=syn, filterable_attributes=("repo",)),
+        IndexSettings(synonyms=syn, filterable_attributes=("repo",),
+                      max_values_per_facet=10**9),
         document_store=store,
     )
     res = svc.search("merge", 10, facets=["repo"])
@@ -634,11 +639,97 @@ def test_sort_facet_values_by_count(built):
     assert list(alpha) == sorted(alpha)
     by_count = SearchService(out, IndexSettings(
         filterable_attributes=("repo",), sort_facet_values_by="count",
+        max_values_per_facet=10**9,
     )).search("merge sort", 5, facets=["repo"])["facetDistribution"]["repo"]
     assert by_count == alpha  # same mapping
     assert list(by_count) == [v for v, _ in
                               sorted(alpha.items(),
                                      key=lambda kv: (-kv[1], kv[0]))]
+
+
+def test_attributes_to_highlight_and_crop(built):
+    """Meilisearch attributesToHighlight / attributesToCrop: _formatted
+    becomes the upstream OBJECT shape {attr: value} over exactly the named
+    attributes; 'text' formatting is byte-identical to the legacy boolean
+    path; 'attr:N' sets a per-attribute crop length; '*' expands to
+    text + stored attributes; unknown names are silently ignored;
+    displayedAttributes intersects."""
+    out, store, rows = built
+    svc = SearchService(out, SETTINGS, document_store=store)
+    res = svc.search("merge sort", 3,
+                     attributes_to_highlight=["text", "repo", "nope"])
+    legacy = svc.search("merge sort", 3, highlight=True)
+    assert [h["_formatted"]["text"] for h in res["hits"]] == \
+        [h["_formatted"] for h in legacy["hits"]]
+    for h in res["hits"]:
+        assert set(h["_formatted"]) == {"text", "repo"}  # 'nope' dropped
+        assert "<em>" in h["_formatted"]["text"]
+        assert "<em>" not in h["_formatted"]["repo"]  # no query word there
+
+    # per-attribute crop length spec, parity with the legacy crop path
+    res_c = svc.search("merge sort", 3, attributes_to_crop=["text:5"])
+    legacy_c = svc.search("merge sort", 3, crop_length=5)
+    assert [h["_formatted"]["text"] for h in res_c["hits"]] == \
+        [h["_formatted"] for h in legacy_c["hits"]]
+
+    # crop + highlight compose (crop first, tags inside the crop window)
+    both = svc.search("merge sort", 3, attributes_to_crop=["text:5"],
+                      attributes_to_highlight=["text"])
+    legacy_b = svc.search("merge sort", 3, crop_length=5, highlight=True)
+    assert [h["_formatted"]["text"] for h in both["hits"]] == \
+        [h["_formatted"] for h in legacy_b["hits"]]
+
+    # '*' expands to text + every stored attribute
+    star = svc.search("merge sort", 2, attributes_to_highlight=["*"])
+    assert set(star["hits"][0]["_formatted"]) == {"text", "repo", "n_chars"}
+
+    # numeric attribute is stringified, not mangled
+    by_id = {int(r["doc_id"]): r for r in rows}
+    h0 = star["hits"][0]
+    assert h0["_formatted"]["n_chars"] == str(by_id[h0["doc_id"]]["n_chars"])
+
+    # displayedAttributes drops non-displayed attrs from _formatted too
+    svc_d = SearchService(out, IndexSettings(
+        displayed_attributes=("text",)), document_store=store)
+    lim = svc_d.search("merge sort", 2, attributes_to_highlight=["*"])
+    assert set(lim["hits"][0]["_formatted"]) == {"text"}
+
+    # showMatchesPosition composes with the object-shaped _formatted
+    mp = svc.search("merge sort", 2, attributes_to_highlight=["repo"],
+                    show_matches_position=True)
+    legacy_mp = svc.search("merge sort", 2, show_matches_position=True)
+    assert [h["_matchesPosition"] for h in mp["hits"]] == \
+        [h["_matchesPosition"] for h in legacy_mp["hits"]]
+
+
+def test_max_values_per_facet(built):
+    """faceting.maxValuesPerFacet: sort-then-cut — 'alpha' keeps the
+    lexicographically smallest values, 'count' the most frequent; counts
+    unchanged; facet-search hits capped by the same setting; facetStats
+    still computed over the full candidate set."""
+    out, _, _ = built
+    full = SearchService(out, SETTINGS).search(
+        "merge sort", 5, facets=["repo"])["facetDistribution"]["repo"]
+    assert len(full) > 2  # the cut below must actually bite
+    capped_alpha = SearchService(out, IndexSettings(
+        filterable_attributes=("repo",), max_values_per_facet=2,
+    )).search("merge sort", 5, facets=["repo"])["facetDistribution"]["repo"]
+    assert list(capped_alpha) == sorted(full)[:2]
+    assert all(capped_alpha[v] == full[v] for v in capped_alpha)
+    svc_count = SearchService(out, IndexSettings(
+        filterable_attributes=("repo",), max_values_per_facet=2,
+        sort_facet_values_by="count"))
+    capped_count = svc_count.search(
+        "merge sort", 5, facets=["repo"])["facetDistribution"]["repo"]
+    assert list(capped_count) == [
+        v for v, _ in sorted(full.items(),
+                             key=lambda kv: (-kv[1], kv[0]))][:2]
+    # /facet-search hits are capped by the same setting
+    fh = svc_count.facet_search("repo")["facetHits"]
+    assert len(fh) == 2
+    # placeholder (empty-q) path shapes identically
+    ph = svc_count.search("", 5, facets=["repo"])["facetDistribution"]["repo"]
+    assert len(ph) == 2
 
 
 def test_get_documents_browse(built):
