@@ -2502,6 +2502,47 @@ def _attribute_ranked_topk(spark, sf_dir):
     )
 
 
+def _typo_attr_disabled(spark, sf_dir):
+    """Meilisearch typoTolerance.disableOnAttributes over the title/body
+    multi-index: query 'merje' (1 allowed edit) typo-matches through TITLE
+    only — body is disabled, so it serves the exact word alone. Returns
+    the FULL matched set (doc_id, attr_rank): rank 0 = title matched via
+    any variant, 1 = body exact-matched only. Order-free so the oracle
+    needs no BM25 (ranking parity is attribute_ranked_topk's own entry)."""
+    from sparkft.multiindex import (MultiIndexReader, attribute_ranked_topk,
+                                    typo_variant_groups)
+    from sparkft.service import IndexSettings
+
+    multi = MultiIndexReader(spark, _multi_engine_index(spark, sf_dir))
+    st = IndexSettings(typo_tolerance=True,
+                       typo_disable_on_attributes=("body",))
+    vg = typo_variant_groups(multi, "merje", st)
+    hits = attribute_ranked_topk(multi, "merje", 10**9, variant_groups=vg)
+    return spark.createDataFrame(
+        [(int(d), int(ar)) for d, _, ar, _ in hits],
+        "doc_id long, attr_rank long",
+    )
+
+
+def _typo_attr_disabled_sql(sf: str) -> str:
+    from sparkft.typo import allowed_edits
+
+    maxe = allowed_edits("merje")
+    return f"""
+WITH sp AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+tmatch AS (SELECT DISTINCT doc_id FROM
+             (SELECT doc_id, unnest(w[1:3]) AS tok FROM sp)
+           WHERE levenshtein(tok, 'merje') <= {maxe}),
+bmatch AS (SELECT DISTINCT doc_id FROM
+             (SELECT doc_id, unnest(w[4:]) AS tok FROM sp)
+           WHERE tok = 'merje')
+SELECT doc_id, 0 AS attr_rank FROM tmatch
+UNION ALL
+SELECT doc_id, 1 FROM bmatch
+WHERE doc_id NOT IN (SELECT doc_id FROM tmatch)
+"""
+
+
 PROX_ATTR_QUERY = "dup sort"  # 'dup' is rare -> both cost classes surface
 
 
@@ -3731,6 +3772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "typo_ranked_topk": _typo_ranked_engine,
         "matching_frequency_topk": _matching_frequency_topk,
         "attribute_ranked_topk": _attribute_ranked_topk,
+        "typo_attr_disabled": _typo_attr_disabled,
         "proximity_by_attr_topk": _proximity_by_attr_topk,
         "attrs_search_on_topk": _attrs_search_on_topk,
         "federated_search_topk": _federated_search_topk,
@@ -3816,6 +3858,7 @@ def oracle_sql() -> dict[str, str]:
         "typo_ranked_topk": _typo_ranked_sql(""),
         "matching_frequency_topk": _matching_frequency_sql(""),
         "attribute_ranked_topk": _attribute_ranked_sql(""),
+        "typo_attr_disabled": _typo_attr_disabled_sql(""),
         "proximity_by_attr_topk": _proximity_by_attr_sql(""),
         "attrs_search_on_topk": _attrs_search_on_sql(),
         "federated_search_topk": _federated_sql(""),

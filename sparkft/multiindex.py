@@ -102,6 +102,7 @@ class MultiIndexReader:
 def attribute_ranked_topk(multi: MultiIndexReader, query: str, k: int = 10,
                           cfg: TokenizerConfig = DEFAULT_CONFIG,
                           cfgs: Optional[list] = None,
+                          variant_groups: Optional[list] = None,
                           ) -> list[tuple[int, int, int, float]]:
     """Meilisearch "attribute" RANKING RULE over the per-attribute
     subindexes: documents whose query words appear in more important
@@ -121,6 +122,15 @@ def attribute_ranked_topk(multi: MultiIndexReader, query: str, k: int = 10,
     per-locale normalization a single segmentation cannot probe every
     attribute's lemma space.
 
+    `variant_groups` (Meilisearch typoTolerance.disableOnAttributes — see
+    typo_variant_groups) supplies, per reader, a {base_word: variant_set}
+    map: attribute ai probes the UNION of its words' variants, a doc
+    matches base word w in ai when it holds ANY variant of w there, and
+    the per-word attribute rank is the best ai where any variant matched.
+    BM25 sums over the variant postings (typo matches score like
+    Meilisearch's typo-expanded candidates). Mutually exclusive with
+    `cfgs` (per-locale lemma spaces have no shared base-word identity).
+
     Cost: one O(query terms) bucket-pruned read per searched attribute —
     never O(index); the compose step is numpy/dict over candidate docs."""
     if k <= 0 or not multi.readers:
@@ -128,11 +138,23 @@ def attribute_ranked_topk(multi: MultiIndexReader, query: str, k: int = 10,
     if cfgs is not None and len(cfgs) != len(multi.readers):
         raise ValueError(
             f"cfgs has {len(cfgs)} entries for {len(multi.readers)} readers")
+    if variant_groups is not None:
+        if cfgs is not None:
+            raise ValueError("variant_groups and cfgs are mutually "
+                             "exclusive")
+        if len(variant_groups) != len(multi.readers):
+            raise ValueError(f"variant_groups has {len(variant_groups)} "
+                             f"entries for {len(multi.readers)} readers")
     per_cfg = cfgs if cfgs is not None else [cfg] * len(multi.readers)
     score: dict[int, float] = {}
     best: dict[str, dict[int, int]] = {}  # lemma -> doc -> best attr rank
     for ai, reader in enumerate(multi.readers):
-        terms = reader.query_terms(query, per_cfg[ai])
+        if variant_groups is not None:
+            groups = variant_groups[ai]
+            terms = sorted({v for vs in groups.values() for v in vs})
+        else:
+            terms = reader.query_terms(query, per_cfg[ai])
+            groups = {t: (t,) for t in terms}
         if not terms:
             continue
         postings = reader.load_postings(terms)
@@ -142,16 +164,14 @@ def attribute_ranked_topk(multi: MultiIndexReader, query: str, k: int = 10,
         for d, s in acc.items():
             score[d] = score.get(d, 0.0) + s
         dead = reader.deleted
-        for t in terms:
-            if t not in postings:
-                continue
-            b = best.setdefault(t, {})
-            for d in u64_to_i64(postings[t][0]).tolist():
-                # per-subindex tombstones: a doc deleted from THIS attribute
-                # must not be credited this attribute's rank (acc already
-                # excludes it from this attribute's score)
-                if d not in b and d not in dead:
-                    b[d] = ai
+        for base, vs in groups.items():
+            for t in vs:
+                if t not in postings:
+                    continue
+                b = best.setdefault(base, {})
+                for d in u64_to_i64(postings[t][0]).tolist():
+                    if d not in b and d not in dead:
+                        b[d] = ai
     if not score:
         return []
     n_words: dict[int, int] = {}
@@ -164,6 +184,52 @@ def attribute_ranked_topk(multi: MultiIndexReader, query: str, k: int = 10,
     order = sorted(score,
                    key=lambda d: (-n_words[d], rank_sum[d], -score[d], d))[:k]
     return [(d, n_words[d], rank_sum[d], score[d]) for d in order]
+
+
+def typo_variant_groups(multi: MultiIndexReader, query: str, settings,
+                        cfg: TokenizerConfig = DEFAULT_CONFIG) -> list:
+    """Meilisearch `typoTolerance.disableOnAttributes`: build the
+    per-attribute {base_word: variant_set} maps attribute_ranked_topk
+    probes with. Attributes named in settings.typo_disable_on_attributes
+    (and every attribute when typo_tolerance is off) probe the EXACT
+    base words only; the others expand each word through THEIR OWN
+    subindex's SymSpell dictionary under the shared typoTolerance rules
+    (minWordSizeForTypos, disableOnWords, v1.12 disableOnNumbers) — so a
+    misspelled query word still matches in `body` while `sku`-like exact
+    attributes never typo-match, upstream's contract.
+
+    `settings` is duck-typed (IndexSettings or any object with the
+    typo_* fields) to keep multiindex importable without service.
+    Cost: one SymSpell expansion per enabled attribute — query-length
+    work, no postings read here."""
+    from .tokenizer import tokenize_batch
+
+    _, lemmas = tokenize_batch([query], cfg, words_only=True)
+    words = list(dict.fromkeys(t for t in lemmas if t))
+    disabled_attrs = frozenset(
+        getattr(settings, "typo_disable_on_attributes", ()))
+    disabled_words = frozenset(getattr(settings, "typo_disable_on_words",
+                                       ()))
+    on_numbers_off = getattr(settings, "typo_disable_on_numbers", False)
+    one = getattr(settings, "typo_min_word_size_one", 5)
+    two = getattr(settings, "typo_min_word_size_two", 9)
+    enabled = getattr(settings, "typo_tolerance", False)
+    out = []
+    for ai, reader in enumerate(multi.readers):
+        name = multi.attr_names[ai]
+        if not enabled or name in disabled_attrs:
+            out.append({w: {w} for w in words})
+            continue
+        sym = reader.symspell()
+        groups = {}
+        for w in words:
+            if (w in disabled_words
+                    or (on_numbers_off and any(c.isdigit() for c in w))):
+                groups[w] = {w}
+            else:
+                groups[w] = {w} | set(sym.expand(w, one, two))
+        out.append(groups)
+    return out
 
 
 def proximity_by_attribute_topk(multi: MultiIndexReader, query: str,

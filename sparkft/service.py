@@ -78,6 +78,12 @@ class IndexSettings:
     # same for mixed tokens like 'v2' — a digit anywhere disables, the
     # conservative reading of upstream's numbers rule).
     typo_disable_on_numbers: bool = False
+    # Meilisearch typoTolerance.disableOnAttributes: these attributes are
+    # probed with the EXACT query words only — the multi-attribute surface
+    # (multiindex.typo_variant_groups -> attribute_ranked_topk
+    # variant_groups=) consumes this; the single-attribute service index
+    # has no attribute to disable, so it is inert here.
+    typo_disable_on_attributes: tuple = ()
     matching_strategy: str = "any"  # 'any' | 'all' | 'last' | 'frequency'
     filterable_attributes: tuple = ()
     sortable_attributes: tuple = ()

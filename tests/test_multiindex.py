@@ -156,3 +156,60 @@ def test_deleted_attr_rank_not_credited(spark, tmp_path):
     got = attribute_ranked_topk(multi, "merge", 10)
     # doc 1 still matches through its body, but at BODY rank now
     assert {d: rs for d, _, rs, _ in got} == {1: 1, 2: 1}
+
+
+def test_typo_disable_on_attributes(spark, tmp_path):
+    """Meilisearch typoTolerance.disableOnAttributes: typo variants are
+    probed only in enabled attributes — a misspelled word still matches
+    through `body` but a disabled attribute serves exact words only."""
+    from sparkft.multiindex import typo_variant_groups
+    from sparkft.service import IndexSettings
+
+    df = spark.createDataFrame(
+        [(1, "graph theory", "alpha beta"),
+         (2, "alpha beta", "grape harvest"),
+         (3, "alpha", "graph coloring")],
+        "doc_id long, title string, body string",
+    )
+    out = str(tmp_path / "m4")
+    build_multi_index(spark, df, out, [("title", "title"), ("body", "body")],
+                      num_shards=1, num_buckets=4, verify_sha=False)
+    multi = MultiIndexReader(spark, out)
+
+    # typo tolerance ON, no attribute disabled: doc 2 matches 'graph' via
+    # the body typo variant 'grape' (distance 1)
+    st = IndexSettings(typo_tolerance=True)
+    vg = typo_variant_groups(multi, "graph", st)
+    got = attribute_ranked_topk(multi, "graph", 10, variant_groups=vg)
+    assert {d for d, *_ in got} == {1, 2, 3}
+    assert got[0][0] == 1                      # title exact, attr rank 0
+    by_id = {d: rs for d, _, rs, _ in got}
+    assert by_id == {1: 0, 2: 1, 3: 1}          # typo match credits body
+
+    # disableOnAttributes=['body']: the typo path through body closes;
+    # exact body matches (doc 3) are unaffected
+    st_d = IndexSettings(typo_tolerance=True,
+                         typo_disable_on_attributes=("body",))
+    vg_d = typo_variant_groups(multi, "graph", st_d)
+    got_d = attribute_ranked_topk(multi, "graph", 10, variant_groups=vg_d)
+    assert {d for d, *_ in got_d} == {1, 3}
+
+    # typo tolerance OFF reproduces the plain (no-variant_groups) path
+    vg_off = typo_variant_groups(multi, "graph",
+                                 IndexSettings(typo_tolerance=False))
+    assert (attribute_ranked_topk(multi, "graph", 10, variant_groups=vg_off)
+            == attribute_ranked_topk(multi, "graph", 10))
+
+    # disableOnWords / disableOnNumbers flow through per-word
+    st_w = IndexSettings(typo_tolerance=True,
+                         typo_disable_on_words=("graph",))
+    assert typo_variant_groups(multi, "graph", st_w)[1]["graph"] == {"graph"}
+    st_n = IndexSettings(typo_tolerance=True, typo_disable_on_numbers=True)
+    assert typo_variant_groups(multi, "v2", st_n)[1]["v2"] == {"v2"}
+
+    # variant_groups is mutually exclusive with cfgs and length-checked
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        attribute_ranked_topk(multi, "graph", 10, cfgs=[None, None],
+                              variant_groups=vg)
+    with pytest.raises(ValueError, match="variant_groups has"):
+        attribute_ranked_topk(multi, "graph", 10, variant_groups=[vg[0]])
