@@ -3243,6 +3243,35 @@ def _deleted_index(spark, sf_dir, compacted: bool) -> str:
     return dst
 
 
+def _delete_by_filter(spark, sf_dir):
+    """Meilisearch v1.2 POST /documents/delete {"filter": ...}: the filter
+    expression resolves through the attribute index to the matching doc
+    ids, which are tombstoned in one idempotent append. Entry reports the
+    LIVE corpus size after `lang = 'en'` is deleted — re-runs are no-ops
+    (content-hashed tombstone), so the row is deterministic. Runs on a
+    COPY of the shared entry index (never pollutes the cache)."""
+    import os
+    import shutil
+    import tempfile
+
+    from sparkft.service import IndexSettings, SearchService
+
+    src = _engine_index(spark, sf_dir)
+    dst = f"{src}_delf"
+    if not os.path.exists(f"{dst}/stats.json"):
+        tmp = tempfile.mkdtemp(dir=os.path.dirname(dst))
+        shutil.copytree(src, tmp, dirs_exist_ok=True)
+        os.rename(tmp, dst)
+    svc = SearchService(dst, IndexSettings(filterable_attributes=("lang",)))
+    svc.delete_documents(filter="lang = en")
+    n_live = svc.stats()["numberOfDocuments"]
+    return spark.createDataFrame([(int(n_live),)], "n_docs long")
+
+
+def _delete_by_filter_sql(sf: str) -> str:
+    return "SELECT count(*) AS n_docs FROM documents WHERE lang <> 'en'"
+
+
 def _deleted_engine_topk(spark, sf_dir):
     """Merge-on-read deletes, pre-compaction: tombstoned docs are excluded
     from WAND serving while BM25 stats (N/avgdl/df) keep their pre-delete
@@ -3784,6 +3813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "words_ranked_topk": _words_ranked_topk,
         "words_engine_topk": _words_engine_topk,
         "deleted_engine_topk": _deleted_engine_topk,
+        "delete_by_filter": _delete_by_filter,
         "compacted_engine_topk": _compacted_engine_topk,
         "index_stats_fields": _index_stats_fields,
         "facet_counts": _facet_counts_df,
@@ -3870,6 +3900,7 @@ def oracle_sql() -> dict[str, str]:
         "words_ranked_topk": _words_sql(""),
         "words_engine_topk": _words_sql(""),
         "deleted_engine_topk": _deleted_sql(""),
+        "delete_by_filter": _delete_by_filter_sql(""),
         "index_stats_fields": _index_stats_sql(""),
         "compacted_engine_topk": _compacted_sql(""),
         "facet_counts": _facet_sql(""),

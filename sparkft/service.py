@@ -854,6 +854,62 @@ class SearchService:
         self._attr_index = _UNSET
         return n
 
+    def delete_documents(self, ids=None, filter=None) -> dict:
+        """Meilisearch document deletion over the tombstone store:
+
+        - `ids`: POST /documents/delete-batch (one id = DELETE
+          /documents/{id}).
+        - `filter`: v1.2 POST /documents/delete {"filter": ...} — the
+          SAME filter language search() accepts (expression string,
+          (col, value) tuple, or a list of them), resolved through the
+          bucket-pruned attribute index to the matching doc ids; the
+          delete is then the identical idempotent tombstone append.
+          filterableAttributes validation applies, like upstream.
+
+        Returns upstream's task-detail shape {providedIds,
+        deletedDocuments}: providedIds is None for the filter form
+        (upstream serves null), and deletedDocuments counts documents
+        that were actually LIVE (present and not already tombstoned) —
+        re-issuing the same delete reports 0, upstream's idempotency.
+        The service's reader and memoized filter sets are refreshed so
+        the next query serves the post-delete corpus.
+
+        Cost: O(|matching ids|) — one attribute-index resolution (filter
+        form) + one sorted-parquet tombstone append; no postings are
+        touched (merge-on-read; compact_index folds the deletes out)."""
+        from .index_build import delete_docs
+        from .search import IndexReader
+
+        if (ids is None) == (filter is None):
+            raise ValueError(
+                "delete_documents takes exactly one of ids= / filter=")
+        if filter is not None:
+            from .search import _allowed_array
+
+            allowed = self._allowed(filter)
+            if allowed is None:
+                raise ValueError(
+                    f"filter {filter!r} does not resolve to a document "
+                    "set usable for deletion")
+            arr = _allowed_array(allowed)
+            provided = None
+        else:
+            ids = list(ids)
+            arr = np.asarray(ids, dtype=np.int64)
+            provided = len(ids)
+            # only ids actually in the corpus count as deleted
+            arr = arr[np.isin(arr, self.attrs.doc_ids)]
+        arr = np.unique(arr)  # sorted unique ids
+        dead = self.reader.deleted
+        if dead and len(arr):
+            arr = arr[~dead.mask(arr)]
+        n_live = int(len(arr))
+        if n_live:
+            delete_docs(self.reader.dir, arr.tolist())
+            self.reader = IndexReader(None, self.reader.dir)
+            self._filter_cache = {}
+        return {"providedIds": provided, "deletedDocuments": n_live}
+
     def stats(self) -> dict:
         """Meilisearch `GET /indexes/{uid}/stats` shape:
         {"numberOfDocuments", "isIndexing", "fieldDistribution"} —

@@ -785,3 +785,48 @@ def test_get_documents_excludes_tombstones(spark, tmp_path):
     assert res["total"] == 2
     with pytest.raises(ValueError, match="not found"):
         svc.get_document(2)
+
+
+def test_delete_documents_by_ids_and_filter(built, tmp_path):
+    """Meilisearch document deletion: ids form counts only ids actually in
+    the corpus; v1.2 filter form resolves the same filter language search
+    uses; both are idempotent (re-issuing reports 0) and immediately
+    excluded from serving; task shape matches upstream."""
+    import shutil
+
+    out, store, rows = built
+    copy = str(tmp_path / "delsvc")
+    shutil.copytree(out, copy)
+    svc = SearchService(copy, IndexSettings(filterable_attributes=("repo",)))
+    n0 = svc.stats()["numberOfDocuments"]
+
+    # ids form: one real + one phantom id
+    real = int(rows[0]["doc_id"])
+    task = svc.delete_documents(ids=[real, 10**15 + 7])
+    assert task == {"providedIds": 2, "deletedDocuments": 1}
+    assert svc.stats()["numberOfDocuments"] == n0 - 1
+    # idempotent: both already gone / never existed
+    assert svc.delete_documents(ids=[real, 10**15 + 7]) == {
+        "providedIds": 2, "deletedDocuments": 0}
+
+    # filter form: delete one repo's remaining docs
+    repo = rows[1]["repo"]
+    want = {int(r["doc_id"]) for r in rows if r["repo"] == repo} - {real}
+    task = svc.delete_documents(filter=f"repo = '{repo}'")
+    assert task["providedIds"] is None
+    assert task["deletedDocuments"] == len(want)
+    assert svc.stats()["numberOfDocuments"] == n0 - 1 - len(want)
+    # deleted docs no longer serve
+    res = svc.search("merge sort", 10**9)
+    assert not ({h["doc_id"] for h in res["hits"]} & want)
+    # re-issue is a counted no-op
+    assert svc.delete_documents(filter=f"repo = '{repo}'")[
+        "deletedDocuments"] == 0
+
+    # exactly one of ids/filter; unfilterable attribute validates
+    with pytest.raises(ValueError, match="exactly one"):
+        svc.delete_documents()
+    with pytest.raises(ValueError, match="exactly one"):
+        svc.delete_documents(ids=[1], filter="repo = 'x'")
+    with pytest.raises(ValueError, match="not filterable"):
+        svc.delete_documents(filter="n_chars > 0")
