@@ -224,7 +224,9 @@ _UNSET = object()
 class SearchService:
     def __init__(self, index_dir: str, settings: IndexSettings = IndexSettings(),
                  document_store: Optional[str] = None,
-                 cfg: TokenizerConfig = DEFAULT_CONFIG):
+                 cfg: TokenizerConfig = DEFAULT_CONFIG,
+                 embedding_store: Optional[str] = None,
+                 embedder_name: str = "default"):
         self.reader = IndexReader(None, index_dir)
         if settings.proximity_precision not in ("byWord", "byAttribute"):
             raise ValueError(
@@ -240,6 +242,16 @@ class SearchService:
         # built under the SAME effective tokenization.
         self.cfg = settings.tokenizer_config(cfg)
         self.document_store = document_store
+        # Meilisearch vector store: a parquet path with (doc_id,
+        # embedding list<float>) rows. Feeds the service hybrid branch
+        # (as a serving-side EmbeddingSet, built lazily once) and the
+        # v1.10 retrieveVectors page annotation (raw vectors — the
+        # EmbeddingSet's unit-normalized matrix is a scoring artifact,
+        # never returned). embedder_name is the single embedder this
+        # store represents (upstream allows several; one store here).
+        self.embedding_store = embedding_store
+        self.embedder_name = embedder_name
+        self._embeddings = None
         self._attrs: Optional[AttributeStore] = None
 
     @property
@@ -471,6 +483,116 @@ class SearchService:
             filter=ds.field("doc_id").isin(list(ids)),
         )
         return dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+
+    @property
+    def embeddings(self):
+        """The embedding store as a serving-side EmbeddingSet (ids sorted,
+        matrix unit-normalized once) — built lazily on the first hybrid
+        query, reused for every one after."""
+        if self._embeddings is None:
+            if self.embedding_store is None:
+                raise ValueError("hybrid search needs embedding_store "
+                                 "(a parquet path with doc_id + embedding "
+                                 "columns)")
+            import pyarrow.dataset as ds
+
+            from .hybrid import EmbeddingSet
+
+            tbl = ds.dataset(self.embedding_store,
+                             format="parquet").to_table(
+                columns=["doc_id", "embedding"])
+            self._embeddings = EmbeddingSet(
+                np.asarray(tbl["doc_id"].to_pylist(), dtype=np.int64),
+                np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64))
+        return self._embeddings
+
+    def _annotate_vectors(self, hits) -> None:
+        """Meilisearch v1.10 `retrieveVectors: true`: annotate each hit
+        with `_vectors = {embedder: {"embeddings": [vec], "regenerate":
+        false}}` (upstream's shape; regenerate is always false — vectors
+        are client-provided). Docs without a stored vector get an empty
+        object, like upstream. One O(page) parquet gather."""
+        hits = list(hits)
+        if not hits:
+            return
+        if self.embedding_store is None:
+            raise ValueError("retrieveVectors needs embedding_store")
+        import pyarrow.dataset as ds
+
+        ids = [h["doc_id"] for h in hits]
+        tbl = ds.dataset(self.embedding_store, format="parquet").to_table(
+            columns=["doc_id", "embedding"],
+            filter=ds.field("doc_id").isin(ids),
+        )
+        by_id = dict(zip(tbl["doc_id"].to_pylist(),
+                         tbl["embedding"].to_pylist()))
+        for h in hits:
+            v = by_id.get(h["doc_id"])
+            h["_vectors"] = (
+                {self.embedder_name: {"embeddings": [[float(x) for x in v]],
+                                      "regenerate": False}}
+                if v is not None else {})
+
+    def _hybrid_search(self, query: str, k: int, hybrid: dict, vector,
+                       filter=None, offset: int = 0,
+                       estimate_total: bool = False,
+                       show_ranking_score: bool = False,
+                       attributes_to_retrieve=None) -> dict:
+        """The hybrid branch of search() — see the caller for semantics.
+        Ranking is hybrid.hybrid_topk over the lazily-built EmbeddingSet;
+        the response carries the hybrid score (already in [0, 1], the
+        normalization showRankingScore serves directly). The ranked
+        universe is the embedded live admissible corpus, so
+        estimatedTotalHits is EXACT (a mask count, no extra reads)."""
+        from .hybrid import hybrid_topk
+        from .search import has_query_syntax
+
+        unknown = sorted(set(hybrid) - {"semanticRatio", "embedder"})
+        if unknown:
+            raise ValueError(f"unknown hybrid option(s) {unknown}")
+        ratio = float(hybrid.get("semanticRatio", 0.5))
+        if not 0.0 <= ratio <= 1.0:
+            raise ValueError(f"semanticRatio must be in [0, 1], "
+                             f"got {ratio}")
+        emb_name = hybrid.get("embedder", self.embedder_name)
+        if emb_name != self.embedder_name:
+            raise ValueError(f"unknown embedder {emb_name!r} (this index "
+                             f"serves {self.embedder_name!r})")
+        if vector is None:
+            raise ValueError("hybrid search needs the query `vector` "
+                             "(this engine never regenerates embeddings)")
+        if has_query_syntax(query):
+            raise ValueError("hybrid search does not compose with quoted-"
+                             "phrase / negative query syntax")
+        if (filter is not None and isinstance(filter, tuple)
+                and str(filter[0]).startswith("_geo")):
+            raise ValueError("geo filters do not compose with hybrid "
+                             "search")
+        allowed = self._allowed(filter)
+        es = self.embeddings
+        ranked = hybrid_topk(self.reader, query, None, es, vector,
+                             k=offset + k, ratio=ratio, cfg=self.cfg,
+                             allowed=allowed)
+        hits = [{"doc_id": int(d), "score": float(s)}
+                for d, s in ranked[offset:offset + k]]
+        if show_ranking_score:
+            for h in hits:
+                h["_rankingScore"] = round(h["score"], 4)
+        if attributes_to_retrieve:
+            self._retrieve_attributes(hits, attributes_to_retrieve)
+        out: dict = {"hits": hits, "offset": offset,
+                     "semanticHitCount": len(hits) if ratio > 0 else 0}
+        if estimate_total:
+            ids = es.ids
+            live = np.ones(len(ids), dtype=bool)
+            if self.reader.deleted:
+                live &= ~self.reader.deleted.mask(ids)
+            if allowed is not None:
+                from .search import _allowed_array
+
+                live &= np.isin(ids, _allowed_array(allowed))
+            out["estimatedTotalHits"] = int(live.sum())
+        return out
 
     def _distinct_pairs(self, seq: list) -> list:
         """Meilisearch distinctAttribute over a ranked sequence of
@@ -1024,7 +1146,10 @@ class SearchService:
                page: Optional[int] = None,
                attributes_to_retrieve: Optional[list] = None,
                attributes_to_highlight: Optional[list] = None,
-               attributes_to_crop: Optional[list] = None) -> dict:
+               attributes_to_crop: Optional[list] = None,
+               hybrid: Optional[dict] = None,
+               vector=None,
+               retrieve_vectors: bool = False) -> dict:
         """Meilisearch-shaped response:
         {"hits": [{"doc_id", "score"|attr, "_formatted"?, ...}],
          "offset": ..., "facetDistribution"?: {col: {value: count}},
@@ -1073,6 +1198,11 @@ class SearchService:
         k = max(0, min(k, mth - offset)) if offset < mth else 0
 
         def _finish(out: dict) -> dict:
+            if retrieve_vectors:
+                # Meilisearch v1.10 retrieveVectors: every response branch
+                # annotates its page's hits — one O(page) embedding-store
+                # gather, never O(corpus)
+                self._annotate_vectors(out.get("hits", ()))
             total = out.pop("estimatedTotalHits", None)
             if total is not None:
                 total = min(int(total), mth)
@@ -1104,6 +1234,26 @@ class SearchService:
                 raise ValueError(
                     "showRankingScoreDetails does not compose with quoted-"
                     "phrase / negative query syntax")
+        if vector is not None and hybrid is None:
+            # upstream: `vector` without `hybrid` is invalid_search_hybrid
+            raise ValueError("`vector` requires the `hybrid` parameter")
+        if hybrid is not None:
+            # Meilisearch v1.6/v1.13 hybrid search on the service surface:
+            # hybrid={"semanticRatio": r (default 0.5), "embedder": name}
+            # with the query embedding supplied via `vector` (this engine
+            # never regenerates embeddings — there is no embedder to call;
+            # upstream's client-provided-vector mode). Ranking is the
+            # oracle-gated hybrid_topk: (1-r)*bm25/max_bm25 +
+            # r*(1+cos)/2 over the embedded corpus, filter composing via
+            # the same resolved allowed set (v1.11 vector-store
+            # filtering). An empty `q` serves the pure semantic ranking
+            # (keyword side contributes 0), like upstream's
+            # semanticRatio=1 behavior.
+            return _finish(self._hybrid_search(
+                query, k, hybrid, vector, filter=filter, offset=offset,
+                estimate_total=estimate_total,
+                show_ranking_score=show_ranking_score,
+                attributes_to_retrieve=attributes_to_retrieve))
         from .search import has_query_syntax as _has_qs
 
         if not _has_qs(query) and not self._word_groups(query):

@@ -830,3 +830,112 @@ def test_delete_documents_by_ids_and_filter(built, tmp_path):
         svc.delete_documents(ids=[1], filter="repo = 'x'")
     with pytest.raises(ValueError, match="not filterable"):
         svc.delete_documents(filter="n_chars > 0")
+
+
+@pytest.fixture(scope="module")
+def emb_store(built, tmp_path_factory):
+    """Deterministic per-doc embeddings parquet (doc_id + embedding)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    _, _, rows = built
+    ids = sorted(int(r["doc_id"]) for r in rows)
+    rng = np.random.default_rng(7)
+    emb = rng.standard_normal((len(ids), 8))
+    path = str(tmp_path_factory.mktemp("emb") / "emb.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, e)) for e in emb],
+                              pa.list_(pa.float32())),
+    }), path)
+    return path, {d: emb[i] for i, d in enumerate(ids)}
+
+
+def test_service_hybrid_search(built, emb_store):
+    """search(hybrid=...) == the oracle-gated hybrid_topk; filter composes;
+    estimatedTotalHits is the admissible embedded live count; validation
+    matches upstream's error classes."""
+    from sparkft.hybrid import EmbeddingSet, hybrid_topk
+    from sparkft.search import IndexReader
+
+    out, _, rows = built
+    path, by_id = emb_store
+    svc = SearchService(out, SETTINGS, embedding_store=path)
+    qvec = np.asarray(by_id[int(rows[3]["doc_id"])])
+
+    ids = np.asarray(sorted(by_id), dtype=np.int64)
+    es = EmbeddingSet(ids, np.stack([by_id[d] for d in ids.tolist()]))
+    reader = IndexReader(None, out)
+    for ratio in (0.0, 0.35, 1.0):
+        res = svc.search("merge sort", 10,
+                         hybrid={"semanticRatio": ratio}, vector=qvec,
+                         show_ranking_score=True, estimate_total=True)
+        want = hybrid_topk(reader, "merge sort", None, es, qvec,
+                           k=10, ratio=ratio)
+        assert [(h["doc_id"], h["score"]) for h in res["hits"]] == \
+            [(int(d), float(s)) for d, s in want], ratio
+        assert res["estimatedTotalHits"] == len(ids)
+        for h in res["hits"]:
+            assert 0.0 <= h["_rankingScore"] <= 1.0
+
+    # empty q = pure semantic ranking regardless of the keyword side
+    res_e = svc.search("", 5, hybrid={"semanticRatio": 0.5}, vector=qvec)
+    want_e = hybrid_topk(reader, "", None, es, qvec, k=5, ratio=0.5)
+    assert [(h["doc_id"], h["score"]) for h in res_e["hits"]] == \
+        [(int(d), float(s)) for d, s in want_e]
+    assert res_e["hits"][0]["doc_id"] == int(rows[3]["doc_id"])  # self-match
+
+    # filter composes through the same allowed set
+    repo = rows[0]["repo"]
+    adm = {int(r["doc_id"]) for r in rows if r["repo"] == repo}
+    res_f = svc.search("merge sort", 10, hybrid={"semanticRatio": 0.35},
+                       vector=qvec, filter=("repo", repo),
+                       estimate_total=True)
+    want_f = hybrid_topk(reader, "merge sort", None, es, qvec,
+                         k=10, ratio=0.35, allowed=adm)
+    assert [(h["doc_id"], h["score"]) for h in res_f["hits"]] == \
+        [(int(d), float(s)) for d, s in want_f]
+    assert res_f["estimatedTotalHits"] == len(adm)
+
+    # validation: vector without hybrid; bad ratio; unknown option/embedder
+    with pytest.raises(ValueError, match="requires the `hybrid`"):
+        svc.search("merge", 5, vector=qvec)
+    with pytest.raises(ValueError, match="semanticRatio"):
+        svc.search("merge", 5, hybrid={"semanticRatio": 1.5}, vector=qvec)
+    with pytest.raises(ValueError, match="unknown hybrid option"):
+        svc.search("merge", 5, hybrid={"ratio": 0.5}, vector=qvec)
+    with pytest.raises(ValueError, match="unknown embedder"):
+        svc.search("merge", 5, hybrid={"embedder": "other"}, vector=qvec)
+    with pytest.raises(ValueError, match="needs the query `vector`"):
+        svc.search("merge", 5, hybrid={"semanticRatio": 0.5})
+    with pytest.raises(ValueError, match="needs embedding_store"):
+        SearchService(out, SETTINGS).search(
+            "merge", 5, hybrid={"semanticRatio": 0.5}, vector=qvec)
+
+
+def test_retrieve_vectors(built, emb_store):
+    """v1.10 retrieveVectors: upstream's _vectors shape on every response
+    branch (keyword, hybrid, placeholder); raw stored vectors, never the
+    unit-normalized scoring matrix; missing docs get {}."""
+    out, _, rows = built
+    path, by_id = emb_store
+    svc = SearchService(out, SETTINGS, embedding_store=path,
+                        embedder_name="small8")
+    res = svc.search("merge sort", 3, retrieve_vectors=True)
+    assert res["hits"]
+    for h in res["hits"]:
+        vv = h["_vectors"]["small8"]
+        assert vv["regenerate"] is False
+        got = np.asarray(vv["embeddings"][0])
+        want = by_id[h["doc_id"]]
+        assert np.allclose(got, want, atol=1e-6)  # float32 store round-trip
+
+    qvec = np.asarray(by_id[int(rows[3]["doc_id"])])
+    res_h = svc.search("merge sort", 3, hybrid={"semanticRatio": 0.5},
+                       vector=qvec, retrieve_vectors=True)
+    assert all("_vectors" in h for h in res_h["hits"])
+    res_p = svc.search("", 3, retrieve_vectors=True)
+    assert all("_vectors" in h for h in res_p["hits"])
+    with pytest.raises(ValueError, match="needs embedding_store"):
+        SearchService(out, SETTINGS).search("merge", 3,
+                                            retrieve_vectors=True)
