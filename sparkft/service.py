@@ -594,6 +594,66 @@ class SearchService:
             out["estimatedTotalHits"] = int(live.sum())
         return out
 
+    def similar(self, id: int, k: int = 10, offset: int = 0,
+                filter=None, embedder: Optional[str] = None,
+                show_ranking_score: bool = False,
+                ranking_score_threshold: Optional[float] = None,
+                retrieve_vectors: bool = False,
+                attributes_to_retrieve=None) -> dict:
+        """Meilisearch v1.9 `GET /indexes/{uid}/similar`: documents most
+        similar to document `id` by embedding cosine over this index's
+        vector store — self excluded, tombstones excluded, `filter`
+        composing through the same resolved allowed set search() uses.
+        Hits rank (cosine DESC, doc_id ASC) and carry score = the raw
+        cosine (the entry-gated similar_topk order); `_rankingScore` and
+        `rankingScoreThreshold` use upstream's normalized (1+cos)/2 in
+        [0, 1], threshold compared on the ROUNDED score like
+        ranking_score_topk. Unknown / tombstoned id raises (upstream's
+        404). Cost: one matvec over the EmbeddingSet + O(n) masks; the
+        page's extras are O(page) gathers."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        es = self.embeddings
+        if embedder is not None and embedder != self.embedder_name:
+            raise ValueError(f"unknown embedder {embedder!r} (this index "
+                             f"serves {self.embedder_name!r})")
+        pos = int(np.searchsorted(es.ids, int(id)))
+        dead = self.reader.deleted
+        if (pos >= len(es.ids) or int(es.ids[pos]) != int(id)
+                or (dead and int(id) in dead)):
+            raise ValueError(f"document {id} not found")
+        cos = es.unit @ es.unit[pos]
+        keep = np.ones(len(es.ids), dtype=bool)
+        keep[pos] = False  # self excluded, upstream's contract
+        if dead:
+            keep &= ~dead.mask(es.ids)
+        allowed = self._allowed(filter)
+        if allowed is not None:
+            from .search import _allowed_array
+
+            keep &= np.isin(es.ids, _allowed_array(allowed))
+        norm = (1.0 + cos) / 2.0
+        if ranking_score_threshold is not None:
+            keep &= np.round(norm, 4) >= ranking_score_threshold
+        idxs = np.flatnonzero(keep)
+        # (round(cos, 6) DESC, doc_id ASC) — similar_topk's order
+        order = np.lexsort((es.ids[idxs], -np.round(cos[idxs], 6)))
+        page = idxs[order[offset:offset + k]]
+        hits = [{"doc_id": int(es.ids[i]), "score": float(round(cos[i], 6))}
+                for i in page]
+        if show_ranking_score:
+            for i, h in zip(page, hits):
+                h["_rankingScore"] = float(np.round(norm[i], 4))
+        if attributes_to_retrieve:
+            self._retrieve_attributes(hits, attributes_to_retrieve)
+        if retrieve_vectors:
+            self._annotate_vectors(hits)
+        return {"hits": hits, "id": id, "offset": offset, "limit": k,
+                "estimatedTotalHits": int(keep.sum()),
+                "processingTimeMs": round((_time.perf_counter() - t0)
+                                          * 1000, 1)}
+
     def _distinct_pairs(self, seq: list) -> list:
         """Meilisearch distinctAttribute over a ranked sequence of
         (doc_id, ...) tuples: keep the FIRST (best-ranked) tuple per

@@ -939,3 +939,62 @@ def test_retrieve_vectors(built, emb_store):
     with pytest.raises(ValueError, match="needs embedding_store"):
         SearchService(out, SETTINGS).search("merge", 3,
                                             retrieve_vectors=True)
+
+
+def test_service_similar(built, emb_store):
+    """v1.9 /similar: cosine ranking vs a float32-faithful brute force;
+    self excluded; filter/threshold/retrieveVectors compose; 404 + unknown
+    embedder error classes."""
+    out, _, rows = built
+    path, by_id = emb_store
+    svc = SearchService(out, SETTINGS, embedding_store=path)
+    target = int(rows[5]["doc_id"])
+
+    def unit(d):  # the store holds float32 — brute force must match
+        v = np.asarray(by_id[d], dtype=np.float32).astype(np.float64)
+        return v / np.linalg.norm(v)
+
+    tv = unit(target)
+    want = sorted(((-round(float(unit(d) @ tv), 6), d)
+                   for d in by_id if d != target))
+    res = svc.similar(target, 10, show_ranking_score=True)
+    assert [(h["doc_id"], h["score"]) for h in res["hits"]] == \
+        [(d, -c) for c, d in want[:10]]
+    assert res["estimatedTotalHits"] == len(by_id) - 1
+    assert res["id"] == target
+    for h in res["hits"]:
+        assert abs(h["_rankingScore"] - round((1 + h["score"]) / 2, 4)) < 5e-5
+        assert h["doc_id"] != target
+
+    # filter composes; estimatedTotalHits shrinks to the admissible set
+    repo = rows[0]["repo"]
+    adm = {int(r["doc_id"]) for r in rows if r["repo"] == repo} - {target}
+    res_f = svc.similar(target, 10, filter=("repo", repo))
+    assert {h["doc_id"] for h in res_f["hits"]} <= adm
+    assert res_f["estimatedTotalHits"] == len(adm)
+    want_f = [(d, -c) for c, d in want if d in adm][:10]
+    assert [(h["doc_id"], h["score"]) for h in res_f["hits"]] == want_f
+
+    # threshold cuts on the rounded normalized score
+    thr = round((1 + res["hits"][3]["score"]) / 2, 4)
+    res_t = svc.similar(target, 100, ranking_score_threshold=thr,
+                        show_ranking_score=True)
+    assert all(h["_rankingScore"] >= thr for h in res_t["hits"])
+    assert res_t["estimatedTotalHits"] == len(res_t["hits"])
+
+    # offset pagination tiles the same ranking
+    a = svc.similar(target, 5)["hits"]
+    b = svc.similar(target, 5, offset=5)["hits"]
+    assert [h["doc_id"] for h in a + b] == \
+        [h["doc_id"] for h in svc.similar(target, 10)["hits"]]
+
+    # retrieveVectors + attributesToRetrieve compose
+    res_v = svc.similar(target, 2, retrieve_vectors=True,
+                        attributes_to_retrieve=["repo"])
+    for h in res_v["hits"]:
+        assert "default" in h["_vectors"] and "repo" in h
+
+    with pytest.raises(ValueError, match="not found"):
+        svc.similar(10**15 + 3)
+    with pytest.raises(ValueError, match="unknown embedder"):
+        svc.similar(target, embedder="other")
