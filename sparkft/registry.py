@@ -1,0 +1,210 @@
+"""Meilisearch `/indexes` + `/tasks` route family, library form.
+
+An IndexRegistry holds the uid -> SearchService map the multi-index
+endpoints (multi_search, swap_indexes, federation) already consume, and
+adds upstream's index lifecycle + task log around it:
+
+- createIndex / getIndex / listIndexes / updateIndex / deleteIndex
+  (Meilisearch `/indexes` routes, with upstream's error classes
+  index_already_exists / index_not_found and the paginated list shape).
+- PATCH /settings as update_settings(uid, **fields): a NEW frozen
+  IndexSettings via dataclasses.replace — the service is rebuilt around
+  it, so every memoized cache keyed off settings starts clean. resetting
+  a field = passing its dataclass default explicitly.
+- a TASK LOG: every mutation returns (and records) an upstream-shaped
+  task dict; getTask / getTasks filter by indexUid / type / status.
+
+DIVERGENCE (documented): this engine is synchronous — a mutation
+completes before its call returns, so tasks are recorded directly in
+their terminal state ('succeeded', or 'failed' with upstream's error
+envelope when the mutation raised) and the enqueued/processing states
+are never observable; cancelTasks therefore has nothing to cancel and is
+not served. Task uids are sequential per registry, like upstream's
+monotonic task queue.
+
+Scale note: the registry is control-plane only — O(#indexes) dict state
+on the coordinator. Data-plane work (index builds, deletes, searches)
+stays in the underlying Spark jobs / segment stores; nothing here reads
+postings.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+from .service import IndexSettings, SearchService
+from .service import swap_indexes as _swap_services
+
+
+class IndexRegistry:
+    def __init__(self):
+        self._services: dict = {}
+        self._meta: dict = {}
+        self._tasks: list = []
+
+    # -- task log -------------------------------------------------------
+    def _record(self, task_type: str, index_uid: Optional[str],
+                details: dict, error: Optional[dict] = None) -> dict:
+        task = {
+            "uid": len(self._tasks),
+            "indexUid": index_uid,
+            "status": "failed" if error else "succeeded",
+            "type": task_type,
+            "details": details,
+            "error": error,
+        }
+        self._tasks.append(task)
+        return task
+
+    def get_task(self, uid: int) -> dict:
+        if not 0 <= uid < len(self._tasks):
+            raise ValueError(f"task {uid} not found")  # upstream 404
+        return self._tasks[uid]
+
+    def get_tasks(self, index_uid: Optional[str] = None,
+                  task_type: Optional[str] = None,
+                  status: Optional[str] = None,
+                  limit: int = 20, from_uid: Optional[int] = None) -> dict:
+        """GET /tasks: newest-first (uid DESC, upstream's order), filters
+        conjunctive; `from_uid` starts the page at that uid; `next` is
+        the uid to pass for the following page (None when exhausted)."""
+        rows = [t for t in reversed(self._tasks)
+                if (index_uid is None or t["indexUid"] == index_uid)
+                and (task_type is None or t["type"] == task_type)
+                and (status is None or t["status"] == status)
+                and (from_uid is None or t["uid"] <= from_uid)]
+        page = rows[:limit]
+        nxt = rows[limit]["uid"] if len(rows) > limit else None
+        return {"results": page, "limit": limit, "from": from_uid,
+                "next": nxt, "total": len(rows)}
+
+    # -- /indexes routes --------------------------------------------------
+    def create_index(self, uid: str, primary_key: str = "doc_id",
+                     service: Optional[SearchService] = None) -> dict:
+        """POST /indexes. The engine's index data lives in a segment
+        store on disk, so the service (built around that store) is
+        attached here; creating without one registers the uid with no
+        service (searchable after update via attach)."""
+        if uid in self._services or uid in self._meta:
+            err = {"code": "index_already_exists",
+                   "message": f"Index `{uid}` already exists."}
+            self._record("indexCreation", uid, {"primaryKey": primary_key},
+                         error=err)
+            raise ValueError(err["message"])
+        self._meta[uid] = {"uid": uid, "primaryKey": primary_key}
+        if service is not None:
+            self._services[uid] = service
+        return self._record("indexCreation", uid,
+                            {"primaryKey": primary_key})
+
+    def attach(self, uid: str, service: SearchService) -> None:
+        """Bind/replace the SearchService serving `uid` (the library-form
+        step upstream's document-addition tasks perform implicitly)."""
+        if uid not in self._meta:
+            raise ValueError(f"Index `{uid}` not found.")
+        self._services[uid] = service
+
+    def get_index(self, uid: str) -> dict:
+        if uid not in self._meta:
+            raise ValueError(f"Index `{uid}` not found.")  # index_not_found
+        return dict(self._meta[uid])
+
+    def list_indexes(self, offset: int = 0, limit: int = 20) -> dict:
+        uids = sorted(self._meta)
+        return {"results": [dict(self._meta[u])
+                            for u in uids[offset:offset + limit]],
+                "offset": offset, "limit": limit, "total": len(uids)}
+
+    def update_index(self, uid: str, primary_key: str) -> dict:
+        """PATCH /indexes/{uid} (primaryKey change). Upstream rejects the
+        change once documents exist; here the primary key is fixed by the
+        built store (doc_id), so the rename is metadata-only and allowed
+        only while no service is attached — the same guard, stated in
+        engine terms."""
+        if uid not in self._meta:
+            raise ValueError(f"Index `{uid}` not found.")
+        if uid in self._services:
+            err = {"code": "index_primary_key_already_exists",
+                   "message": "primaryKey cannot change once the index "
+                              "serves documents"}
+            self._record("indexUpdate", uid, {"primaryKey": primary_key},
+                         error=err)
+            raise ValueError(err["message"])
+        self._meta[uid]["primaryKey"] = primary_key
+        return self._record("indexUpdate", uid, {"primaryKey": primary_key})
+
+    def delete_index(self, uid: str) -> dict:
+        if uid not in self._meta:
+            err = {"code": "index_not_found",
+                   "message": f"Index `{uid}` not found."}
+            self._record("indexDeletion", uid, {}, error=err)
+            raise ValueError(err["message"])
+        self._meta.pop(uid)
+        self._services.pop(uid, None)
+        return self._record("indexDeletion", uid, {})
+
+    def service(self, uid: str) -> SearchService:
+        if uid not in self._services:
+            raise ValueError(f"Index `{uid}` not found.")
+        return self._services[uid]
+
+    @property
+    def services(self) -> dict:
+        """The uid -> SearchService map multi_search / swap_indexes /
+        federation consume."""
+        return self._services
+
+    # -- settings + task-wrapped mutations --------------------------------
+    def update_settings(self, uid: str, **fields) -> dict:
+        """PATCH /indexes/{uid}/settings: a NEW frozen IndexSettings via
+        dataclasses.replace, the service rebuilt around it (fresh caches;
+        the reader and stores are reused by path). Unknown fields raise —
+        upstream's invalid_settings error class."""
+        svc = self.service(uid)
+        known = {f.name for f in dataclasses.fields(IndexSettings)}
+        bad = sorted(set(fields) - known)
+        if bad:
+            err = {"code": "invalid_settings",
+                   "message": f"unknown settings field(s) {bad}"}
+            self._record("settingsUpdate", uid, {k: fields[k]
+                                                 for k in sorted(fields)},
+                         error=err)
+            raise ValueError(err["message"])
+        new_settings = dataclasses.replace(svc.settings, **fields)
+        self._services[uid] = SearchService(
+            svc.reader.dir, new_settings, cfg=svc.base_cfg,
+            document_store=svc.document_store,
+            embedding_store=svc.embedding_store,
+            embedder_name=svc.embedder_name)
+        return self._record("settingsUpdate", uid,
+                            {k: fields[k] for k in sorted(fields)})
+
+    def get_settings(self, uid: str) -> dict:
+        """GET /indexes/{uid}/settings — the dataclass as a dict."""
+        return dataclasses.asdict(self.service(uid).settings)
+
+    def delete_documents(self, uid: str, ids=None, filter=None) -> dict:
+        """Task-wrapped SearchService.delete_documents (documentDeletion
+        task type, upstream's details shape)."""
+        svc = self.service(uid)
+        try:
+            got = svc.delete_documents(ids=ids, filter=filter)
+        except ValueError as exc:
+            self._record("documentDeletion", uid,
+                         {"providedIds": len(list(ids)) if ids else None,
+                          "deletedDocuments": None},
+                         error={"code": "invalid_document_delete",
+                                "message": str(exc)})
+            raise
+        return self._record("documentDeletion", uid, got)
+
+    def swap_indexes(self, pairs: list) -> dict:
+        """POST /swap-indexes, task-wrapped (indexSwap task type)."""
+        try:
+            got = _swap_services(self._services, pairs)
+        except ValueError as exc:
+            self._record("indexSwap", None, {"swaps": pairs},
+                         error={"code": "invalid_swap_indexes",
+                                "message": str(exc)})
+            raise
+        return self._record("indexSwap", None, got)

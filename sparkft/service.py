@@ -241,6 +241,10 @@ class SearchService:
         # reader's fingerprint check then enforces that the index was
         # built under the SAME effective tokenization.
         self.cfg = settings.tokenizer_config(cfg)
+        # the PRE-layering config, so a settings change (IndexRegistry.
+        # update_settings) can rebuild the service without re-layering
+        # the tokenizer settings onto an already-layered config
+        self.base_cfg = cfg
         self.document_store = document_store
         # Meilisearch vector store: a parquet path with (doc_id,
         # embedding list<float>) rows. Feeds the service hybrid branch

@@ -1,0 +1,129 @@
+"""IndexRegistry: /indexes lifecycle, PATCH /settings rebuild, task log."""
+
+import shutil
+
+import pytest
+
+from sparkft.corpus import generate_corpus
+from sparkft.facets import write_attribute_store
+from sparkft.index_build import build_index
+from sparkft.registry import IndexRegistry
+from sparkft.service import IndexSettings, SearchService
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions", "8")
+         .config("spark.ui.enabled", "false")
+         .appName("sparkft-registry").getOrCreate())
+    yield s
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    corpus = generate_corpus(120, seed=63)
+    out = str(tmp_path_factory.mktemp("ridx"))
+    df = spark.createDataFrame(corpus).repartition(2)
+    build_index(spark, df, out, num_shards=1, num_buckets=4)
+    from pyspark.sql import functions as F
+
+    docs = (spark.createDataFrame(corpus)
+            .withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
+            .withColumn("n_chars", F.length("content"))
+            .withColumnRenamed("content", "text"))
+    write_attribute_store(spark, docs, out, cols=("repo", "n_chars"))
+    rows = docs.select("doc_id", "repo").collect()
+    return out, rows
+
+
+def test_index_lifecycle_and_tasks(built):
+    out, rows = built
+    reg = IndexRegistry()
+    t0 = reg.create_index("docs", service=SearchService(out))
+    assert (t0["uid"], t0["status"], t0["type"]) == (0, "succeeded",
+                                                     "indexCreation")
+    assert reg.get_index("docs") == {"uid": "docs", "primaryKey": "doc_id"}
+    reg.create_index("empty", primary_key="pk")
+    assert [i["uid"] for i in reg.list_indexes()["results"]] == \
+        ["docs", "empty"]
+    assert reg.list_indexes(offset=1, limit=1)["results"][0]["uid"] == \
+        "empty"
+    # duplicate create: failed task recorded, then raises
+    with pytest.raises(ValueError, match="already exists"):
+        reg.create_index("docs")
+    failed = reg.get_tasks(status="failed")["results"]
+    assert failed and failed[0]["error"]["code"] == "index_already_exists"
+    # primaryKey update allowed only before a service is attached
+    reg.update_index("empty", "other_pk")
+    assert reg.get_index("empty")["primaryKey"] == "other_pk"
+    with pytest.raises(ValueError, match="cannot change"):
+        reg.update_index("docs", "nope")
+    # deletion removes both meta and service
+    reg.delete_index("empty")
+    with pytest.raises(ValueError, match="not found"):
+        reg.get_index("empty")
+    with pytest.raises(ValueError, match="not found"):
+        reg.delete_index("empty")
+    # task log: newest first, filters conjunctive, pagination via next
+    all_tasks = reg.get_tasks(limit=100)
+    assert [t["uid"] for t in all_tasks["results"]] == \
+        list(range(len(reg._tasks)))[::-1]
+    page1 = reg.get_tasks(limit=2)
+    page2 = reg.get_tasks(limit=2, from_uid=page1["next"])
+    assert [t["uid"] for t in page1["results"] + page2["results"]] == \
+        [t["uid"] for t in all_tasks["results"][:4]]
+    assert reg.get_task(t0["uid"]) == t0
+    with pytest.raises(ValueError, match="not found"):
+        reg.get_task(10**6)
+
+
+def test_update_settings_rebuilds_service(built):
+    out, rows = built
+    reg = IndexRegistry()
+    reg.create_index("docs", service=SearchService(out))
+    # settings change takes effect on the NEXT search
+    with pytest.raises(ValueError, match="not filterable"):
+        reg.service("docs").search("merge", 5, filter=("repo", "x"))
+    task = reg.update_settings("docs", filterable_attributes=("repo",),
+                               sort_facet_values_by="count")
+    assert task["type"] == "settingsUpdate"
+    assert task["details"] == {"filterable_attributes": ("repo",),
+                               "sort_facet_values_by": "count"}
+    repo = rows[0]["repo"]
+    res = reg.service("docs").search("merge", 5, filter=("repo", repo))
+    assert all(h["doc_id"] in {int(r["doc_id"]) for r in rows
+                               if r["repo"] == repo} for h in res["hits"])
+    # settings equal direct-construction semantics (composition contract)
+    direct = SearchService(out, IndexSettings(
+        filterable_attributes=("repo",), sort_facet_values_by="count"))
+    assert [h["doc_id"] for h in
+            reg.service("docs").search("merge sort", 5)["hits"]] == \
+        [h["doc_id"] for h in direct.search("merge sort", 5)["hits"]]
+    assert reg.get_settings("docs")["sort_facet_values_by"] == "count"
+    with pytest.raises(ValueError, match="unknown settings field"):
+        reg.update_settings("docs", not_a_field=1)
+
+
+def test_task_wrapped_mutations(built, tmp_path):
+    out, rows = built
+    copy = str(tmp_path / "regdel")
+    shutil.copytree(out, copy)
+    reg = IndexRegistry()
+    reg.create_index("docs", service=SearchService(
+        copy, IndexSettings(filterable_attributes=("repo",))))
+    repo = rows[0]["repo"]
+    task = reg.delete_documents("docs", filter=f"repo = '{repo}'")
+    assert task["type"] == "documentDeletion"
+    assert task["details"]["deletedDocuments"] == \
+        len([r for r in rows if r["repo"] == repo])
+    # swap: task-wrapped, atomic validation
+    reg.create_index("other", service=SearchService(out))
+    sw = reg.swap_indexes([("docs", "other")])
+    assert sw["type"] == "indexSwap" and sw["status"] == "succeeded"
+    with pytest.raises(ValueError):
+        reg.swap_indexes([("docs", "missing")])
+    assert reg.get_tasks(task_type="indexSwap",
+                         status="failed")["results"]
