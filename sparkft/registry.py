@@ -198,6 +198,14 @@ class IndexRegistry:
             raise
         return self._record("documentDeletion", uid, got)
 
+    def network(self, self_name: str = "self",
+                remotes: Optional[dict] = None) -> "Network":
+        """Meilisearch v1.13 `PATCH /network` — declare this registry as
+        `self` and bind named remotes (each remote is another
+        IndexRegistry; its 'url' in library form)."""
+        return Network(self_name, {self_name: self,
+                                   **(remotes or {})})
+
     def swap_indexes(self, pairs: list) -> dict:
         """POST /swap-indexes, task-wrapped (indexSwap task type)."""
         try:
@@ -208,3 +216,77 @@ class IndexRegistry:
                                 "message": str(exc)})
             raise
         return self._record("indexSwap", None, got)
+
+
+class Network:
+    """Meilisearch v1.13 network object: `self` + named remotes, each an
+    IndexRegistry (the library form of a remote instance's URL). Feeds
+    remote_federated_search below."""
+
+    def __init__(self, self_name: str, registries: dict):
+        if self_name not in registries:
+            raise ValueError(f"self {self_name!r} missing from registries")
+        self.self_name = self_name
+        self.registries = dict(registries)
+
+    def registry_for(self, remote: Optional[str]) -> IndexRegistry:
+        name = self.self_name if remote is None else remote
+        if name not in self.registries:
+            raise ValueError(f"remote {name!r} is not declared in the "
+                             f"network (known: {sorted(self.registries)})")
+        return self.registries[name]
+
+
+def remote_federated_search(network: Network, queries: list,
+                            k: int = 10) -> dict:
+    """Meilisearch v1.13 REMOTE federated search: `POST /multi-search`
+    with `federation` where each query leg may carry
+    `federationOptions.remote` — the leg runs on that remote's index and
+    the hits merge into ONE ranked list across instances.
+
+    Each leg is {"indexUid", "q", "federationOptions": {"weight": w,
+    "remote": name}} (weight defaults 1.0, remote defaults to self).
+    Merge rule is federated_topk's: weight * per-index BM25 (each index's
+    own stats — the documented divergence from upstream's normalized
+    ranking-score merge), score DESC then (remote, indexUid, doc_id) ASC.
+    Hits carry upstream's `_federation` envelope {indexUid, remote,
+    weightedRankingScore}; `remote` is omitted for self legs, like
+    upstream. Unknown remotes / uids raise up front (upstream v1.13
+    degrades with `remoteErrors` — this engine is a library call, so the
+    whole request fails atomically; documented divergence).
+
+    Scale shape: per-leg passes are independent O(query terms)
+    bucket-pruned reads on whatever machine holds that registry; the
+    merge is a k-way top-k of (leg, doc, score) triples — no shuffle, no
+    cross-instance state beyond the k rows each leg returns."""
+    from .search import taat_accumulate
+
+    if k <= 0:
+        return {"hits": [], "limit": k}
+    scored: list = []
+    for leg in queries:
+        opts = leg.get("federationOptions", {}) or {}
+        unknown = sorted(set(opts) - {"weight", "remote"})
+        if unknown:
+            raise ValueError(f"unknown federationOptions {unknown}")
+        remote = opts.get("remote")
+        weight = float(opts.get("weight", 1.0))
+        svc = network.registry_for(remote).service(leg["indexUid"])
+        reader = svc.reader
+        terms = reader.query_terms(leg.get("q", ""), svc.cfg)
+        postings = reader.load_postings(terms) if terms else {}
+        if not postings:
+            continue
+        acc, _ = taat_accumulate(reader, postings)
+        tag = (remote if remote is not None else network.self_name,
+               leg["indexUid"], remote is None)
+        scored.extend((tag, d, weight * s) for d, s in acc.items())
+    scored.sort(key=lambda t: (-t[2], t[0][0], t[0][1], t[1]))
+    hits = []
+    for (rname, uid, is_self), d, s in scored[:k]:
+        fed = {"indexUid": uid, "weightedRankingScore": float(s)}
+        if not is_self:
+            fed["remote"] = rname
+        hits.append({"doc_id": int(d), "_federation": fed})
+    return {"hits": hits, "limit": k,
+            "estimatedTotalHits": len(scored)}

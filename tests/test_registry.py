@@ -127,3 +127,57 @@ def test_task_wrapped_mutations(built, tmp_path):
         reg.swap_indexes([("docs", "missing")])
     assert reg.get_tasks(task_type="indexSwap",
                          status="failed")["results"]
+
+
+def test_remote_federated_search(built):
+    """v1.13 remote federation: legs route to named remote registries,
+    hits merge by weight * per-index BM25 with upstream's _federation
+    envelope (remote omitted for self legs); unknown remote/uid raise."""
+    from sparkft.registry import remote_federated_search
+    from sparkft.search import IndexReader, wand_topk
+
+    out, rows = built
+    home = IndexRegistry()
+    home.create_index("docs", service=SearchService(out))
+    other = IndexRegistry()
+    other.create_index("mirror", service=SearchService(out))
+    net = home.network("home", remotes={"eu": other})
+
+    res = remote_federated_search(net, [
+        {"indexUid": "docs", "q": "merge sort"},
+        {"indexUid": "mirror", "q": "merge sort",
+         "federationOptions": {"weight": 2.0, "remote": "eu"}},
+    ], k=10)
+    # the weighted mirror leg must dominate: manual merge parity
+    reader = IndexReader(None, out)
+    base = dict(wand_topk(reader, "merge sort", 10**9))
+    want = sorted(
+        [(("eu", "mirror"), d, 2.0 * s) for d, s in base.items()]
+        + [(("home", "docs"), d, 1.0 * s) for d, s in base.items()],
+        key=lambda t: (-t[2], t[0][0], t[0][1], t[1]))[:10]
+    got = [((h["_federation"].get("remote", "home"),
+             h["_federation"]["indexUid"]), h["doc_id"],
+            h["_federation"]["weightedRankingScore"]) for h in res["hits"]]
+    assert got == [(tag, d, s) for tag, d, s in want]
+    # self legs omit "remote", remote legs carry it
+    assert all("remote" not in h["_federation"]
+               for h in res["hits"] if h["_federation"]["indexUid"] == "docs")
+    assert all(h["_federation"]["remote"] == "eu"
+               for h in res["hits"]
+               if h["_federation"]["indexUid"] == "mirror")
+    assert res["estimatedTotalHits"] == 2 * len(base)
+
+    with pytest.raises(ValueError, match="not declared"):
+        remote_federated_search(net, [
+            {"indexUid": "docs", "q": "merge",
+             "federationOptions": {"remote": "asia"}}])
+    with pytest.raises(ValueError, match="not found"):
+        remote_federated_search(net, [
+            {"indexUid": "nope", "q": "merge"}])
+    with pytest.raises(ValueError, match="unknown federationOptions"):
+        remote_federated_search(net, [
+            {"indexUid": "docs", "q": "merge",
+             "federationOptions": {"boost": 2}}])
+    with pytest.raises(ValueError, match="missing from registries"):
+        from sparkft.registry import Network
+        Network("home", {"eu": other})
