@@ -290,3 +290,86 @@ def remote_federated_search(network: Network, queries: list,
         hits.append({"doc_id": int(d), "_federation": fed})
     return {"hits": hits, "limit": k,
             "estimatedTotalHits": len(scored)}
+
+
+def _settings_from_json(d: dict) -> IndexSettings:
+    """Rebuild a frozen IndexSettings from its JSON form (tuples came
+    back as lists; localized_attributes rules are nested pairs)."""
+    vals = dict(d)
+    for f in dataclasses.fields(IndexSettings):
+        v = vals.get(f.name)
+        if isinstance(v, list):
+            if f.name == "localized_attributes":
+                vals[f.name] = tuple(
+                    (tuple(pats), tuple(locs)) for pats, locs in v)
+            elif f.name == "synonyms":
+                pass  # dict, untouched
+            else:
+                vals[f.name] = tuple(v)
+    return IndexSettings(**vals)
+
+
+def create_dump(registry: IndexRegistry, path: str) -> dict:
+    """Meilisearch `POST /dumps`, library form: persist the registry's
+    CONTROL PLANE — index metadata, per-index settings + store paths,
+    and the task log — as one JSON file. Index DATA (segments, attribute
+    stores, document/embedding parquet) is already durable on disk and
+    is referenced by path, not copied: upstream's dump re-indexes
+    documents on import, this engine's stores are immutable files, so a
+    dump is O(#indexes + #tasks), corpus-size independent. Returns the
+    dumpCreation task."""
+    import json
+    import os
+
+    # record FIRST so the dump carries its own creation task (and an
+    # imported instance's log lines up with the source's)
+    task = registry._record("dumpCreation", None,
+                            {"dumpUid": os.path.basename(path)})
+    payload = {
+        "indexes": [
+            {
+                **registry._meta[uid],
+                "settings": (dataclasses.asdict(
+                    registry._services[uid].settings)
+                    if uid in registry._services else None),
+                "indexDir": (registry._services[uid].reader.dir
+                             if uid in registry._services else None),
+                "documentStore": (registry._services[uid].document_store
+                                  if uid in registry._services else None),
+                "embeddingStore": (registry._services[uid].embedding_store
+                                   if uid in registry._services else None),
+                "embedderName": (registry._services[uid].embedder_name
+                                 if uid in registry._services else None),
+            }
+            for uid in sorted(registry._meta)
+        ],
+        "tasks": registry._tasks,
+    }
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as fh:
+        json.dump(payload, fh)
+    return task
+
+
+def load_dump(path: str) -> IndexRegistry:
+    """Rebuild an IndexRegistry from a dump: metadata + task log restored
+    verbatim, each index's SearchService reconstructed around its
+    recorded store paths and settings (same composition the registry
+    used originally). A missing index dir raises — the dump references
+    data, it does not contain it."""
+    import json
+
+    with open(path) as fh:
+        payload = json.load(fh)
+    reg = IndexRegistry()
+    for ix in payload["indexes"]:
+        reg._meta[ix["uid"]] = {"uid": ix["uid"],
+                                "primaryKey": ix["primaryKey"]}
+        if ix.get("indexDir"):
+            reg._services[ix["uid"]] = SearchService(
+                ix["indexDir"], _settings_from_json(ix["settings"]),
+                document_store=ix.get("documentStore"),
+                embedding_store=ix.get("embeddingStore"),
+                embedder_name=ix.get("embedderName") or "default")
+    reg._tasks = payload["tasks"]
+    return reg

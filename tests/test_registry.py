@@ -181,3 +181,32 @@ def test_remote_federated_search(built):
     with pytest.raises(ValueError, match="missing from registries"):
         from sparkft.registry import Network
         Network("home", {"eu": other})
+
+
+def test_dump_round_trip(built, tmp_path):
+    """POST /dumps library form: control-plane persisted (meta, settings,
+    store paths, task log); load_dump rebuilds services that search
+    identically; index data referenced, not copied."""
+    from sparkft.registry import create_dump, load_dump
+
+    out, rows = built
+    reg = IndexRegistry()
+    reg.create_index("docs", service=SearchService(out))
+    reg.update_settings("docs", filterable_attributes=("repo",),
+                        typo_tolerance=True,
+                        localized_attributes=((("title",), ("eng",)),))
+    path = str(tmp_path / "dump.json")
+    task = create_dump(reg, path)
+    assert task["type"] == "dumpCreation" and task["status"] == "succeeded"
+
+    back = load_dump(path)
+    assert back.get_index("docs") == reg.get_index("docs")
+    assert back.service("docs").settings == reg.service("docs").settings
+    assert [h["doc_id"] for h in back.service("docs").search(
+        "merge sort", 5)["hits"]] == \
+        [h["doc_id"] for h in reg.service("docs").search(
+            "merge sort", 5)["hits"]]
+    # the task log survives (including the dumpCreation task itself)
+    assert back.get_tasks(limit=100)["total"] == \
+        reg.get_tasks(limit=100)["total"]
+    assert back.get_task(task["uid"])["type"] == "dumpCreation"
