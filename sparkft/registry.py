@@ -198,6 +198,104 @@ class IndexRegistry:
             raise
         return self._record("documentDeletion", uid, got)
 
+    def edit_documents(self, uid: str, spark, function,
+                       filter=None) -> dict:
+        """Meilisearch v1.10 `POST /indexes/{uid}/documents/edit`
+        (editDocumentsByFunction): apply `function` to every live
+        document matching `filter` (same filter language as search; None
+        = the whole corpus) and re-index the changed ones. Upstream's
+        function is a RHAI script; the library form is a Python callable
+        doc_dict -> doc_dict. The doc dict carries doc_id, every stored
+        attribute, and `text` when the index has a document store.
+        Returning the doc unchanged (or None) skips it — only CHANGED
+        docs are re-indexed, so an idempotent function re-run writes
+        nothing. Changing doc_id raises (upstream forbids editing the
+        primary key).
+
+        Mechanics: one attribute-store browse for the matching live set,
+        one callable pass, then ONE upsert_docs batch (generation-scoped
+        tombstones + last-write-wins compaction) over the changed rows —
+        the same verified lifecycle addOrReplace uses; edited texts are
+        ALSO written to a gen-stamped docstore overlay next to the index
+        (the caller-owned document store parquet stays untouched;
+        SearchService._texts merges the overlay highest-gen-wins), so
+        highlight/crop and a re-run of the function see the edited text —
+        an idempotent function edits 0 docs on its second pass. The
+        service is rebuilt so the next query serves the edited corpus.
+        DIVERGENCE (documented): upserted shards carry no positions
+        (upsert_docs' streaming contract). Returns the documentEdition
+        task with editedDocuments = changed-doc count."""
+        from .index_build import upsert_docs
+
+        svc = self.service(uid)
+        if svc.document_store is None:
+            # text is the indexed payload: re-indexing an edited doc
+            # without it would silently erase the doc's postings
+            raise ValueError("edit_documents needs a document_store "
+                             "(doc text is re-indexed on edit)")
+        browse = svc.get_documents(0, 10**18, filter=filter)
+        ids = [int(d["doc_id"]) for d in browse["results"]]
+        texts = svc._texts(ids)
+        attr_cols = tuple(c for c in svc.attrs.columns())
+        changed: list = []
+        for d in browse["results"]:
+            full = dict(d)
+            full["text"] = texts.get(d["doc_id"])
+            new = function(dict(full))
+            if new is None or new == full:
+                continue
+            if int(new.get("doc_id", -1)) != int(d["doc_id"]):
+                err = {"code": "edit_documents_by_function",
+                       "message": "the function must not change doc_id "
+                                  "(the primary key)"}
+                self._record("documentEdition", uid,
+                             {"editedDocuments": None}, error=err)
+                raise ValueError(err["message"])
+            changed.append(new)
+        if changed:
+            cols = ["doc_id", "text"] + list(attr_cols)
+            rows = [tuple(c.get(col) for col in cols) for c in changed]
+            df = spark.createDataFrame(rows, schema=cols)
+            upsert_docs(spark, df, svc.reader.dir, cfg=svc.cfg,
+                        attr_cols=attr_cols)
+            self._write_docstore_overlay(svc.reader.dir, changed)
+            self._services[uid] = SearchService(
+                svc.reader.dir, svc.settings, cfg=svc.base_cfg,
+                document_store=svc.document_store,
+                embedding_store=svc.embedding_store,
+                embedder_name=svc.embedder_name)
+        return self._record("documentEdition", uid,
+                            {"editedDocuments": len(changed)})
+
+    @staticmethod
+    def _write_docstore_overlay(index_dir: str, changed: list) -> None:
+        """Edited texts as a gen-stamped delta parquet under
+        `{index_dir}/docstore_overlay/` — the caller-owned document store
+        parquet stays untouched; SearchService._texts merges the overlay
+        on read (highest gen wins), so highlight/crop and the next
+        edit_documents pass see the EDITED text. Same merge-on-read shape
+        as the tombstone store: O(|edits|) write, O(page) read."""
+        import os
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        ov = os.path.join(index_dir, "docstore_overlay")
+        os.makedirs(ov, exist_ok=True)
+        gens = [int(f.split("-")[1].split(".")[0])
+                for f in os.listdir(ov)
+                if f.startswith("gen-") and f.endswith(".parquet")]
+        gen = (max(gens) + 1) if gens else 1
+        ids = np.asarray([int(c["doc_id"]) for c in changed],
+                         dtype=np.int64)
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array([c["text"] for c in changed],
+                                       pa.string()),
+                      "gen": pa.array([gen] * len(changed), pa.int64())}),
+            os.path.join(ov, f"gen-{gen}.parquet"))
+
     def network(self, self_name: str = "self",
                 remotes: Optional[dict] = None) -> "Network":
         """Meilisearch v1.13 `PATCH /network` — declare this registry as

@@ -480,13 +480,34 @@ class SearchService:
         if self.document_store is None:
             raise ValueError("highlighting needs document_store "
                              "(a parquet path with doc_id + text columns)")
+        import os
+
         import pyarrow.dataset as ds
 
+        ids = list(ids)
         tbl = ds.dataset(self.document_store, format="parquet").to_table(
             columns=["doc_id", "text"],
-            filter=ds.field("doc_id").isin(list(ids)),
+            filter=ds.field("doc_id").isin(ids),
         )
-        return dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+        out = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+        # docstore overlay (editDocumentsByFunction): edited texts live in
+        # gen-stamped delta parquet next to the index — merge-on-read,
+        # highest gen wins, same pattern as the tombstone store. One extra
+        # bucket-pruned probe per page; absent dir costs one stat call.
+        ov = os.path.join(self.reader.dir, "docstore_overlay")
+        if os.path.isdir(ov):
+            otb = ds.dataset(ov, format="parquet").to_table(
+                columns=["doc_id", "text", "gen"],
+                filter=ds.field("doc_id").isin(ids),
+            )
+            best: dict = {}
+            for d, t, g in zip(otb["doc_id"].to_pylist(),
+                               otb["text"].to_pylist(),
+                               otb["gen"].to_pylist()):
+                if d not in best or g > best[d][0]:
+                    best[d] = (g, t)
+            out.update({d: t for d, (_, t) in best.items()})
+        return out
 
     @property
     def embeddings(self):

@@ -35,12 +35,14 @@ def built(spark, tmp_path_factory):
             .withColumn("n_chars", F.length("content"))
             .withColumnRenamed("content", "text"))
     write_attribute_store(spark, docs, out, cols=("repo", "n_chars"))
-    rows = docs.select("doc_id", "repo").collect()
-    return out, rows
+    store = str(tmp_path_factory.mktemp("rstore") / "docs.parquet")
+    docs.select("doc_id", "text").write.parquet(store)
+    rows = docs.select("doc_id", "repo", "text").collect()
+    return out, rows, store
 
 
 def test_index_lifecycle_and_tasks(built):
-    out, rows = built
+    out, rows, _store = built
     reg = IndexRegistry()
     t0 = reg.create_index("docs", service=SearchService(out))
     assert (t0["uid"], t0["status"], t0["type"]) == (0, "succeeded",
@@ -81,7 +83,7 @@ def test_index_lifecycle_and_tasks(built):
 
 
 def test_update_settings_rebuilds_service(built):
-    out, rows = built
+    out, rows, _store = built
     reg = IndexRegistry()
     reg.create_index("docs", service=SearchService(out))
     # settings change takes effect on the NEXT search
@@ -108,7 +110,7 @@ def test_update_settings_rebuilds_service(built):
 
 
 def test_task_wrapped_mutations(built, tmp_path):
-    out, rows = built
+    out, rows, _store = built
     copy = str(tmp_path / "regdel")
     shutil.copytree(out, copy)
     reg = IndexRegistry()
@@ -136,7 +138,7 @@ def test_remote_federated_search(built):
     from sparkft.registry import remote_federated_search
     from sparkft.search import IndexReader, wand_topk
 
-    out, rows = built
+    out, rows, _store = built
     home = IndexRegistry()
     home.create_index("docs", service=SearchService(out))
     other = IndexRegistry()
@@ -189,7 +191,7 @@ def test_dump_round_trip(built, tmp_path):
     identically; index data referenced, not copied."""
     from sparkft.registry import create_dump, load_dump
 
-    out, rows = built
+    out, rows, _store = built
     reg = IndexRegistry()
     reg.create_index("docs", service=SearchService(out))
     reg.update_settings("docs", filterable_attributes=("repo",),
@@ -210,3 +212,59 @@ def test_dump_round_trip(built, tmp_path):
     assert back.get_tasks(limit=100)["total"] == \
         reg.get_tasks(limit=100)["total"]
     assert back.get_task(task["uid"])["type"] == "dumpCreation"
+
+
+def test_edit_documents_by_function(spark, built, tmp_path):
+    """v1.10 editDocumentsByFunction: callable applied to the filtered
+    live set, only CHANGED docs re-indexed (idempotent re-run edits 0),
+    search serves the edited text, doc_id immutable."""
+    out, rows, store = built
+    copy = str(tmp_path / "editidx")
+    shutil.copytree(out, copy)
+    reg = IndexRegistry()
+    reg.create_index("docs", service=SearchService(
+        copy, IndexSettings(filterable_attributes=("repo",)),
+        document_store=store))
+    repo = rows[0]["repo"]
+    n_repo = len([r for r in rows if r["repo"] == repo])
+
+    def add_marker(doc):
+        doc["text"] = doc["text"] + " zzedited"
+        return doc
+
+    task = reg.edit_documents("docs", spark, add_marker,
+                              filter=f"repo = '{repo}'")
+    assert task["type"] == "documentEdition"
+    assert task["details"]["editedDocuments"] == n_repo
+    # the edited docs (and only they) now match the marker token
+    res = reg.service("docs").search("zzedited", 10**6)
+    assert {h["doc_id"] for h in res["hits"]} == \
+        {int(r["doc_id"]) for r in rows if r["repo"] == repo}
+    # untouched docs still serve their original text
+    other_docs = {int(r["doc_id"]) for r in rows if r["repo"] != repo}
+    res2 = reg.service("docs").search("merge sort", 10**6)
+    assert other_docs & {h["doc_id"] for h in res2["hits"]}
+
+    # idempotent function second run: nothing changed, nothing re-indexed
+    def ensure_marker(doc):
+        if doc["text"].endswith(" zzedited"):
+            return None
+        doc["text"] += " zzedited"
+        return doc
+
+    t2 = reg.edit_documents("docs", spark, ensure_marker,
+                            filter=f"repo = '{repo}'")
+    assert t2["details"]["editedDocuments"] == 0
+
+    # primary key is immutable
+    def rekey(doc):
+        doc["doc_id"] = 1
+        return doc
+
+    with pytest.raises(ValueError, match="must not change doc_id"):
+        reg.edit_documents("docs", spark, rekey, filter=f"repo = '{repo}'")
+    # and a doc-store-less service refuses up front
+    reg2 = IndexRegistry()
+    reg2.create_index("bare", service=SearchService(out))
+    with pytest.raises(ValueError, match="needs a document_store"):
+        reg2.edit_documents("bare", spark, add_marker)
