@@ -154,6 +154,29 @@ class IndexRegistry:
         federation consume."""
         return self._services
 
+    # -- global routes ----------------------------------------------------
+    def health(self) -> dict:
+        """GET /health — the library form is always available."""
+        return {"status": "available"}
+
+    def version(self) -> dict:
+        """GET /version: the engine's own version triplet (sparkft is the
+        engine, not a Meilisearch build — commitSha/commitDate have no
+        meaning here and are served as None, documented divergence)."""
+        return {"pkgVersion": "sparkft-r5", "commitSha": None,
+                "commitDate": None}
+
+    def stats(self) -> dict:
+        """GET /stats (global): per-index stats from each service's own
+        oracle-gated stats() plus the summed databaseSize stand-in
+        (numberOfDocuments total; byte sizes belong to the underlying
+        store files, not the control plane)."""
+        per = {uid: self._services[uid].stats()
+               for uid in sorted(self._services)}
+        return {"indexes": per,
+                "numberOfDocuments": sum(s["numberOfDocuments"]
+                                         for s in per.values())}
+
     # -- settings + task-wrapped mutations --------------------------------
     def update_settings(self, uid: str, **fields) -> dict:
         """PATCH /indexes/{uid}/settings: a NEW frozen IndexSettings via

@@ -1234,7 +1234,8 @@ class SearchService:
                attributes_to_crop: Optional[list] = None,
                hybrid: Optional[dict] = None,
                vector=None,
-               retrieve_vectors: bool = False) -> dict:
+               retrieve_vectors: bool = False,
+               matching_strategy: Optional[str] = None) -> dict:
         """Meilisearch-shaped response:
         {"hits": [{"doc_id", "score"|attr, "_formatted"?, ...}],
          "offset": ..., "facetDistribution"?: {col: {value: count}},
@@ -1266,6 +1267,28 @@ class SearchService:
         estimatedTotalHits — here EXACT, not an estimate: the strategy
         runs unbounded (O(query postings), same reads as the search) and
         the page is sliced from the full ranking."""
+        _args = dict(locals())  # MUST stay the first statement (the
+        _args.pop("self")       # matchingStrategy override re-dispatch)
+        if matching_strategy is not None:
+            # Meilisearch matchingStrategy is a SEARCH PARAMETER, not a
+            # setting — per-query override of settings.matching_strategy.
+            # Served by re-dispatching on a shallow clone carrying the
+            # replaced frozen settings: every strategy-consuming site
+            # reads self.settings, so the override composes with all of
+            # them and the service's caches stay shared.
+            if matching_strategy not in ("any", "all", "last", "frequency"):
+                raise ValueError(
+                    "matching_strategy must be one of 'any', 'all', "
+                    f"'last', 'frequency', got {matching_strategy!r}")
+            if matching_strategy != self.settings.matching_strategy:
+                import copy
+                from dataclasses import replace as _replace
+
+                clone = copy.copy(self)
+                clone.settings = _replace(
+                    self.settings, matching_strategy=matching_strategy)
+                _args["matching_strategy"] = None
+                return clone.search(**_args)
         t0 = _perf_counter()
         degraded = None  # searchCutoffMs: skipped-rule names when exceeded
         mth = self.settings.max_total_hits

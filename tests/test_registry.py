@@ -268,3 +268,17 @@ def test_edit_documents_by_function(spark, built, tmp_path):
     reg2.create_index("bare", service=SearchService(out))
     with pytest.raises(ValueError, match="needs a document_store"):
         reg2.edit_documents("bare", spark, add_marker)
+
+
+def test_global_routes(built):
+    """GET /health, /version, /stats (global)."""
+    out, rows, _store = built
+    reg = IndexRegistry()
+    reg.create_index("a", service=SearchService(out))
+    reg.create_index("b", service=SearchService(out))
+    assert reg.health() == {"status": "available"}
+    assert reg.version()["pkgVersion"]
+    st = reg.stats()
+    assert set(st["indexes"]) == {"a", "b"}
+    assert st["numberOfDocuments"] == 2 * len(rows)
+    assert st["indexes"]["a"]["numberOfDocuments"] == len(rows)

@@ -998,3 +998,24 @@ def test_service_similar(built, emb_store):
         svc.similar(10**15 + 3)
     with pytest.raises(ValueError, match="unknown embedder"):
         svc.similar(target, embedder="other")
+
+
+def test_matching_strategy_search_parameter(built):
+    """Upstream matchingStrategy is a SEARCH parameter: the per-query
+    override serves exactly the settings-level strategy, composes with
+    filters, and leaves the service's configured strategy untouched."""
+    out, _, _ = built
+    svc = SearchService(out, SETTINGS)  # settings default: 'any'
+    for strat in ("all", "last", "frequency"):
+        want = SearchService(out, IndexSettings(
+            matching_strategy=strat,
+            filterable_attributes=("repo",))).search("merge sort", 10)
+        got = svc.search("merge sort", 10, matching_strategy=strat)
+        assert got["hits"] == want["hits"], strat
+    # same-value override is a no-op fast path
+    assert svc.search("merge sort", 5, matching_strategy="any")["hits"] \
+        == svc.search("merge sort", 5)["hits"]
+    # the service's own strategy is unchanged after overridden queries
+    assert svc.settings.matching_strategy == "any"
+    with pytest.raises(ValueError, match="matching_strategy must be"):
+        svc.search("merge sort", 5, matching_strategy="bogus")
