@@ -250,3 +250,43 @@ def test_repetition_metrics_single_projection(spark):
     assert "rangepartitioning" not in plan.lower()
     assert "Generate" not in plan
     assert "HashAggregate" not in plan
+
+
+def test_minhash_single_key_shuffle_with_partial_agg(spark):
+    """minhash_signatures must be exactly ONE doc_id key shuffle with
+    map-side partial aggregation: the shingle hash is projected once per
+    row (no per-permutation recompute visible as repeated md5 calls), and
+    the 16 min-aggregates ride a single partial/final HashAggregate pair.
+    A plan that re-shuffles per permutation or loses the partial agg
+    fails here before it costs anything at scale."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["minhash_signatures"](spark, SF)
+    plan = plan_of(df)
+    assert plan.lower().count("hashpartitioning") == 1, plan[:800]
+    # partial + final pair (partial_min shows in the partial aggregate)
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_min" in plan
+    # one md5 per row, not one per permutation
+    assert plan.count("md5") <= 2, plan.count("md5")
+
+
+def test_simhash_single_key_shuffle(spark):
+    """simhash: token hashed ONCE PER HALF in a projection (2 md5 calls),
+    then one doc_id aggregation — never 64 md5s per row."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["simhash"](spark, SF)
+    plan = plan_of(df)
+    assert plan.lower().count("hashpartitioning") == 1, plan[:800]
+    assert plan.count("md5") <= 4, plan.count("md5")
+
+
+def test_exact_dedup_partial_aggregated(spark):
+    """exact dedup (hash-groupBy) keeps map-side combine: partial count
+    before the key exchange."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["dedup_exact"](spark, SF)
+    plan = plan_of(df)
+    assert "partial_count" in plan or "partial_" in plan, plan[:800]
