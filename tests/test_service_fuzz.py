@@ -156,3 +156,99 @@ def test_service_composition_fuzz(world):
             checked["facets"] += 1
     # every surface actually exercised
     assert set(checked) >= {"any", "all", "last", "sort", "facets"}, checked
+
+
+def _ref_grouped(bf, toks, strategy, groups, allowed):
+    """Reference for the GROUPED strategies: the engine's own variant
+    groups (expansion is separately unit-tested) recomputed with raw
+    token-set algebra + oracle BM25 over the used variants."""
+    def matched(d, g):
+        return bool(toks[d] & set(g))
+
+    def conj(gs):
+        c = {d for d in toks if all(matched(d, g) for g in gs)}
+        return c if allowed is None else c & allowed
+
+    def rank(gs, cand):
+        terms = sorted({t for g in gs for t in g})
+        scores = dict(bf.filtered_topk(" ".join(terms), k=bf.N,
+                                       allowed=allowed))
+        return sorted(((d, s) for d, s in scores.items() if d in cand),
+                      key=lambda kv: (-kv[1], kv[0]))
+
+    if strategy == "any":
+        terms = sorted({t for g in groups for t in g})
+        scores = dict(bf.filtered_topk(" ".join(terms), k=bf.N,
+                                       allowed=allowed))
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    if strategy == "all":
+        cand = conj(groups)
+        return rank(groups, cand) if cand else []
+    if strategy == "last":
+        for i in range(len(groups), 0, -1):
+            cand = conj(groups[:i])
+            if cand:
+                return rank(groups[:i], cand)
+        return []
+    if strategy == "frequency":
+        freq = [len({d for d in toks if matched(d, g)}) for g in groups]
+        if not groups or min(freq) == 0:
+            return []
+        order = sorted(range(len(groups)), key=lambda i: (-freq[i], -i))
+        live = list(range(len(groups)))
+        for dropped in order:
+            gs = [groups[i] for i in live]
+            cand = conj(gs)
+            if cand:
+                return rank(gs, cand)
+            live = [i for i in live if i != dropped]
+        return []
+    raise AssertionError(strategy)
+
+
+def test_grouped_strategies_fuzz_with_typo_and_synonyms(world):
+    """40 seeded random combos over the EXPANDED serving paths: typo
+    tolerance on, a synonyms map, strategies any/all/last/frequency, with
+    and without filters — service vs the grouped set-algebra reference
+    fed the engine's own variant groups."""
+    out, bf, toks, meta, vocab = world
+    rng = random.Random(777)
+    syn = {vocab[3]: [vocab[5]], vocab[10]: [vocab[2]]} \
+        if len(vocab) > 10 else {}
+    svc = SearchService(out, IndexSettings(
+        filterable_attributes=("repo", "n_chars"),
+        typo_tolerance=True, synonyms=syn,
+        max_values_per_facet=10**9))
+    repos = sorted({m["repo"] for m in meta.values()})
+    checked = Counter()
+    for case in range(40):
+        words = []
+        for _ in range(rng.randrange(1, 4)):
+            w = rng.choice(vocab)
+            if rng.random() < 0.4 and len(w) >= 5:
+                # 1-char mutation: exercises SymSpell expansion
+                i = rng.randrange(len(w))
+                w = w[:i] + rng.choice("abcdefghij") + w[i + 1:]
+            words.append(w)
+        query = " ".join(words)
+        strategy = rng.choice(["any", "all", "last", "frequency"])
+        k = rng.choice([3, 10, 50])
+        filt, allowed = None, None
+        if rng.random() < 0.4:
+            repo = rng.choice(repos)
+            filt = ("repo", repo)
+            allowed = {d for d, m in meta.items() if m["repo"] == repo}
+        groups = svc._word_groups(query)
+        if not groups:
+            continue
+        res = svc.search(query, k, filter=filt,
+                         matching_strategy=strategy)
+        want = _ref_grouped(bf, toks, strategy, groups,
+                            allowed)[:k]
+        got = [(h["doc_id"], h["score"]) for h in res["hits"]]
+        assert got == want, (case, query, strategy, filt)
+        checked[strategy] += 1
+        checked["expanded" if any(len(g) > 1 for g in groups)
+                else "plain"] += 1
+    assert set(checked) >= {"any", "all", "last", "frequency",
+                            "expanded"}, checked
