@@ -1104,8 +1104,14 @@ class SearchService:
             ids = list(ids)
             arr = np.asarray(ids, dtype=np.int64)
             provided = len(ids)
-            # only ids actually in the corpus count as deleted
-            arr = arr[np.isin(arr, self.attrs.doc_ids)]
+            try:
+                # only ids actually in the corpus count as deleted
+                arr = arr[np.isin(arr, self.attrs.doc_ids)]
+            except ValueError:
+                # no attribute store: existence can't be checked cheaply;
+                # count every non-tombstoned provided id (the tombstone
+                # append itself is harmless for phantom ids)
+                pass
         arr = np.unique(arr)  # sorted unique ids
         dead = self.reader.deleted
         if dead and len(arr):
