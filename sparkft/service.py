@@ -1241,7 +1241,8 @@ class SearchService:
                hybrid: Optional[dict] = None,
                vector=None,
                retrieve_vectors: bool = False,
-               matching_strategy: Optional[str] = None) -> dict:
+               matching_strategy: Optional[str] = None,
+               distinct: Optional[str] = None) -> dict:
         """Meilisearch-shaped response:
         {"hits": [{"doc_id", "score"|attr, "_formatted"?, ...}],
          "offset": ..., "facetDistribution"?: {col: {value: count}},
@@ -1274,7 +1275,24 @@ class SearchService:
         runs unbounded (O(query postings), same reads as the search) and
         the page is sliced from the full ranking."""
         _args = dict(locals())  # MUST stay the first statement (the
-        _args.pop("self")       # matchingStrategy override re-dispatch)
+        _args.pop("self")       # per-query settings-override re-dispatch)
+        if distinct is not None and \
+                distinct != self.settings.distinct_attribute:
+            # Meilisearch v1.12 `distinct` SEARCH PARAMETER: per-query
+            # override of settings.distinct_attribute, same shallow-clone
+            # re-dispatch as matchingStrategy below; the attribute must be
+            # filterable (upstream's invalid_search_distinct rule).
+            if distinct not in self.settings.filterable_attributes:
+                raise ValueError(
+                    f"distinct attribute {distinct!r} is not filterable")
+            import copy
+            from dataclasses import replace as _replace
+
+            clone = copy.copy(self)
+            clone.settings = _replace(self.settings,
+                                      distinct_attribute=distinct)
+            _args["distinct"] = None
+            return clone.search(**_args)
         if matching_strategy is not None:
             # Meilisearch matchingStrategy is a SEARCH PARAMETER, not a
             # setting — per-query override of settings.matching_strategy.

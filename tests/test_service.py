@@ -1019,3 +1019,18 @@ def test_matching_strategy_search_parameter(built):
     assert svc.settings.matching_strategy == "any"
     with pytest.raises(ValueError, match="matching_strategy must be"):
         svc.search("merge sort", 5, matching_strategy="bogus")
+
+
+def test_distinct_search_parameter(built):
+    """v1.12 `distinct` search parameter: per-query override equals the
+    settings-level distinctAttribute construction; must be filterable."""
+    out, _, _ = built
+    svc = SearchService(out, SETTINGS)
+    want = SearchService(out, IndexSettings(
+        filterable_attributes=("repo",),
+        distinct_attribute="repo")).search("merge sort", 10)
+    got = svc.search("merge sort", 10, distinct="repo")
+    assert got["hits"] == want["hits"]
+    assert svc.settings.distinct_attribute is None  # service untouched
+    with pytest.raises(ValueError, match="not filterable"):
+        svc.search("merge sort", 5, distinct="n_chars")
