@@ -11,8 +11,12 @@ evaluator that resolves to a SORTED int64 doc-id array:
     and    := unary ("AND" unary)*
     unary  := "NOT" unary | "(" expr ")" | cmp
     cmp    := ident ("=" | "!=" | ">" | ">=" | "<" | "<=") value
-            | ident "IN" "[" value ("," value)* "]"
+            | ident ["NOT"] "IN" "[" value ("," value)* "]"
             | ident value "TO" value          (inclusive range, Meilisearch)
+            | ident ["NOT"] "EXISTS"                        (v0.29)
+            | ident "IS" ["NOT"] ("NULL" | "EMPTY")         (v1.0)
+            | ident ["NOT"] "CONTAINS" value                (v1.11, gated)
+            | ident ["NOT"] "STARTS" "WITH" value           (v1.12, gated)
     value  := number | 'quoted' | "quoted" | bareword
 
 Evaluation cost model (the 100 TB story):
@@ -29,6 +33,17 @@ Evaluation cost model (the 100 TB story):
 
 Strings compare by equality only (like Meilisearch, which orders only
 numbers); comparing a number-typed column against a non-number raises.
+
+Null semantics in the columnar data model: Meilisearch documents are JSON,
+where a field can be MISSING or explicitly null and `EXISTS` distinguishes
+the two. The attribute store is columnar (every doc has every column; the
+only representable absence is null), so here `EXISTS` ≡ `IS NOT NULL` —
+a documented divergence. `IS EMPTY` matches the empty string (upstream also
+matches [] / {}, which the scalar attribute store does not hold). CONTAINS
+and STARTS WITH are case-sensitive byte matches, consistent with this
+module's `=` (Meilisearch upstream gates both behind the `containsFilter`
+experimental feature — enforced at the service layer via
+`parse_filter(allow_contains=False)`, see registry.experimental_features).
 """
 
 from __future__ import annotations
@@ -50,7 +65,8 @@ _TOKEN_RE = re.compile(
     re.VERBOSE,
 )
 
-_KEYWORDS = {"AND", "OR", "NOT", "IN", "TO"}
+_KEYWORDS = {"AND", "OR", "NOT", "IN", "TO", "EXISTS", "IS", "NULL",
+             "EMPTY", "CONTAINS", "STARTS", "WITH"}
 
 
 class FilterSyntaxError(ValueError):
@@ -104,6 +120,34 @@ class _Range:
 
     def __init__(self, col, lo, hi):
         self.col, self.lo, self.hi = col, lo, hi
+
+
+class _Exists:
+    __slots__ = ("col",)
+
+    def __init__(self, col):
+        self.col = col
+
+
+class _IsNull:
+    __slots__ = ("col",)
+
+    def __init__(self, col):
+        self.col = col
+
+
+class _IsEmpty:
+    __slots__ = ("col",)
+
+    def __init__(self, col):
+        self.col = col
+
+
+class _Str:
+    __slots__ = ("col", "kind", "value")  # kind: 'contains' | 'starts'
+
+    def __init__(self, col, kind, value):
+        self.col, self.kind, self.value = col, kind, value
 
 
 class _Not:
@@ -174,6 +218,20 @@ class _Parser:
             raise FilterSyntaxError(f"expected a value, got {v!r}")
         return v
 
+    def _in_list(self, col):
+        self._take("lbrack")
+        vals = [self._value()]
+        while self._peek()[0] == "comma":
+            self._take()
+            vals.append(self._value())
+        self._take("rbrack")
+        return _In(col, vals)
+
+    def _starts_with(self, col):
+        self._take("STARTS")
+        self._take("WITH")
+        return _Str(col, "starts", self._value())
+
     def _cmp(self):
         k, col = self._take()
         if k not in ("word", "value"):
@@ -184,13 +242,49 @@ class _Parser:
             return _Cmp(col, v, self._value())
         if k == "IN":
             self._take()
-            self._take("lbrack")
-            vals = [self._value()]
-            while self._peek()[0] == "comma":
+            return self._in_list(col)
+        if k == "EXISTS":
+            self._take()
+            return _Exists(col)
+        if k == "CONTAINS":
+            self._take()
+            return _Str(col, "contains", self._value())
+        if k == "STARTS":
+            return self._starts_with(col)
+        if k == "NOT":  # postfix-NOT forms: NOT IN / NOT EXISTS / NOT
+            self._take()  # CONTAINS / NOT STARTS WITH (upstream grammar)
+            k2, v2 = self._peek()
+            if k2 == "IN":
                 self._take()
-                vals.append(self._value())
-            self._take("rbrack")
-            return _In(col, vals)
+                return _Not(self._in_list(col))
+            if k2 == "EXISTS":
+                self._take()
+                return _Not(_Exists(col))
+            if k2 == "CONTAINS":
+                self._take()
+                return _Not(_Str(col, "contains", self._value()))
+            if k2 == "STARTS":
+                return _Not(self._starts_with(col))
+            raise FilterSyntaxError(
+                f"expected IN/EXISTS/CONTAINS/STARTS WITH after "
+                f"{col!r} NOT, got {v2!r}")
+        if k == "IS":  # IS [NOT] NULL | IS [NOT] EMPTY
+            self._take()
+            neg = False
+            if self._peek()[0] == "NOT":
+                self._take()
+                neg = True
+            k2, v2 = self._peek()
+            if k2 == "NULL":
+                self._take()
+                node = _IsNull(col)
+            elif k2 == "EMPTY":
+                self._take()
+                node = _IsEmpty(col)
+            else:
+                raise FilterSyntaxError(
+                    f"expected NULL or EMPTY after {col!r} IS, got {v2!r}")
+            return _Not(node) if neg else node
         if k in ("word", "value"):  # `col lo TO hi`
             lo = self._value()
             self._take("TO")
@@ -198,12 +292,33 @@ class _Parser:
         raise FilterSyntaxError(f"expected an operator after {col!r}")
 
 
-def parse_filter(s: str):
-    """Parse a Meilisearch filter expression string into an AST."""
+def parse_filter(s: str, allow_contains: bool = True):
+    """Parse a Meilisearch filter expression string into an AST.
+
+    `allow_contains=False` rejects CONTAINS / STARTS WITH with upstream's
+    feature-gate error (Meilisearch serves both only when the
+    `containsFilter` experimental feature is enabled; the registry/service
+    layer passes its flag through here — library callers default to
+    permissive)."""
     toks = _tokenize(s)
     if not toks:
         raise FilterSyntaxError("empty filter expression")
-    return _Parser(toks).parse()
+    node = _Parser(toks).parse()
+    if not allow_contains and _uses_contains(node):
+        raise FilterSyntaxError(
+            "using `CONTAINS` or `STARTS WITH` in a filter requires "
+            "enabling the `containsFilter` experimental feature")
+    return node
+
+
+def _uses_contains(node) -> bool:
+    if isinstance(node, _Str):
+        return True
+    if isinstance(node, _Bool):
+        return any(_uses_contains(c) for c in node.children)
+    if isinstance(node, _Not):
+        return _uses_contains(node.child)
+    return False
 
 
 # ---- evaluation ----------------------------------------------------------
@@ -218,6 +333,25 @@ def _as_number(v: str) -> Optional[float]:
 def _col_values(store, col: str):
     vals = store.column(col)
     return vals, np.issubdtype(vals.dtype, np.number)
+
+
+def _null_mask(vals: np.ndarray) -> np.ndarray:
+    """True where the stored value is null. Parquet nulls surface as NaN in
+    float columns and as None objects in string/object columns (pyarrow →
+    numpy conversion in AttributeStore._load_bucket); a non-object,
+    non-float dtype (int64, <U…) cannot hold a null at all."""
+    if np.issubdtype(vals.dtype, np.floating):
+        return np.isnan(vals)
+    if vals.dtype == object:
+        return np.frompyfunc(lambda v: v is None, 1, 1)(vals).astype(bool)
+    return np.zeros(len(vals), dtype=bool)
+
+
+def _notnull_str(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(non-null mask, the non-null values as a str array) — the gather the
+    CONTAINS / STARTS WITH / IS EMPTY matchers run on."""
+    nn = ~_null_mask(vals)
+    return nn, vals[nn].astype(str)
 
 
 def _eq_ids(store, attr_index, col: str, value: str) -> np.ndarray:
@@ -236,10 +370,11 @@ def _eq_ids(store, attr_index, col: str, value: str) -> np.ndarray:
         if num is None:
             raise FilterSyntaxError(
                 f"{col!r} is numeric; cannot compare to {value!r}")
-        mask = vals == num
-    else:
-        mask = vals.astype(str) == value
-    return store.doc_ids[mask]
+        return store.doc_ids[vals == num]
+    # null-safe string equality: a None in an object column must not
+    # stringify to 'None' and match the literal word
+    nn, s = _notnull_str(vals)
+    return store.doc_ids[nn][s == value]
 
 
 _NUM_OPS = {
@@ -277,6 +412,28 @@ def evaluate_filter(node, store, attr_index=None) -> np.ndarray:
             raise FilterSyntaxError(
                 f"TO ranges need a numeric column and bounds ({node.col!r})")
         return store.doc_ids[(vals >= lo) & (vals <= hi)]
+    if isinstance(node, _Exists):
+        # columnar model: EXISTS ≡ IS NOT NULL (module docstring)
+        return store.doc_ids[~_null_mask(store.column(node.col))]
+    if isinstance(node, _IsNull):
+        return store.doc_ids[_null_mask(store.column(node.col))]
+    if isinstance(node, _IsEmpty):
+        vals, numeric = _col_values(store, node.col)
+        if numeric:  # a number is never the empty string / empty array
+            return np.empty(0, dtype=np.int64)
+        nn, s = _notnull_str(vals)
+        ids = store.doc_ids[nn]
+        return ids[s == ""]
+    if isinstance(node, _Str):
+        vals, numeric = _col_values(store, node.col)
+        if numeric:
+            raise FilterSyntaxError(
+                f"CONTAINS/STARTS WITH need a string column ({node.col!r})")
+        nn, s = _notnull_str(vals)
+        ids = store.doc_ids[nn]
+        if node.kind == "starts":
+            return ids[np.char.startswith(s, node.value)]
+        return ids[np.char.find(s, node.value) >= 0]
     if isinstance(node, _Cmp):
         if node.op == "=":
             return _eq_ids(store, attr_index, node.col, node.value)

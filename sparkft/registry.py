@@ -36,11 +36,48 @@ from .service import IndexSettings, SearchService
 from .service import swap_indexes as _swap_services
 
 
+# GET/PATCH /experimental-features flag inventory (the flags this engine
+# actually gates or reports; upstream rejects unknown names, so do we).
+# containsFilter gates CONTAINS / STARTS WITH in filter expressions
+# (v1.11/v1.12), editDocumentsByFunction gates edit_documents (v1.10),
+# network gates the v1.13 remote-federation object; metrics and logsRoute
+# are inert toggles here (no prometheus/log endpoints in library form).
+_EXPERIMENTAL_FLAGS = ("metrics", "logsRoute", "containsFilter",
+                       "editDocumentsByFunction", "network")
+
+
 class IndexRegistry:
     def __init__(self):
         self._services: dict = {}
         self._meta: dict = {}
         self._tasks: list = []
+        # shared BY REFERENCE with every attached service, so a PATCH here
+        # is visible to services already handed out (service._resolve_filter
+        # reads containsFilter through this dict)
+        self._experimental: dict = {f: False for f in _EXPERIMENTAL_FLAGS}
+
+    # -- /experimental-features ------------------------------------------
+    def experimental_features(self) -> dict:
+        """GET /experimental-features."""
+        return dict(self._experimental)
+
+    def update_experimental_features(self, **flags) -> dict:
+        """PATCH /experimental-features: set the named flags; unknown
+        names raise (upstream's invalid request on unknown field)."""
+        bad = sorted(set(flags) - set(_EXPERIMENTAL_FLAGS))
+        if bad:
+            raise ValueError(
+                f"unknown experimental feature(s) {bad}; "
+                f"expected one of {sorted(_EXPERIMENTAL_FLAGS)}")
+        for k, v in flags.items():
+            self._experimental[k] = bool(v)
+        return dict(self._experimental)
+
+    def _require_feature(self, flag: str, what: str) -> None:
+        if not self._experimental.get(flag):
+            raise ValueError(
+                f"{what} requires enabling the `{flag}` experimental "
+                f"feature (PATCH /experimental-features)")
 
     # -- task log -------------------------------------------------------
     def _record(self, task_type: str, index_uid: Optional[str],
@@ -93,6 +130,7 @@ class IndexRegistry:
             raise ValueError(err["message"])
         self._meta[uid] = {"uid": uid, "primaryKey": primary_key}
         if service is not None:
+            service._experimental = self._experimental
             self._services[uid] = service
         return self._record("indexCreation", uid,
                             {"primaryKey": primary_key})
@@ -102,6 +140,7 @@ class IndexRegistry:
         step upstream's document-addition tasks perform implicitly)."""
         if uid not in self._meta:
             raise ValueError(f"Index `{uid}` not found.")
+        service._experimental = self._experimental
         self._services[uid] = service
 
     def get_index(self, uid: str) -> dict:
@@ -194,11 +233,13 @@ class IndexRegistry:
                          error=err)
             raise ValueError(err["message"])
         new_settings = dataclasses.replace(svc.settings, **fields)
-        self._services[uid] = SearchService(
+        rebuilt = SearchService(
             svc.reader.dir, new_settings, cfg=svc.base_cfg,
             document_store=svc.document_store,
             embedding_store=svc.embedding_store,
             embedder_name=svc.embedder_name)
+        rebuilt._experimental = self._experimental
+        self._services[uid] = rebuilt
         return self._record("settingsUpdate", uid,
                             {k: fields[k] for k in sorted(fields)})
 
@@ -250,6 +291,8 @@ class IndexRegistry:
         task with editedDocuments = changed-doc count."""
         from .index_build import upsert_docs
 
+        self._require_feature("editDocumentsByFunction",
+                              "editing documents by function")
         svc = self.service(uid)
         if svc.document_store is None:
             # text is the indexed payload: re-indexing an edited doc
@@ -323,7 +366,9 @@ class IndexRegistry:
                 remotes: Optional[dict] = None) -> "Network":
         """Meilisearch v1.13 `PATCH /network` — declare this registry as
         `self` and bind named remotes (each remote is another
-        IndexRegistry; its 'url' in library form)."""
+        IndexRegistry; its 'url' in library form). Gated behind the
+        `network` experimental feature like upstream."""
+        self._require_feature("network", "the /network route")
         return Network(self_name, {self_name: self,
                                    **(remotes or {})})
 
@@ -465,6 +510,7 @@ def create_dump(registry: IndexRegistry, path: str) -> dict:
             for uid in sorted(registry._meta)
         ],
         "tasks": registry._tasks,
+        "experimentalFeatures": dict(registry._experimental),
     }
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as fh:
@@ -483,14 +529,19 @@ def load_dump(path: str) -> IndexRegistry:
     with open(path) as fh:
         payload = json.load(fh)
     reg = IndexRegistry()
+    for k, v in payload.get("experimentalFeatures", {}).items():
+        if k in reg._experimental:
+            reg._experimental[k] = bool(v)
     for ix in payload["indexes"]:
         reg._meta[ix["uid"]] = {"uid": ix["uid"],
                                 "primaryKey": ix["primaryKey"]}
         if ix.get("indexDir"):
-            reg._services[ix["uid"]] = SearchService(
+            svc = SearchService(
                 ix["indexDir"], _settings_from_json(ix["settings"]),
                 document_store=ix.get("documentStore"),
                 embedding_store=ix.get("embeddingStore"),
                 embedder_name=ix.get("embedderName") or "default")
+            svc._experimental = reg._experimental
+            reg._services[ix["uid"]] = svc
     reg._tasks = payload["tasks"]
     return reg

@@ -297,6 +297,12 @@ class SearchService:
         if cache is None:
             cache = self._filter_cache = {}
         key = filter if isinstance(filter, (str, tuple)) else None
+        if isinstance(filter, str):
+            # the containsFilter gate is part of a string filter's meaning:
+            # toggling the flag must not be masked by a memoized resolution
+            exp = getattr(self, "_experimental", None)
+            key = (filter,
+                   exp is None or bool(exp.get("containsFilter")))
         try:
             got = cache.get(key) if key is not None else None
         except TypeError:  # unhashable value inside the tuple
@@ -322,7 +328,14 @@ class SearchService:
             from .filter_expr import (evaluate_filter, filter_attributes,
                                       parse_filter)
 
-            ast = parse_filter(filter)
+            # standalone (library-form) services are permissive; a service
+            # attached to an IndexRegistry shares its experimental-features
+            # dict, where containsFilter defaults OFF like upstream
+            exp = getattr(self, "_experimental", None)
+            ast = parse_filter(
+                filter,
+                allow_contains=(exp is None
+                                or bool(exp.get("containsFilter"))))
             bad = sorted(filter_attributes(ast)
                          - set(self.settings.filterable_attributes))
             if bad:

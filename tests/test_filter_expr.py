@@ -262,3 +262,101 @@ def test_random_expressions_match_pandas_oracle(expr_mask, rnd):
     got = filter_ids(expr, store).tolist()
     want = df.loc[mask_fn(df), "doc_id"].tolist()
     assert got == want, expr
+
+
+# ---- v0.29/v1.0/v1.11/v1.12 operators: EXISTS / IS NULL / IS EMPTY /
+# ---- NOT IN / CONTAINS / STARTS WITH ---------------------------------------
+
+@pytest.fixture()
+def nullable_store():
+    """Object-dtype string column with None holes + float column with NaN
+    holes — the exact shapes pyarrow hands AttributeStore for parquet
+    nulls — plus an int column (cannot hold nulls at all)."""
+    return FakeStore(
+        ids=range(8),
+        cols={
+            "tag": np.array(["py", "rs", None, "", "pyx", "java", None,
+                             "go"], dtype=object),
+            "price": np.array([1.0, 2.0, np.nan, 4.0, 5.0, np.nan, 7.0,
+                               8.0]),
+            "n": np.arange(8),
+        },
+    )
+
+
+def test_exists_and_null_operators(nullable_store):
+    s = nullable_store
+    assert ids("tag EXISTS", s) == [0, 1, 3, 4, 5, 7]
+    assert ids("tag NOT EXISTS", s) == [2, 6]
+    assert ids("tag IS NULL", s) == [2, 6]
+    assert ids("tag IS NOT NULL", s) == [0, 1, 3, 4, 5, 7]
+    assert ids("price IS NULL", s) == [2, 5]
+    assert ids("price EXISTS", s) == [0, 1, 3, 4, 6, 7]
+    # int64 columns cannot hold a null
+    assert ids("n IS NULL", s) == []
+    assert ids("n EXISTS", s) == list(range(8))
+    # upstream: NOT is the complement over all documents, so NOT on a
+    # value predicate INCLUDES the null docs
+    assert ids("NOT tag = py", s) == [1, 2, 3, 4, 5, 6, 7]
+
+
+def test_is_empty(nullable_store):
+    s = nullable_store
+    assert ids("tag IS EMPTY", s) == [3]
+    # null is NOT empty (upstream: IS EMPTY does not match missing/null)
+    assert ids("tag IS NOT EMPTY", s) == [0, 1, 2, 4, 5, 6, 7]
+    assert ids("price IS EMPTY", s) == []  # numbers are never empty
+
+
+def test_contains_and_starts_with(nullable_store):
+    s = nullable_store
+    assert ids("tag CONTAINS py", s) == [0, 4]
+    assert ids("tag CONTAINS 'a'", s) == [5]
+    assert ids("tag NOT CONTAINS py", s) == [1, 2, 3, 5, 6, 7]
+    assert ids("tag STARTS WITH py", s) == [0, 4]
+    assert ids("tag NOT STARTS WITH 'py'", s) == [1, 2, 3, 5, 6, 7]
+    # empty-string value: every non-null doc contains/starts-with ""
+    assert ids("tag CONTAINS ''", s) == [0, 1, 3, 4, 5, 7]
+    with pytest.raises(FilterSyntaxError, match="string"):
+        ids("price CONTAINS 1", s)
+
+
+def test_not_in_and_null_safety(nullable_store):
+    s = nullable_store
+    assert ids("tag NOT IN [py, rs]", s) == [2, 3, 4, 5, 6, 7]
+    # a None cell must not stringify to 'None' and match the bare word
+    assert ids("tag = None", s) == []
+    assert ids("tag != None", s) == list(range(8))
+
+
+def test_new_operator_syntax_errors(nullable_store):
+    s = nullable_store
+    for bad in ("tag IS", "tag IS BOGUS", "tag IS NOT BOGUS",
+                "tag NOT > 3", "tag STARTS py", "tag STARTS WITH",
+                "tag CONTAINS", "EXISTS", "tag NOT", "tag NOT IN x"):
+        with pytest.raises(FilterSyntaxError):
+            filter_ids(bad, s)
+    # reserved words must be quoted to be used as values
+    with pytest.raises(FilterSyntaxError):
+        filter_ids("tag = NULL", s)
+    assert ids("tag = 'NULL'", s) == []
+
+
+def test_contains_feature_gate(nullable_store):
+    """parse_filter(allow_contains=False) rejects CONTAINS / STARTS WITH
+    anywhere in the tree with upstream's containsFilter message; every
+    other operator still parses."""
+    for expr in ("tag CONTAINS py", "tag STARTS WITH py",
+                 "n > 3 AND (tag CONTAINS py OR tag = rs)",
+                 "NOT tag NOT CONTAINS py"):
+        with pytest.raises(FilterSyntaxError, match="containsFilter"):
+            parse_filter(expr, allow_contains=False)
+    for expr in ("tag EXISTS", "tag IS NULL", "tag IS EMPTY",
+                 "tag NOT IN [py]", "n 1 TO 3"):
+        parse_filter(expr, allow_contains=False)
+
+
+def test_new_operators_collect_attributes():
+    assert filter_attributes(parse_filter(
+        "a EXISTS AND (b IS NULL OR c CONTAINS x) AND d STARTS WITH y "
+        "AND e NOT IN [1]")) == {"a", "b", "c", "d", "e"}

@@ -143,6 +143,10 @@ def test_remote_federated_search(built):
     home.create_index("docs", service=SearchService(out))
     other = IndexRegistry()
     other.create_index("mirror", service=SearchService(out))
+    # feature-gated like upstream: OFF raises, PATCH enables
+    with pytest.raises(ValueError, match="network.*experimental"):
+        home.network("home", remotes={"eu": other})
+    home.update_experimental_features(network=True)
     net = home.network("home", remotes={"eu": other})
 
     res = remote_federated_search(net, [
@@ -232,6 +236,11 @@ def test_edit_documents_by_function(spark, built, tmp_path):
         doc["text"] = doc["text"] + " zzedited"
         return doc
 
+    # feature-gated like upstream: OFF raises, PATCH enables
+    with pytest.raises(ValueError, match="editDocumentsByFunction"):
+        reg.edit_documents("docs", spark, add_marker,
+                           filter=f"repo = '{repo}'")
+    reg.update_experimental_features(editDocumentsByFunction=True)
     task = reg.edit_documents("docs", spark, add_marker,
                               filter=f"repo = '{repo}'")
     assert task["type"] == "documentEdition"
@@ -265,6 +274,7 @@ def test_edit_documents_by_function(spark, built, tmp_path):
         reg.edit_documents("docs", spark, rekey, filter=f"repo = '{repo}'")
     # and a doc-store-less service refuses up front
     reg2 = IndexRegistry()
+    reg2.update_experimental_features(editDocumentsByFunction=True)
     reg2.create_index("bare", service=SearchService(out))
     with pytest.raises(ValueError, match="needs a document_store"):
         reg2.edit_documents("bare", spark, add_marker)
@@ -282,3 +292,66 @@ def test_global_routes(built):
     assert set(st["indexes"]) == {"a", "b"}
     assert st["numberOfDocuments"] == 2 * len(rows)
     assert st["indexes"]["a"]["numberOfDocuments"] == len(rows)
+
+
+def test_experimental_features_route(built):
+    """GET/PATCH /experimental-features: defaults OFF, PATCH flips named
+    flags, unknown names raise, and the containsFilter flag gates
+    CONTAINS / STARTS WITH in filters served by ATTACHED services
+    (standalone library services stay permissive)."""
+    out, rows, _store = built
+    # standalone service: permissive (library form)
+    solo = SearchService(
+        out, IndexSettings(filterable_attributes=("repo",)))
+    solo.search("merge", 3, filter="repo CONTAINS repo")
+
+    reg = IndexRegistry()
+    reg.create_index("docs", service=SearchService(
+        out, IndexSettings(filterable_attributes=("repo",))))
+    feats = reg.experimental_features()
+    assert feats == {"metrics": False, "logsRoute": False,
+                     "containsFilter": False,
+                     "editDocumentsByFunction": False, "network": False}
+
+    svc = reg.service("docs")
+    with pytest.raises(ValueError, match="containsFilter"):
+        svc.search("merge", 3, filter="repo CONTAINS repo")
+    with pytest.raises(ValueError, match="containsFilter"):
+        svc.search("merge", 3, filter="repo STARTS WITH a")
+    # ungated operators unaffected
+    svc.search("merge", 3, filter="repo EXISTS")
+
+    got = reg.update_experimental_features(containsFilter=True)
+    assert got["containsFilter"] is True
+    # the flag reaches the ALREADY-handed-out service (shared dict)
+    svc.search("merge", 3, filter="repo CONTAINS repo")
+
+    with pytest.raises(ValueError, match="unknown experimental"):
+        reg.update_experimental_features(warpDrive=True)
+
+    # settings rebuild keeps the shared flags
+    reg.update_settings("docs", filterable_attributes=("repo", "n_chars"))
+    reg.service("docs").search("merge", 3, filter="repo CONTAINS repo")
+    reg.update_experimental_features(containsFilter=False)
+    with pytest.raises(ValueError, match="containsFilter"):
+        reg.service("docs").search("merge", 3,
+                                   filter="repo CONTAINS repo")
+
+
+def test_experimental_features_dump_round_trip(built, tmp_path):
+    """A dump carries the experimental-features state."""
+    from sparkft.registry import create_dump, load_dump
+
+    out, rows, _store = built
+    reg = IndexRegistry()
+    reg.create_index("docs", service=SearchService(
+        out, IndexSettings(filterable_attributes=("repo",))))
+    reg.update_experimental_features(containsFilter=True, network=True)
+    path = str(tmp_path / "dump.json")
+    create_dump(reg, path)
+    reg2 = load_dump(path)
+    feats = reg2.experimental_features()
+    assert feats["containsFilter"] and feats["network"]
+    assert not feats["editDocumentsByFunction"]
+    # restored services share the restored dict
+    reg2.service("docs").search("merge", 3, filter="repo CONTAINS repo")
