@@ -3455,6 +3455,125 @@ FROM ({_SQL_POSTINGS}) GROUP BY doc_id
 """
 
 
+# --- governance / subword-stats pipeline ops (sparkft.corpus_ops) ---
+
+# The demo corpus is PII-free word soup, so the PII entry runs the scanner
+# over a DETERMINISTIC in-query augmentation of the same table: docs with
+# doc_id % 3 == 0 gain an email, % 4 == 0 a URL, % 5 == 0 an IPv4 — all
+# derived from doc_id so Spark and the DuckDB oracle construct byte-identical
+# inputs, some rows carry several hits and some none. The operator itself
+# (sparkft.corpus_ops.pii_scan) takes any (doc_id, text) frame unchanged.
+def _pii_aug_expr(cast_tpl: str) -> str:
+    c = lambda e: cast_tpl.format(e=e)  # noqa: E731
+    return (
+        "text"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' contact dev" + "' || " + c("doc_id")
+        + " || '@mail' || " + c("doc_id % 7") + " || '.example.com' ELSE '' END"
+        " || CASE WHEN doc_id % 4 = 0 THEN ' see https://repo' || "
+        + c("doc_id % 13") + " || '.example.org/src/main' ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' host 10.' || "
+        + c("doc_id % 250") + " || '.0.' || " + c("doc_id % 100")
+        + " || ' up' ELSE '' END"
+    )
+
+
+def _pii_scan(spark, sf_dir):
+    from sparkft import corpus_ops as C
+
+    aug = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_pii_aug_expr("CAST({e} AS STRING)")).alias("text"))
+    return C.pii_scan(aug)
+
+
+def _pii_sql(sf: str) -> str:
+    from sparkft import corpus_ops as C
+
+    aug = _pii_aug_expr("CAST({e} AS VARCHAR)")
+    return f"""
+WITH aug AS (SELECT doc_id, {aug} AS text FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(text, '{C.EMAIL_RE}'))::BIGINT AS n_emails,
+  len(regexp_extract_all(text, '{C.URL_RE}'))::BIGINT AS n_urls,
+  len(regexp_extract_all(text, '{C.IPV4_RE}'))::BIGINT AS n_ipv4,
+  md5(regexp_replace(regexp_replace(regexp_replace(text,
+      '{C.EMAIL_RE}', '<EMAIL>', 'g'),
+      '{C.URL_RE}', '<URL>', 'g'),
+      '{C.IPV4_RE}', '<IP>', 'g')) AS redacted_md5
+FROM aug
+"""
+
+
+def _bpe_pair_counts(spark, sf_dir):
+    from sparkft import corpus_ops as C
+
+    return C.bpe_pair_counts(_postings(spark, sf_dir), k=50)
+
+
+_BPE_PAIRS_SQL = f"""
+WITH vocab AS (
+  SELECT token, sum(tf)::BIGINT AS freq FROM ({_SQL_POSTINGS})
+  GROUP BY token HAVING length(token) >= 2
+)
+SELECT substr(token, i, 2) AS pair, sum(freq)::BIGINT AS cnt
+FROM vocab, unnest(range(1, length(token))) AS t(i)
+GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50
+"""
+
+
+def _bpe_merges(spark, sf_dir):
+    """Distributed BPE merge learning (iterative argmax — no closed-form
+    SQL; registered rows-only like other iterative algorithms). The merge
+    table IS the trained artifact a subword tokenizer loads."""
+    from sparkft import corpus_ops as C
+
+    merges = C.learn_bpe_merges(_postings(spark, sf_dir), n_merges=8)
+    rows = [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, pair_count long")
+
+
+_CONTAM_PROBES = 20
+_CONTAM_THRESHOLD = 3
+
+
+def _contamination_screen(spark, sf_dir):
+    from sparkft import corpus_ops as C
+
+    all_sh = _shingles(spark, sf_dir, distinct=False)
+    probes = (
+        all_sh.groupBy("shingle").agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("shingle")).limit(_CONTAM_PROBES)
+    )
+    return C.contamination_screen(
+        _shingles(spark, sf_dir, distinct=True), probes,
+        _docs(spark, sf_dir), flag_threshold=_CONTAM_THRESHOLD)
+
+
+_SQL_SHINGLES_ALL = """
+SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w
+      FROM documents) d, unnest(range(1, len(w) - 1)) AS t(i)
+WHERE len(w) >= 3
+"""
+
+_CONTAM_SQL = f"""
+WITH sh_all AS ({_SQL_SHINGLES_ALL}),
+probes AS (
+  SELECT shingle FROM (
+    SELECT shingle, count(*) AS c FROM sh_all GROUP BY shingle
+    ORDER BY c DESC, shingle LIMIT {_CONTAM_PROBES})
+),
+dsh AS (SELECT DISTINCT doc_id, shingle FROM sh_all),
+hits AS (
+  SELECT doc_id, count(*)::BIGINT AS n FROM dsh
+  JOIN probes USING (shingle) GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(n, 0)::BIGINT AS n_probe_hits,
+       coalesce(n, 0) >= {_CONTAM_THRESHOLD} AS contaminated
+FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+"""
+
+
 # --- relational layer demos (Catalyst-optimized aggregates/joins/windows) ---
 
 
@@ -3827,6 +3946,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_window_rank": _orders_window_rank,
         "events_hourly": _events_hourly,
         "winnow_fingerprints": _winnow_fingerprints,
+        "pii_scan": _pii_scan,
+        "bpe_pair_counts": _bpe_pair_counts,
+        "bpe_merges": _bpe_merges,
+        "contamination_screen": _contamination_screen,
     })
 
 
@@ -3877,6 +4000,10 @@ def oracle_sql() -> dict[str, str]:
         "top_customers": _TOPCUST_SQL,
         "orders_window_rank": _WINDOW_SQL,
         "events_hourly": _EVENTS_SQL,
+        "pii_scan": _pii_sql(""),
+        "bpe_pair_counts": _BPE_PAIRS_SQL,
+        # bpe_merges: iterative argmax, rows-only (no oracle by design)
+        "contamination_screen": _CONTAM_SQL,
         "cjk_tokenize": _cjk_sql(""),
         "embedding_near_dup": _near_dup_sql(""),
         "winnow_fingerprints": _WINNOW_SQL,

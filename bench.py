@@ -170,6 +170,8 @@ def main() -> int:
         "cutoff_degraded_topk", "multi_search_topk", "displayed_attrs_topk",
         "federated_facets_counts", "hybrid_filtered_topk",
         "documents_browse",
+        "facet_max_values", "typo_attr_disabled", "delete_by_filter",
+        "pii_scan", "bpe_pair_counts", "bpe_merges", "contamination_screen",
     ]
     for name in headline:
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
