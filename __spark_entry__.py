@@ -3574,6 +3574,57 @@ FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
 """
 
 
+# --- temporal operators (sparkft.temporal: as-of join, sessionization) ---
+
+
+def _events_asof_join(spark, sf_dir):
+    """Each click event joined to the user's latest prior-or-equal view
+    event — the union+window as-of plan (one shuffle, no range join)."""
+    from sparkft.temporal import asof_join
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value")
+    return asof_join(clicks, views, "user_id", "ts", ["value"])
+
+
+_ASOF_SQL = """
+WITH v AS (SELECT user_id, ts, max(value) AS value FROM events
+           WHERE event_type = 'view' GROUP BY user_id, ts),
+c AS (SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'click')
+SELECT c.event_id, c.user_id, c.ts, c.value,
+       v.ts AS ts_asof, v.value AS value_asof
+FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts
+"""
+
+
+def _events_sessionize(spark, sf_dir):
+    from sparkft.temporal import sessionize
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(e, "user_id", "ts", gap_minutes=30.0)
+
+
+_SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   + INTERVAL 1800 SECOND
+         THEN 1 ELSE 0 END AS ns
+  FROM events),
+s AS (SELECT user_id, ts,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sn
+      FROM flagged)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sn
+"""
+
+
 # --- relational layer demos (Catalyst-optimized aggregates/joins/windows) ---
 
 
@@ -3950,6 +4001,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": _bpe_pair_counts,
         "bpe_merges": _bpe_merges,
         "contamination_screen": _contamination_screen,
+        "events_asof_join": _events_asof_join,
+        "events_sessionize": _events_sessionize,
     })
 
 
@@ -4004,6 +4057,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pair_counts": _BPE_PAIRS_SQL,
         # bpe_merges: iterative argmax, rows-only (no oracle by design)
         "contamination_screen": _CONTAM_SQL,
+        "events_asof_join": _ASOF_SQL,
+        "events_sessionize": _SESSIONIZE_SQL,
         "cjk_tokenize": _cjk_sql(""),
         "embedding_near_dup": _near_dup_sql(""),
         "winnow_fingerprints": _WINNOW_SQL,

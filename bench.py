@@ -172,6 +172,7 @@ def main() -> int:
         "documents_browse",
         "facet_max_values", "typo_attr_disabled", "delete_by_filter",
         "pii_scan", "bpe_pair_counts", "bpe_merges", "contamination_screen",
+        "events_asof_join", "events_sessionize",
     ]
     for name in headline:
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
