@@ -222,3 +222,34 @@ def running_token_df(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_dedup(
+    stream_df,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+):
+    """Streaming exact deduplication: keep the first document per content
+    hash, with state BOUNDED by an event-time watermark — the streaming
+    form of `dedup.exact_duplicates` for continuous ingest.
+
+    `dropDuplicatesWithinWatermark` is the scale-correct primitive here:
+    plain `dropDuplicates` on an unbounded stream grows its state store
+    forever (every hash ever seen), which at web-scale ingest is an OOM
+    with a delay. The watermark form evicts hash-state older than the
+    watermark horizon, trading global dedup for within-horizon dedup —
+    exactly the guarantee a continuous crawler pipeline wants (cross-day
+    dedup belongs to the batch MinHash/exact pass over the accumulated
+    corpus; see sparkft.dedup).
+
+    The content key is md5(text) computed JVM-side, so state holds a
+    32-byte key + timestamp per doc, not the document itself.
+    """
+    from pyspark.sql import functions as F
+
+    keyed = stream_df.withColumn("content_key", F.md5(F.col(text_col)))
+    return (
+        keyed.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["content_key"])
+    )

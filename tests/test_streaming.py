@@ -319,3 +319,50 @@ def test_streaming_append_updates_bm25_n(spark, tmp_path):
     assert rs.avgdl == rb.avgdl
     for query in ("import config", "fn parse", "self return"):
         assert wand_topk(rs, query, 10) == wand_topk(rb, query, 10)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Exact-dup rows arriving within the watermark horizon collapse to
+    the FIRST arrival; distinct content always passes through. State is
+    keyed on md5(text), not the text itself."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "dsrc")
+    ckpt = str(tmp_path / "dckpt")
+    rows = [
+        (1, "alpha beta", "2024-01-01 00:00:00"),
+        (2, "alpha beta", "2024-01-01 00:01:00"),   # dup within horizon
+        (3, "gamma delta", "2024-01-01 00:02:00"),
+        (4, "alpha beta", "2024-01-01 00:03:00"),   # dup within horizon
+        (5, "epsilon", "2024-01-01 00:04:00"),
+    ]
+    (
+        spark.createDataFrame(rows, "doc_id long, text string, ts_s string")
+        .withColumn("ts", F.to_timestamp("ts_s"))
+        .drop("ts_s")
+        .write.parquet(src)
+    )
+
+    from sparkft.streaming import streaming_dedup
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp").parquet(src)
+    out = streaming_dedup(stream, watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r["doc_id"]: r for r in spark.sql(
+        "SELECT * FROM dedup_sink").collect()}
+    # one row per distinct content; the survivor of 'alpha beta' is the
+    # first arrival (doc 1), and the key column is the md5 of the text
+    assert sorted(got) == [1, 3, 5]
+    import hashlib
+
+    assert got[1]["content_key"] == hashlib.md5(b"alpha beta").hexdigest()
