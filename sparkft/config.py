@@ -154,14 +154,24 @@ def _file_digest(path: str) -> str:
 def _shipped_data_digest() -> str:
     """One digest over every shipped data file that feeds tokenization
     (segmentation dictionaries, separator tables, normalizer charmaps).
-    Memoized for the process: the files are read-only package data."""
+    Memoized for the process: the files are read-only package data.
+
+    Traverses via importlib.resources so it works when the package is
+    shipped to executors as a --py-files ZIP (os.listdir on a path inside
+    a zip raises NotADirectoryError); the digest value is byte-identical
+    to the previous filesystem walk — same sorted-name order, same
+    name + sha256(content) stream — so no fingerprint-keyed artifact is
+    invalidated by the traversal change."""
     got = _FILE_DIGEST_CACHE.get("__shipped__")
     if got is None:
-        data_dir = os.path.join(os.path.dirname(__file__), "data")
+        from importlib import resources
+
+        data = resources.files(__package__) / "data"
         h = hashlib.sha256()
-        for name in sorted(os.listdir(data_dir)):
-            h.update(name.encode())
-            h.update(_file_digest(os.path.join(data_dir, name)).encode())
+        for entry in sorted(data.iterdir(), key=lambda e: e.name):
+            h.update(entry.name.encode())
+            h.update(
+                hashlib.sha256(entry.read_bytes()).hexdigest().encode())
         got = _FILE_DIGEST_CACHE["__shipped__"] = h.hexdigest()
     return got
 
