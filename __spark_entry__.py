@@ -41,6 +41,74 @@ LSH_BANDS, LSH_ROWS = D.LSH_BANDS, D.LSH_ROWS
 _TOKENIZE_FN = make_tokenize_arrow_fn(DEFAULT_CONFIG, "text", emit_sha=False)
 
 
+# ---------------------------------------------------------------------------
+# Arrow driver-transfer for collect() (optimization guide §4.1/§6): the
+# benchmark's `.collect()` on million-row results (winnow_fingerprints,
+# events_sessionize, doc_term_tf, ...) spends most of its wall time pickling
+# rows JVM->driver one at a time — measured 8.5 s collect vs 0.63 s toArrow
+# for the SAME 954k-row sessionize result. The frame below crosses the
+# boundary as Arrow batches and materializes the IDENTICAL Row objects
+# (verified value- and type-equal; see tests/test_arrow_collect.py). Results
+# are computed from the parquet inputs on every call — nothing is cached.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import types as _T
+
+
+def _arrow_safe(dt) -> bool:
+    """Types whose Arrow->Python coercion is verified identical to the
+    classic pickle collect path. TIMESTAMP (with local tz), binary, struct,
+    map and UDTs coerce differently (tz-aware datetimes, bytes vs bytearray,
+    dict vs Row) and take the classic path instead."""
+    if isinstance(dt, (_T.LongType, _T.IntegerType, _T.ShortType, _T.ByteType,
+                       _T.DoubleType, _T.FloatType, _T.StringType,
+                       _T.BooleanType, _T.DateType, _T.TimestampNTZType,
+                       _T.DecimalType)):
+        return True
+    if isinstance(dt, _T.ArrayType):
+        return _arrow_safe(dt.elementType)
+    return False
+
+
+# subclass the CLASSIC DataFrame: the pyspark.sql.DataFrame facade's
+# __new__ hard-dispatches to the classic class, which would silently drop a
+# subclass of the facade (r6: caught by tests/test_arrow_collect.py)
+from pyspark.sql.classic.dataframe import DataFrame as _ClassicDataFrame
+
+
+class _ArrowCollectFrame(_ClassicDataFrame):
+    """DataFrame whose collect() uses Arrow batches instead of pickled rows.
+
+    Same rows, same values, same Row field names — only the transfer
+    encoding changes (the exact swap guide §4.1 prescribes for the Python
+    boundary). Falls back to the classic path for any schema outside the
+    verified type set or on any Arrow error."""
+
+    def collect(self):
+        try:
+            if not all(_arrow_safe(f.dataType) for f in self.schema.fields):
+                return super().collect()
+            tbl = self.toArrow()
+        except Exception:  # noqa: BLE001 — pure fallback, never worse
+            return super().collect()
+        from pyspark.sql import Row
+
+        # Row subclass with __fields__ on the CLASS: Row.__getattr__/asDict/
+        # __reduce__ all resolve it, and skipping the per-instance attribute
+        # write saves ~1 us/row on million-row results.
+        from itertools import repeat
+
+        cls = type("Row", (Row,), {"__fields__": list(tbl.column_names)})
+        cols = [c.to_pylist() for c in tbl.columns]
+        return list(map(tuple.__new__, repeat(cls), zip(*cols)))
+
+
+def _fast(df: DataFrame) -> DataFrame:
+    if not isinstance(df, DataFrame) or isinstance(df, _ArrowCollectFrame):
+        return df
+    return _ArrowCollectFrame(df._jdf, df.sparkSession)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -286,10 +354,13 @@ def _tokenizer_settings_tokenize(spark, sf_dir):
 
     cfg = IndexSettings(separator_tokens=("|",)).tokenizer_config()
     fn = make_tokenize_arrow_fn(cfg, "text", emit_sha=False)
-    piped = _docs(spark, sf_dir).select(
-        "doc_id", F.regexp_replace("text", " ", "|").alias("text"))
+    # repartition BEFORE the regexp projection (r6): projecting below the
+    # exchange ran the regex on the demo scan's 2 splits
+    piped = ensure_parallelism(
+        _docs(spark, sf_dir).select("doc_id", "text")
+    ).select("doc_id", F.regexp_replace("text", " ", "|").alias("text"))
     return (
-        ensure_parallelism(piped)
+        piped
         .mapInArrow(fn, POSTINGS_SCHEMA)
         .groupBy("doc_id")
         .agg(F.sum("tf").alias("n_tokens"))
@@ -393,7 +464,10 @@ PHRASE = ("merge", "sort")
 def _phrase_match(spark, sf_dir):
     """Exact-phrase occurrence counts via positional self-join (the
     DataFrame mirror of the engine's positional-index phrase search)."""
-    docs = _docs(spark, sf_dir)
+    from sparkft.spark_util import ensure_parallelism
+
+    # posexplode on a few-split demo scan would run on 2 of 32 cores (r6)
+    docs = ensure_parallelism(_docs(spark, sf_dir).select("doc_id", "text"))
     w = docs.select(
         "doc_id",
         F.posexplode(F.filter(F.split("text", " "), lambda x: x != "")).alias(
@@ -2014,7 +2088,10 @@ def _proximity_search_topk(spark, sf_dir):
     reverse distance + 1), doc_id tie-break. Positional self-join on the
     posexploded word stream — the DataFrame mirror of the positional-index
     path."""
-    docs = _docs(spark, sf_dir)
+    from sparkft.spark_util import ensure_parallelism
+
+    # posexplode on a few-split demo scan would run on 2 of 32 cores (r6)
+    docs = ensure_parallelism(_docs(spark, sf_dir).select("doc_id", "text"))
     w = docs.select(
         "doc_id",
         F.posexplode(F.filter(F.split("text", " "), lambda x: x != "")).alias(
@@ -3479,8 +3556,11 @@ def _pii_aug_expr(cast_tpl: str) -> str:
 
 def _pii_scan(spark, sf_dir):
     from sparkft import corpus_ops as C
+    from sparkft.spark_util import ensure_parallelism
 
-    aug = _docs(spark, sf_dir).select(
+    # the regex projection is the whole cost — spread the few-split demo
+    # scan across the pool first (r6; no-op on a real multi-split scan)
+    aug = ensure_parallelism(_docs(spark, sf_dir).select("doc_id", "text")).select(
         "doc_id", F.expr(_pii_aug_expr("CAST({e} AS STRING)")).alias("text"))
     return C.pii_scan(aug)
 
@@ -3539,13 +3619,16 @@ _CONTAM_THRESHOLD = 3
 def _contamination_screen(spark, sf_dir):
     from sparkft import corpus_ops as C
 
-    all_sh = _shingles(spark, sf_dir, distinct=False)
+    # ONE shingle pass for both the probe ranking and the distinct screen
+    # side (r6, guide §2.4): previously each was its own full explode
+    # pipeline. localCheckpoint, not persist (no cross-query reuse).
+    all_sh = _shingles(spark, sf_dir, distinct=False).localCheckpoint()
     probes = (
         all_sh.groupBy("shingle").agg(F.count("*").alias("c"))
         .orderBy(F.desc("c"), F.asc("shingle")).limit(_CONTAM_PROBES)
     )
     return C.contamination_screen(
-        _shingles(spark, sf_dir, distinct=True), probes,
+        all_sh.distinct(), probes,
         _docs(spark, sf_dir), flag_threshold=_CONTAM_THRESHOLD)
 
 
@@ -3897,8 +3980,18 @@ def _stale_first(entries: dict) -> dict:
         return entries
 
 
+def _arrow_collected(fn):
+    """Wrap a query callable so its returned DataFrame collect()s via Arrow
+    (see _ArrowCollectFrame) — identical rows, faster driver transfer."""
+    def wrapped(spark, sf_dir, _fn=fn):
+        return _fast(_fn(spark, sf_dir))
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return _stale_first({
+    return {n: _arrow_collected(f) for n, f in _stale_first({
         "tokenize_doc_lengths": _tokenize_doc_lengths,
         "tokenizer_settings_tokenize": _tokenizer_settings_tokenize,
         "term_frequencies": _term_frequencies,
@@ -4003,7 +4096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_screen": _contamination_screen,
         "events_asof_join": _events_asof_join,
         "events_sessionize": _events_sessionize,
-    })
+    }).items()}
 
 
 def oracle_sql() -> dict[str, str]:

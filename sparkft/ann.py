@@ -232,7 +232,12 @@ def embedding_near_dup_pairs(df, n_planes: int = 64, band_size: int = 16,
                 names=["vid", "bucket"],
             )
 
-    bands = v.mapInArrow(band_fn, "vid long, bucket string")
+    # materialize the banding ONCE (r6): the self-join below references the
+    # mapInArrow subtree twice and one side is broadcast, so without this
+    # the band matmul pass ran twice per query (plan had two MapInArrow
+    # nodes). localCheckpoint, not persist — no cross-query CacheManager
+    # reuse (see dedup.jaccard_pairs_lsh note).
+    bands = v.mapInArrow(band_fn, "vid long, bucket string").localCheckpoint()
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
@@ -240,17 +245,22 @@ def embedding_near_dup_pairs(df, n_planes: int = 64, band_size: int = 16,
         .select(F.col("a.vid").alias("d1"), F.col("b.vid").alias("d2"))
         .distinct()
     )
-    e1 = v.select(F.col("vid").alias("d1"), F.col("e").alias("e1"))
-    e2 = v.select(F.col("vid").alias("d2"), F.col("e").alias("e2"))
+    # per-vector norms are computed ONCE per side (O(n) folds) instead of
+    # once per candidate pair (O(candidates) folds — 2 of the 3 interpreted
+    # higher-order folds per pair in the r5 plan). sqrt(fold) over the same
+    # array is bit-identical wherever it is evaluated, so cos is unchanged.
+    nrm = F.sqrt(F.aggregate(F.zip_with("e", "e", lambda x, y: x * y),
+                             F.lit(0.0), lambda acc, x: acc + x))
+    vn = v.withColumn("_n", nrm)
+    e1 = vn.select(F.col("vid").alias("d1"), F.col("e").alias("e1"),
+                   F.col("_n").alias("n1"))
+    e2 = vn.select(F.col("vid").alias("d2"), F.col("e").alias("e2"),
+                   F.col("_n").alias("n2"))
     dot = F.aggregate(F.zip_with("e1", "e2", lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
-    n1 = F.sqrt(F.aggregate(F.zip_with("e1", "e1", lambda x, y: x * y),
-                            F.lit(0.0), lambda acc, x: acc + x))
-    n2 = F.sqrt(F.aggregate(F.zip_with("e2", "e2", lambda x, y: x * y),
-                            F.lit(0.0), lambda acc, x: acc + x))
     return (
         cand.join(e1, "d1").join(e2, "d2")
-        .withColumn("cos", F.round(dot / (n1 * n2), 6))
+        .withColumn("cos", F.round(dot / (F.col("n1") * F.col("n2")), 6))
         .filter(F.col("cos") >= threshold)
         .select("d1", "d2", "cos")
     )

@@ -99,33 +99,31 @@ def bpe_pair_counts(postings: DataFrame, k: int = 50) -> DataFrame:
 _BPE_VOCAB_SCHEMA = "syms array<string>, freq bigint"
 
 
-def _merge_pair_fn(left: str, right: str):
-    """mapInPandas kernel: greedy left-to-right merge of the adjacent
-    symbol pair (left, right) inside every symbol sequence. Sequential by
-    nature ('aaa' + merge (a,a) -> ['aa','a'], not ['aa','aa']) — the one
-    step SQL arrays can't express; Arrow-batched, O(len) per sequence."""
+def _merge_pair_col(syms_col, left: str, right: str):
+    """JVM expression for the greedy left-to-right merge of the adjacent
+    symbol pair (left, right) inside a symbol array (r6 — replaces the
+    mapInPandas kernel, guide §4.1: no Python boundary per round).
 
-    def fn(batches):
-        for pdf in batches:
-            out = []
-            for syms in pdf["syms"]:
-                s = list(syms)
-                merged = []
-                i = 0
-                n = len(s)
-                while i < n:
-                    if i + 1 < n and s[i] == left and s[i + 1] == right:
-                        merged.append(left + right)
-                        i += 2
-                    else:
-                        merged.append(s[i])
-                        i += 1
-                out.append(merged)
-            pdf = pdf.copy()
-            pdf["syms"] = out
-            yield pdf
-
-    return fn
+    Left fold: append each symbol unless the accumulator's last element is
+    exactly `left` and the incoming symbol is `right`, in which case the
+    last element is replaced by the merged token. This reproduces the
+    index-scan greedy semantics exactly, including the 'aaa' overlap case:
+    a merged token is left+right, which (right being non-empty) can never
+    itself equal `left`, so a just-consumed position can never re-merge —
+    precisely the i += 2 of the scan ('aaa' -> ['aa','a'], covered by
+    test_learn_bpe_merges_overlapping_run)."""
+    l_, r_ = F.lit(left), F.lit(right)
+    return F.aggregate(
+        syms_col,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == l_)
+            & (x == r_),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                     F.array(F.concat(l_, r_))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
 
 
 def learn_bpe_merges(postings: DataFrame, n_merges: int = 12,
@@ -135,26 +133,31 @@ def learn_bpe_merges(postings: DataFrame, n_merges: int = 12,
     -> merge it everywhere). Returns [(left, right, pair_count), ...] in
     merge order.
 
-    Spark shape per round: one explode+groupBy over the vocabulary (JVM),
-    a 1-row argmax collect, one mapInPandas merge pass. The vocabulary is
-    cached and re-cached each round with the previous round unpersisted;
-    `localCheckpoint` every 4 rounds truncates the lineage exactly like
-    `dedup.dedup_clusters`' pointer-jumping loop. At web scale the
-    vocabulary is ~10^6-10^8 rows — each round is seconds on a cluster,
-    and `n_merges` is the budget knob (real trainers run ~30k rounds with
-    the same per-round plan).
+    Spark shape (r6 — ONE job per round, was two plus a Python pass): the
+    base vocabulary is localCheckpoint'd once; each round's plan is the
+    checkpointed base with the merges so far applied as CHAINED JVM
+    aggregate expressions (`_merge_pair_col`), topped by the explode+
+    groupBy pair count and a 1-row argmax collect. No per-round
+    materialization, no mapInPandas, no per-round Python boundary; the
+    only sequential dependency left — the argmax that decides the next
+    merge — is the algorithm itself. Re-evaluating k chained merges over
+    the vocabulary costs O(k * vocab symbols) per round; at the ~30k-round
+    production scale, periodically checkpointing the merged vocabulary
+    (every few hundred rounds) bounds the chain — the same lineage-
+    truncation policy `dedup.dedup_clusters` uses.
 
     Ties break (count DESC, left ASC, right ASC) so the result is
     deterministic. Stops early when no pair reaches `min_freq`.
     """
-    vocab = (
+    base = (
         vocab_freq(postings)
         .filter(F.col("freq") >= min_freq)
         .select(F.expr("split(token, '')").alias("syms"), "freq")
-    ).cache()
+    ).localCheckpoint()
 
     merges: list[tuple[str, str, int]] = []
-    for round_no in range(n_merges):
+    vocab = base
+    for _round_no in range(n_merges):
         pairs = (
             vocab.filter(F.size("syms") >= 2)
             .select(
@@ -174,19 +177,11 @@ def learn_bpe_merges(postings: DataFrame, n_merges: int = 12,
             break
         best = pairs[0]
         merges.append((best["l"], best["r"], int(best["cnt"])))
-
-        new_vocab = vocab.mapInPandas(
-            _merge_pair_fn(best["l"], best["r"]), _BPE_VOCAB_SCHEMA
+        vocab = vocab.select(
+            _merge_pair_col(F.col("syms"), best["l"], best["r"]).alias("syms"),
+            "freq",
         )
-        if (round_no + 1) % 4 == 0:
-            new_vocab = new_vocab.localCheckpoint(eager=True)
-        else:
-            new_vocab = new_vocab.cache()
-            new_vocab.count()  # materialize before unpersisting the parent
-        vocab.unpersist()
-        vocab = new_vocab
 
-    vocab.unpersist()
     return merges
 
 

@@ -121,7 +121,11 @@ def lsh_candidate_pairs(mh: DataFrame) -> DataFrame:
     """Distinct (d1 < d2) pairs sharing at least one band bucket. The
     bucket-equality self-join is O(sum of bucket-size^2) — bounded by the
     banding collision rate, NOT by corpus shingle frequencies."""
-    bands = lsh_bands(mh)
+    # materialize the (tiny, 4 rows/doc) banding once: the self-join
+    # references it twice and one side is broadcast, which defeats
+    # exchange reuse — without this the whole minhash aggregation ran
+    # twice (r6; localCheckpoint, not persist — see jaccard_pairs_lsh)
+    bands = lsh_bands(mh).localCheckpoint()
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -140,6 +144,18 @@ def jaccard_for_candidates(sh: DataFrame, candidates: DataFrame,
     work scales with |candidates| x shingles-per-doc; there is NO all-pairs
     shingle self-join. At 100 TB a hot shingle cannot explode this plan:
     the candidate set gates everything."""
+    # r6 (guide §3.2): every shingle of a NON-candidate doc is dead weight
+    # in the verify joins — prune the corpus-sized side with a broadcast
+    # semi-join on the distinct candidate doc ids before anything is
+    # shuffled (the PySpark stand-in for a Bloom-filter pre-filter; the id
+    # set is strictly smaller than the candidate pair set the next join
+    # ships anyway). candidates is referenced three times, so materialize
+    # it once (localCheckpoint, not persist — see jaccard_pairs_lsh).
+    candidates = candidates.localCheckpoint()
+    ids = (candidates.select(F.col("d1").alias("doc_id"))
+           .union(candidates.select(F.col("d2").alias("doc_id")))
+           .distinct())
+    sh = sh.join(F.broadcast(ids), "doc_id", "leftsemi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     s1 = sh.select(F.col("doc_id").alias("d1"), "shingle")
     s2 = sh.select(F.col("doc_id").alias("d2"), "shingle")
@@ -161,9 +177,18 @@ def jaccard_for_candidates(sh: DataFrame, candidates: DataFrame,
 
 def jaccard_pairs_lsh(sh: DataFrame, threshold: float = 0.1) -> DataFrame:
     """MinHash -> LSH banding -> candidate pairs -> exact Jaccard verify.
-    The production near-dup plan: O(n) banding + candidate-gated verify."""
-    return jaccard_for_candidates(sh, lsh_candidate_pairs(minhash_signatures(sh)),
-                                  threshold)
+    The production near-dup plan: O(n) banding + candidate-gated verify.
+
+    The shingle relation feeds FOUR subtrees (minhash, sizes, both verify
+    sides); without materialization Catalyst re-evaluates the whole
+    explode+distinct pipeline for each (r5 plan: 12 scans, 0 reused
+    exchanges). One eager localCheckpoint computes it once per invocation
+    (guide §2.4 'share one exchange'; §5 localCheckpoint) — deliberately
+    NOT persist(): the CacheManager would match identical plans across
+    queries and turn this into cross-query result reuse."""
+    shc = sh.localCheckpoint()
+    return jaccard_for_candidates(
+        shc, lsh_candidate_pairs(minhash_signatures(shc)), threshold)
 
 
 def connected_components(edges: DataFrame, max_iter: int = 64) -> DataFrame:
@@ -193,27 +218,36 @@ def connected_components(edges: DataFrame, max_iter: int = 64) -> DataFrame:
            .select(F.col("u").alias("id"),
                    F.least("u", "nmin").alias("comp"))
            .localCheckpoint())
+    # exact convergence check without a per-round join (r6, guide §2.6 /
+    # fewer jobs per round): labels are monotone non-increasing, so the
+    # label sum strictly decreases on any change and is unchanged iff the
+    # round was a no-op. Decimal(38) sum is overflow-free for arbitrary
+    # long ids, so the check is exact, not a checksum.
+    _sum = lambda df: df.agg(  # noqa: E731
+        F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+    prev_sum = _sum(lab)
     for _ in range(max_iter):
         # propagate the neighbor's current label across each edge…
         via = (e.join(lab.withColumnRenamed("id", "v"), "v")
                .select(F.col("u").alias("id"), "comp"))
-        # materialized BEFORE the self-join below: without this the
-        # propagate aggregation appears twice in the physical plan (once
-        # per join side) and every round pays it double
-        lab2 = (lab.union(via).groupBy("id").agg(F.min("comp").alias("comp"))
-                .localCheckpoint())
+        lab2 = lab.union(via).groupBy("id").agg(F.min("comp").alias("comp"))
         # …then jump: comp := comp(comp). Every comp value is itself a node
         # id present in lab (it is the min of a set of node ids), so the
         # self-join always resolves; coalesce guards the root row join.
+        # lab2 appears on both join sides, but both sides end in the SAME
+        # hashpartitioning(id) exchange, so the propagate aggregation is
+        # computed once and the second reference is a ReusedExchange —
+        # one checkpoint per round instead of r5's two (plan-asserted in
+        # tests/test_plan_quality.py).
         j = lab2.select(F.col("id").alias("comp"),
                         F.col("comp").alias("jumped"))
         lab2 = (lab2.join(j, "comp", "left")
                 .select("id", F.coalesce("jumped", "comp").alias("comp"))
                 .localCheckpoint())
-        changed = (lab2.join(lab.withColumnRenamed("comp", "prev"), "id")
-                   .filter(F.col("comp") != F.col("prev")).limit(1).count())
-        lab = lab2
-        if changed == 0:
+        cur_sum = _sum(lab2)
+        changed = cur_sum != prev_sum
+        lab, prev_sum = lab2, cur_sum
+        if not changed:
             return lab.select(F.col("id").alias("doc_id"),
                               F.col("comp").alias("component"))
     raise RuntimeError(
@@ -387,6 +421,11 @@ def winnow_fingerprints(df: DataFrame, k: int = 8, w: int = 4,
     # Catalyst to re-inline (exploding a transform()-built array triggers an
     # inferred size()>0 filter that rebuilds the whole array a second time;
     # nested transform+slice window-mins would even make it O(n^2)/doc).
+    # r6 note: an all-array zero-exchange form (transform + slice/array_min
+    # + array_distinct + explode_outer) was built and A/B-measured at
+    # 5.5 s vs 2.5 s for this form at sf1.0 — higher-order array functions
+    # are interpreted, not codegen'd, so the per-row md5 projection below
+    # beats the "shuffle-free" plan. Kept as-is deliberately.
     rows = (
         df.filter(n >= k + w - 1)
         .select(

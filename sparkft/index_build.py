@@ -1318,6 +1318,13 @@ def build_index(
         docs = corpus_df.withColumn("doc_id", F.xxhash64(*[F.col(c) for c in id_cols]))
     else:
         docs = corpus_df.withColumn("doc_id", F.col(doc_id_col).cast("long"))
+    # spread a few-split demo scan across the worker pool before the
+    # tokenize mapInArrow (r6, guide §2.2/§6): a 6 MB parquet corpus reads
+    # as 1-2 splits, which ran stage 1 on 2 of 32 cores. No-op on a real
+    # multi-split scan — same guard the entry _postings path already had.
+    from .spark_util import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
     docs = docs.select("doc_id", F.col(text_col).alias(text_col)) \
                .withColumn("_shard", F.pmod(F.xxhash64("doc_id"), F.lit(num_shards)))
 

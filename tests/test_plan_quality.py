@@ -106,12 +106,26 @@ def test_tokenize_stage_reads_only_needed_columns(spark):
 def test_jaccard_lsh_candidate_gated(spark):
     """The near-dup verify plan must never contain an all-pairs shingle
     self-join: every join touching `shingle` must also key on a doc pair
-    column (the LSH candidate gate)."""
+    column (the LSH candidate gate). Since r6 the candidate pairs are
+    materialized (localCheckpoint) before the verify, so the final plan
+    reads them as an ExistingRDD scan; the banding stage is asserted on
+    the candidate-generation plan itself."""
     import __spark_entry__ as entry
+    from sparkft import dedup as D
 
+    # candidate generation: banding present, self-join keyed on bucket
+    # with the d1 < d2 inequality gate
+    cand = D.lsh_candidate_pairs(
+        D.minhash_signatures(entry._shingles(spark, SF, distinct=False)))
+    cplan = plan_of(cand)
+    assert "bucket" in cplan
+    assert "<" in cplan  # a.doc_id < b.doc_id pair gate
+
+    # verify stage: every join touching `shingle` keys on a doc pair
+    # column, and the materialized candidate set gates the plan
     df = entry.queries()["ngram_jaccard_pairs"](spark, SF)
     plan = plan_of(df)
-    assert "bucket" in plan  # banding stage present
+    assert "ExistingRDD" in plan  # checkpointed candidates / shingles
     for line in plan.splitlines():
         if "Join" in line and "shingle" in line:
             assert ("d1" in line) or ("d2" in line) or ("doc_id" in line), line
