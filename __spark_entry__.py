@@ -96,11 +96,22 @@ class _ArrowCollectFrame(_ClassicDataFrame):
         # Row subclass with __fields__ on the CLASS: Row.__getattr__/asDict/
         # __reduce__ all resolve it, and skipping the per-instance attribute
         # write saves ~1 us/row on million-row results.
+        import gc
         from itertools import repeat
 
         cls = type("Row", (Row,), {"__fields__": list(tbl.column_names)})
-        cols = [c.to_pylist() for c in tbl.columns]
-        return list(map(tuple.__new__, repeat(cls), zip(*cols)))
+        # mass allocation of acyclic objects (tuples/ints/datetimes): the
+        # generational GC otherwise re-traverses the growing result list on
+        # every threshold crossing — measured 5x slower WITH gc for a
+        # 5M-row result. Disabled only for the conversion; state restored.
+        was_enabled = gc.isenabled()
+        gc.disable()
+        try:
+            cols = [c.to_pylist() for c in tbl.columns]
+            return list(map(tuple.__new__, repeat(cls), zip(*cols)))
+        finally:
+            if was_enabled:
+                gc.enable()
 
 
 def _fast(df: DataFrame) -> DataFrame:

@@ -1002,14 +1002,27 @@ def _load_positions(reader: IndexReader, terms: list[str]):
         columns=["token", "doc_id", "positions"],
         filter=ds.field("bucket").isin(buckets) & ds.field("token").isin(list(terms)),
     )
+    # r6: slice the Arrow list column through its offsets buffer instead of
+    # to_pylist + per-row np.asarray (one list/array allocation per posting
+    # row was ~60% of this function at 63k rows); each position array is a
+    # zero-copy view into the single flattened buffer (guide §4.2).
     out: dict = {}
     toks = tbl.column("token").to_pylist()
     docs = tbl.column("doc_id").to_numpy(zero_copy_only=False)
-    poss = tbl.column("positions").to_pylist()
-    for t, d, p in zip(toks, docs, poss):
-        out.setdefault(t, ([], []))
-        out[t][0].append(int(d))
-        out[t][1].append(np.asarray(p, dtype=np.int64))
+    pcol = tbl.column("positions")
+    if pcol.num_chunks != 1:
+        pcol = pcol.combine_chunks()
+    else:
+        pcol = pcol.chunk(0)
+    flat = pcol.flatten().to_numpy(zero_copy_only=False).astype(
+        np.int64, copy=False)
+    offs = pcol.offsets.to_numpy(zero_copy_only=False)
+    for i, (t, d) in enumerate(zip(toks, docs)):
+        ent = out.get(t)
+        if ent is None:
+            ent = out[t] = ([], [])
+        ent[0].append(int(d))
+        ent[1].append(flat[offs[i]:offs[i + 1]])
     return {
         t: (np.asarray(ds_, dtype=np.int64), ps) for t, (ds_, ps) in out.items()
     }
@@ -1053,22 +1066,52 @@ def phrase_match_counts(reader: IndexReader, phrase: str,
         cand = d if cand is None else np.intersect1d(cand, d, assume_unique=False)
     if cand is None or len(cand) == 0:
         return {}
-    # positional adjacency per candidate doc (tombstoned docs never match)
-    idx = {t: {int(d): p for d, p in zip(pos[t][0], pos[t][1])} for t in uniq}
-    counts: dict[int, int] = {}
+    # positional adjacency, vectorized ACROSS candidate docs (r6): the
+    # per-doc loop paid one np.isin per (doc, phrase step) — ~35 us of
+    # call overhead on a handful of positions, 1.1 s of the 2.8 s
+    # ranking_details serving wall at 31k candidates. Encode every
+    # occurrence as one int64 key (doc-index << 32 | position): adjacency
+    # within a doc is key arithmetic (+i never crosses a doc block since
+    # positions < 2^32), so the whole phrase walk is ONE isin per step and
+    # the per-doc counts fall out of one bincount. Tombstoned docs are
+    # dropped from the candidate set up front (same semantics).
     dead = reader.deleted
-    for d in cand.tolist():
-        if d in dead:
-            continue
-        starts = idx[seq[0]][d]
-        for i, t in enumerate(seq[1:], start=1):
-            if len(starts) == 0:
-                break
-            nxt = idx[t][d]
-            starts = starts[np.isin(starts + i, nxt)]
-        if len(starts):
-            counts[int(d)] = int(len(starts))
-    return counts
+    if dead:
+        cand = cand[~np.isin(cand, np.fromiter(dead, dtype=np.int64,
+                                               count=len(dead)))]
+    if len(cand) == 0:
+        return {}
+    cand = np.sort(cand)
+    keys = {t: _term_occurrence_keys(pos[t], cand) for t in uniq}
+    starts = keys[seq[0]]
+    for i, t in enumerate(seq[1:], start=1):
+        if len(starts) == 0:
+            return {}
+        starts = starts[np.isin(starts + i, keys[t])]
+    if len(starts) == 0:
+        return {}
+    binc = np.bincount((starts >> np.int64(32)).astype(np.int64),
+                       minlength=len(cand))
+    return {int(cand[i]): int(c) for i, c in enumerate(binc.tolist()) if c}
+
+
+def _term_occurrence_keys(term_pos, cand_sorted: np.ndarray) -> np.ndarray:
+    """Flattened int64 occurrence keys (doc-index << 32 | position) for one
+    term, restricted to the sorted candidate doc array. Positions are
+    per-doc ascending, so the concatenated keys are sorted within each doc
+    block; a full sort is applied so consumers can searchsorted."""
+    docs_t, pos_lists = term_pos
+    mask = np.isin(docs_t, cand_sorted)
+    rows = np.nonzero(mask)[0]
+    if len(rows) == 0:
+        return np.empty(0, dtype=np.int64)
+    sel = [pos_lists[r] for r in rows.tolist()]
+    lens = np.fromiter((len(p) for p in sel), dtype=np.int64, count=len(sel))
+    didx = np.searchsorted(cand_sorted, docs_t[rows])
+    keys = (np.repeat(didx.astype(np.int64), lens) << np.int64(32)) \
+        + np.concatenate(sel)
+    keys.sort()
+    return keys
 
 
 def phrase_topk(reader: IndexReader, phrase: str, k: int = 10,
@@ -1297,16 +1340,47 @@ def proximity_topk(reader: IndexReader, query: str, k: int = 10,
         cand = d if cand is None else np.intersect1d(cand, d)
     if cand is None or len(cand) == 0:
         return []
-    idx = {t: {int(d): p for d, p in zip(pos[t][0], pos[t][1])} for t in uniq}
+    # vectorized ACROSS candidate docs (r6, same key encoding as
+    # phrase_match_counts): the per-doc _min_pair_cost loop paid ~30 us of
+    # numpy call overhead per (doc, pair) — 0.9 s at 31k candidates. With
+    # (doc-index << 32 | position) keys, one searchsorted per pair finds
+    # every occurrence's flanking partner (masked to the same doc block)
+    # and np.minimum.at reduces to the per-doc minimum; costs are the same
+    # integers as the scalar form.
     dead = reader.deleted
-    out = []
-    for d in cand.tolist():
-        if d in dead:
-            continue
-        cost = 0
-        for a, b in zip(seq, seq[1:]):
-            cost += _min_pair_cost(idx[a][d], idx[b][d])
-        out.append((int(d), int(cost)))
+    if dead:
+        cand = cand[~np.isin(cand, np.fromiter(dead, dtype=np.int64,
+                                               count=len(dead)))]
+    if len(cand) == 0:
+        return []
+    cand = np.sort(cand)
+    keys = {t: _term_occurrence_keys(pos[t], cand) for t in uniq}
+    shift = np.int64(32)
+    total = np.zeros(len(cand), dtype=np.int64)
+    big = np.iinfo(np.int64).max
+    for a, b in zip(seq, seq[1:]):
+        ka, kb = keys[a], keys[b]
+        da, db = ka >> shift, kb >> shift
+        idx_in_a = np.searchsorted(ka, kb)
+        best = np.full(len(cand), big, dtype=np.int64)
+        left = idx_in_a > 0
+        if left.any():
+            la = idx_in_a[left] - 1
+            same = da[la] == db[left]
+            if same.any():
+                rows = np.nonzero(left)[0][same]
+                np.minimum.at(best, db[rows],
+                              kb[rows] - ka[la[same]])
+        right = idx_in_a < len(ka)
+        if right.any():
+            ra = idx_in_a[right]
+            same = da[ra] == db[right]
+            if same.any():
+                rows = np.nonzero(right)[0][same]
+                np.minimum.at(best, db[rows],
+                              ka[ra[same]] - kb[rows] + 1)
+        total += np.minimum(best, MAX_DISTANCE)
+    out = [(int(d), int(c)) for d, c in zip(cand.tolist(), total.tolist())]
     out.sort(key=lambda t: (t[1], t[0]))
     return out[:k]
 
