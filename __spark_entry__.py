@@ -3633,7 +3633,7 @@ def _contamination_screen(spark, sf_dir):
     # ONE shingle pass for both the probe ranking and the distinct screen
     # side (r6, guide §2.4): previously each was its own full explode
     # pipeline. localCheckpoint, not persist (no cross-query reuse).
-    all_sh = _shingles(spark, sf_dir, distinct=False).localCheckpoint()
+    all_sh = _shingles(spark, sf_dir, distinct=False).localCheckpoint(eager=False)
     probes = (
         all_sh.groupBy("shingle").agg(F.count("*").alias("c"))
         .orderBy(F.desc("c"), F.asc("shingle")).limit(_CONTAM_PROBES)

@@ -32,6 +32,11 @@ from pyspark.sql import functions as F
 # lazy quantifiers, no \d-class shorthand differences.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 URL_RE = r"https?://[A-Za-z0-9./_-]+"
+# NOTE (ADVICE r5, deliberate): the IPv4 pattern over-matches out-of-range
+# octets (999.999.999.999) and version-like strings (10.2.0.14) — the
+# standard conservative-redaction trade (prefer over-redaction to leaking a
+# real address), and the pattern is FROZEN into the round's oracle SQL, so
+# tightening it would change declared-query results. Documented, not fixed.
 IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 
 
@@ -153,7 +158,7 @@ def learn_bpe_merges(postings: DataFrame, n_merges: int = 12,
         vocab_freq(postings)
         .filter(F.col("freq") >= min_freq)
         .select(F.expr("split(token, '')").alias("syms"), "freq")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     merges: list[tuple[str, str, int]] = []
     vocab = base

@@ -125,7 +125,7 @@ def lsh_candidate_pairs(mh: DataFrame) -> DataFrame:
     # references it twice and one side is broadcast, which defeats
     # exchange reuse — without this the whole minhash aggregation ran
     # twice (r6; localCheckpoint, not persist — see jaccard_pairs_lsh)
-    bands = lsh_bands(mh).localCheckpoint()
+    bands = lsh_bands(mh).localCheckpoint(eager=False)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -151,7 +151,7 @@ def jaccard_for_candidates(sh: DataFrame, candidates: DataFrame,
     # set is strictly smaller than the candidate pair set the next join
     # ships anyway). candidates is referenced three times, so materialize
     # it once (localCheckpoint, not persist — see jaccard_pairs_lsh).
-    candidates = candidates.localCheckpoint()
+    candidates = candidates.localCheckpoint(eager=False)
     ids = (candidates.select(F.col("d1").alias("doc_id"))
            .union(candidates.select(F.col("d2").alias("doc_id")))
            .distinct())
@@ -186,7 +186,7 @@ def jaccard_pairs_lsh(sh: DataFrame, threshold: float = 0.1) -> DataFrame:
     (guide §2.4 'share one exchange'; §5 localCheckpoint) — deliberately
     NOT persist(): the CacheManager would match identical plans across
     queries and turn this into cross-query result reuse."""
-    shc = sh.localCheckpoint()
+    shc = sh.localCheckpoint(eager=False)
     return jaccard_for_candidates(
         shc, lsh_candidate_pairs(minhash_signatures(shc)), threshold)
 
@@ -213,16 +213,18 @@ def connected_components(edges: DataFrame, max_iter: int = 64) -> DataFrame:
                       F.col("d2").cast("long").alias("v"))
          .filter(F.col("u") != F.col("v")))
     e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))) \
-         .distinct().localCheckpoint()
+         .distinct().localCheckpoint(eager=False)
     lab = (e.groupBy("u").agg(F.min("v").alias("nmin"))
            .select(F.col("u").alias("id"),
                    F.least("u", "nmin").alias("comp"))
-           .localCheckpoint())
+           .localCheckpoint(eager=False))
     # exact convergence check without a per-round join (r6, guide §2.6 /
     # fewer jobs per round): labels are monotone non-increasing, so the
     # label sum strictly decreases on any change and is unchanged iff the
     # round was a no-op. Decimal(38) sum is overflow-free for arbitrary
-    # long ids, so the check is exact, not a checksum.
+    # long ids, so the check is exact, not a checksum. Checkpoints are
+    # LAZY: the sum action both materializes the round's labels and
+    # computes the check — ONE Spark job per round (r5: three).
     _sum = lambda df: df.agg(  # noqa: E731
         F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
     prev_sum = _sum(lab)
@@ -243,7 +245,7 @@ def connected_components(edges: DataFrame, max_iter: int = 64) -> DataFrame:
                         F.col("comp").alias("jumped"))
         lab2 = (lab2.join(j, "comp", "left")
                 .select("id", F.coalesce("jumped", "comp").alias("comp"))
-                .localCheckpoint())
+                .localCheckpoint(eager=False))
         cur_sum = _sum(lab2)
         changed = cur_sum != prev_sum
         lab, prev_sum = lab2, cur_sum

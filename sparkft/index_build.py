@@ -1453,7 +1453,11 @@ def build_index(
         json.load(open(f"{out_dir}/manifests/shard-{i}.json"))
         for i in range(num_shards)
     ]
-    n_docs = int(docs.count()) or 1
+    # count the RAW corpus relation, not the repartitioned projection (r6):
+    # identical row count, but on a parquet scan Spark answers it from
+    # footer metadata instead of shuffling the corpus through the
+    # ensure_parallelism exchange.
+    n_docs = int(corpus_df.count()) or 1
     total_tokens = sum(m["tokens"] for m in manifests)
     n_postings = sum(m["postings"] for m in manifests)
     avgdl = float(total_tokens) / n_docs

@@ -42,34 +42,52 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
 
     Returns all left columns plus `<ts><suffix>` and `<v><suffix>` for each
     requested value column.
+
+    All as-of columns are filled from ONE `last(struct(...), ignorenulls)`
+    window (r6, ADVICE fix): independent per-column fills could mix fields
+    from different right rows whenever a value column is NULL in the most
+    recent right row — the struct is non-null exactly when a right row
+    exists, so every output column comes from the same row, matching true
+    ASOF semantics. Reserved internal names and NULL left timestamps are
+    rejected up front instead of producing silently wrong joins.
     """
     lcols = left.columns
+    reserved = {"_side", "_r"} | {f"{ts}{suffix}"} | {
+        f"{v}{suffix}" for v in value_cols}
+    clash = sorted(reserved & set(lcols))
+    if clash:
+        raise ValueError(
+            f"asof_join: left columns {clash} collide with reserved "
+            f"internal/output names; rename them before joining")
     r = (
-        right.groupBy(key, ts)
+        right.filter(F.col(ts).isNotNull())
+        .groupBy(key, ts)
         .agg(*[F.max(v).alias(v) for v in value_cols])
         .select(
             F.col(key), F.col(ts),
             F.lit(0).alias("_side"),
-            *[F.col(v).alias(f"_r_{v}") for v in value_cols],
-            F.col(ts).alias("_r_ts"),
+            F.struct(
+                F.col(ts).alias("_r_ts"),
+                *[F.col(v).alias(f"_r_{v}") for v in value_cols],
+            ).alias("_r"),
         )
     )
-    l = left.select(
-        "*", F.lit(1).alias("_side"),
-        *[F.lit(None).cast(dict(right.dtypes)[v]).alias(f"_r_{v}")
-          for v in value_cols],
-        F.lit(None).cast(dict(right.dtypes)[ts]).alias("_r_ts"),
-    )
+    rtypes = dict(right.dtypes)
+    null_struct = F.lit(None).cast(
+        "struct<_r_ts:" + rtypes[ts] + ","
+        + ",".join(f"_r_{v}:{rtypes[v]}" for v in value_cols) + ">")
+    l = left.select("*", F.lit(1).alias("_side"), null_struct.alias("_r"))
     u = l.unionByName(r, allowMissingColumns=True)
     w = (
         Window.partitionBy(key)
         .orderBy(F.col(ts).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    filled_struct = F.last("_r", ignorenulls=True).over(w)
     filled = u.select(
         *lcols, "_side",
-        F.last("_r_ts", ignorenulls=True).over(w).alias(f"{ts}{suffix}"),
-        *[F.last(f"_r_{v}", ignorenulls=True).over(w).alias(f"{v}{suffix}")
+        filled_struct["_r_ts"].alias(f"{ts}{suffix}"),
+        *[filled_struct[f"_r_{v}"].alias(f"{v}{suffix}")
           for v in value_cols],
     )
     return filled.filter(F.col("_side") == 1).drop("_side")

@@ -109,3 +109,42 @@ def test_sessionize_single_exchange(spark):
     # one Exchange for the windows; the groupBy on (key, _session_no) is
     # partition-local after that shuffle, so Catalyst plans NO second one
     assert plan.count("Exchange") == 1
+
+
+def test_asof_join_null_value_rows_fill_from_one_row(spark):
+    """ADVICE r5: when the most recent right row carries a NULL value, the
+    as-of output must take BOTH ts and value from that row (value NULL),
+    not mix the newest ts with an older row's value."""
+    from pyspark.sql import functions as F
+
+    from sparkft.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, 10.0)], "k long, ts long, x double")
+    right = spark.createDataFrame(
+        [(1, 50, 5.0), (1, 90, None)], "k long, ts long, v double")
+    out = asof_join(left, right, "k", "ts", ["v"]).collect()
+    assert len(out) == 1
+    row = out[0].asDict()
+    assert row["ts_asof"] == 90 and row["v_asof"] is None
+
+
+def test_asof_join_rejects_reserved_columns(spark):
+    import pytest
+
+    from sparkft.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 1, 2)], "k long, ts long, _side long")
+    right = spark.createDataFrame([(1, 1, 2.0)], "k long, ts long, v double")
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(left, right, "k", "ts", ["v"])
+
+
+def test_asof_join_null_right_ts_ignored(spark):
+    from sparkft.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 100)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, None, 99.0), (1, 50, 5.0)], "k long, ts long, v double")
+    out = asof_join(left, right, "k", "ts", ["v"]).collect()[0].asDict()
+    assert out["ts_asof"] == 50 and out["v_asof"] == 5.0
