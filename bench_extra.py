@@ -90,10 +90,14 @@ def main() -> int:
             else:
                 df.collect()
             reps.append(round(time.time() - t0, 3))
-        s = sorted(reps)
-        med = s[len(s) // 2] if len(s) % 2 else (s[len(s)//2-1] + s[len(s)//2]) / 2
-        results[name] = {"reps": reps, "min": s[0], "median": med}
-        print(f"{name}: reps={reps} min={s[0]} median={med}", flush=True)
+        if reps:
+            s = sorted(reps)
+            med = s[len(s) // 2] if len(s) % 2 \
+                else (s[len(s)//2-1] + s[len(s)//2]) / 2
+            results[name] = {"reps": reps, "min": s[0], "median": med}
+            print(f"{name}: reps={reps} min={s[0]} median={med}", flush=True)
+        else:
+            print(f"{name}: explained", flush=True)
         spark.sparkContext.setJobDescription(None)
     print(json.dumps({"sf": args.sf, "results": results}))
     return 0
