@@ -104,3 +104,26 @@ def test_queries_registry_wrapped(spark):
     ref = entry._pricing_summary(spark, "/root/testdata/sf0.001").collect()
     got = df.collect()
     assert sorted(map(tuple, ref)) == sorted(map(tuple, got))
+
+
+def test_null_free_numpy_fast_path_identical(spark):
+    """NULL-free columns take the ndarray.tolist() fast path — values and
+    types must still match the classic collect exactly."""
+    import datetime
+
+    df = spark.createDataFrame(
+        [(i, float(i) / 3, f"s{i}", i % 2 == 0,
+          datetime.date(2020, 1, 1 + i % 27),
+          datetime.datetime(2021, 3, 4, 5, 6, 7, i * 13 % 1000000))
+         for i in range(500)],
+        "a long, b double, c string, d boolean, e date, f timestamp_ntz",
+    )
+    _check_identical(df)
+
+
+def test_mixed_null_columns_fall_to_pylist(spark):
+    df = spark.createDataFrame(
+        [(1, 1.5, "x"), (None, None, None)],
+        "a long, b double, c string")
+    got = _check_identical(df)
+    assert got[1].a is None and got[1].b is None and got[1].c is None
