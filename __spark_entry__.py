@@ -838,11 +838,15 @@ def _hybrid_search_topk(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.sum("s").alias("sc"))
     )
-    mx = kw.agg(F.max("sc").alias("mx"))
-    kwn = (
-        kw.crossJoin(F.broadcast(mx))
-        .select("doc_id", (F.col("sc") / F.col("mx")).alias("kw"))
-    )
+    # global-window max instead of crossJoin(broadcast(agg)) (r6): the
+    # broadcast subtree was its own AQE job chain; the window is one
+    # single-partition pass over the small keyword-scored relation (same
+    # max value, same quotient — results identical)
+    from pyspark.sql.window import Window as _W
+
+    kwn = kw.select(
+        "doc_id",
+        (F.col("sc") / F.max("sc").over(_W.partitionBy())).alias("kw"))
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = [float(x) for x in
             emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
