@@ -90,6 +90,10 @@ class _ArrowCollectFrame(_ClassicDataFrame):
                 return super().collect()
             tbl = self.toArrow()
         except Exception:  # noqa: BLE001 — pure fallback, never worse
+            # reclaim first: if the failure was memory starvation from
+            # previous queries' not-yet-collected state, the classic
+            # retry below needs the room (see _force_reclaim)
+            _force_reclaim(self.sparkSession)
             return super().collect()
         from pyspark.sql import Row
 
@@ -3661,7 +3665,9 @@ def _contamination_screen(spark, sf_dir):
     # ONE shingle pass for both the probe ranking and the distinct screen
     # side (r6, guide §2.4): previously each was its own full explode
     # pipeline. localCheckpoint, not persist (no cross-query reuse).
-    all_sh = _shingles(spark, sf_dir, distinct=False).localCheckpoint(eager=False)
+    from sparkft.spark_util import local_ckpt
+
+    all_sh = local_ckpt(_shingles(spark, sf_dir, distinct=False))
     probes = (
         all_sh.groupBy("shingle").agg(F.count("*").alias("c"))
         .orderBy(F.desc("c"), F.asc("shingle")).limit(_CONTAM_PROBES)
@@ -4019,11 +4025,106 @@ def _stale_first(entries: dict) -> dict:
         return entries
 
 
+def _maybe_reclaim(spark) -> None:
+    """Release PREVIOUS queries' dropped broadcasts/checkpoint blocks when
+    the heap runs hot: Spark's ContextCleaner can only unpersist them after
+    a JVM GC enqueues their weak references, and a long suite of heavy
+    queries produces garbage faster than the JVM bothers to collect — until
+    a later broadcast build dies with
+    notEnoughMemoryToBuildAndBroadcastTable (reproduced at 4x bench scale).
+    A full GC is forced only above 55% heap occupancy, so the common case
+    costs one ~1 ms py4j probe. This frees only state whose owning query
+    already finished — never results, never inputs."""
+    try:
+        import gc
+        import time as _time
+
+        rt = spark._jvm.java.lang.Runtime.getRuntime()
+        # hysteresis: a forced full GC is a ~0.2-0.5 s stop-the-world pause
+        # INSIDE the next query's timed region, so only fire above 70%
+        # occupancy and at most every 20 s (without this, every query after
+        # the heap first crossed the threshold paid the pause — measured as
+        # a uniform +0.2-0.3 s across the suite's tail)
+        now = _time.monotonic()
+        if (rt.totalMemory() - rt.freeMemory() > rt.maxMemory() * 0.7
+                and now - _maybe_reclaim._last > 20.0):
+            _maybe_reclaim._last = now
+            gc.collect()  # drop py4j refs so the JVM objects are collectable
+            spark._jvm.System.gc()
+    except Exception:  # noqa: BLE001 — hygiene only, never fail a query
+        pass
+
+
+_maybe_reclaim._last = 0.0
+
+
+def _force_reclaim(spark) -> None:
+    """Unconditional reclaim + settle, used only on a failure path before a
+    retry: collect Python-side references, force a JVM full GC, and give
+    the ContextCleaner a moment to unpersist the newly-collectable blocks
+    and broadcasts."""
+    try:
+        import gc
+        import time as _time
+
+        gc.collect()
+        spark._jvm.System.gc()
+        _time.sleep(1.0)
+        spark._jvm.System.gc()
+    except Exception:  # noqa: BLE001
+        pass
+
+
+# broadcast-degradation state for the failure-retry path: when a query dies
+# in a broadcast build (memory starvation at scales far above the recorded
+# measurement point), the retry runs with auto-broadcast disabled — every
+# join falls back to the always-works sort-merge strategy (identical
+# results, guide §3.1). The saved conf values are restored at the START of
+# the next query, because AQE re-reads them during execution, i.e. after
+# the retried query's construction returns.
+_BROADCAST_CONFS = ("spark.sql.autoBroadcastJoinThreshold",
+                    "spark.sql.adaptive.autoBroadcastJoinThreshold")
+_DEGRADED: dict[str, str] = {}
+
+
+def _degrade_broadcasts(spark) -> None:
+    try:
+        for k in _BROADCAST_CONFS:
+            if k not in _DEGRADED:
+                _DEGRADED[k] = spark.conf.get(k, None)
+            spark.conf.set(k, "-1")
+    except Exception:  # noqa: BLE001
+        pass
+
+
+def _restore_degraded(spark) -> None:
+    try:
+        while _DEGRADED:
+            k, v = _DEGRADED.popitem()
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    except Exception:  # noqa: BLE001
+        pass
+
+
 def _arrow_collected(fn):
     """Wrap a query callable so its returned DataFrame collect()s via Arrow
-    (see _ArrowCollectFrame) — identical rows, faster driver transfer."""
+    (see _ArrowCollectFrame) — identical rows, faster driver transfer.
+    A construction failure (e.g. a broadcast build starved by previous
+    queries' not-yet-collected state) gets ONE retry after a forced
+    reclaim, with auto-broadcast disabled for the retry — recomputing from
+    the inputs with the spill-safe join strategy, never from a cache."""
     def wrapped(spark, sf_dir, _fn=fn):
-        return _fast(_fn(spark, sf_dir))
+        _restore_degraded(spark)
+        _maybe_reclaim(spark)
+        try:
+            return _fast(_fn(spark, sf_dir))
+        except Exception:  # noqa: BLE001 — one reclaim-then-retry
+            _force_reclaim(spark)
+            _degrade_broadcasts(spark)
+            return _fast(_fn(spark, sf_dir))
     wrapped.__name__ = getattr(fn, "__name__", "query")
     wrapped.__doc__ = fn.__doc__
     return wrapped

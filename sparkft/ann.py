@@ -237,7 +237,9 @@ def embedding_near_dup_pairs(df, n_planes: int = 64, band_size: int = 16,
     # the band matmul pass ran twice per query (plan had two MapInArrow
     # nodes). localCheckpoint, not persist — no cross-query CacheManager
     # reuse (see dedup.jaccard_pairs_lsh note).
-    bands = v.mapInArrow(band_fn, "vid long, bucket string").localCheckpoint(eager=False)
+    from .spark_util import local_ckpt
+
+    bands = local_ckpt(v.mapInArrow(band_fn, "vid long, bucket string"))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket"))

@@ -158,7 +158,10 @@ def learn_bpe_merges(postings: DataFrame, n_merges: int = 12,
         vocab_freq(postings)
         .filter(F.col("freq") >= min_freq)
         .select(F.expr("split(token, '')").alias("syms"), "freq")
-    ).localCheckpoint(eager=False)
+    )
+    from .spark_util import local_ckpt
+
+    base = local_ckpt(base)
 
     merges: list[tuple[str, str, int]] = []
     vocab = base

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .spark_util import local_ckpt
+
 # minhash permutation constants (shared with the SQL oracles).
 # 16 permutations banded 4x4: candidate recall at jaccard s is
 # 1 - (1 - s^4)^4 (~50% at s=0.45, ~98% at s=0.75) — real near-dup widths,
@@ -125,7 +127,7 @@ def lsh_candidate_pairs(mh: DataFrame) -> DataFrame:
     # references it twice and one side is broadcast, which defeats
     # exchange reuse — without this the whole minhash aggregation ran
     # twice (r6; localCheckpoint, not persist — see jaccard_pairs_lsh)
-    bands = lsh_bands(mh).localCheckpoint(eager=False)
+    bands = local_ckpt(lsh_bands(mh), eager=True)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -151,7 +153,7 @@ def jaccard_for_candidates(sh: DataFrame, candidates: DataFrame,
     # set is strictly smaller than the candidate pair set the next join
     # ships anyway). candidates is referenced three times, so materialize
     # it once (localCheckpoint, not persist — see jaccard_pairs_lsh).
-    candidates = candidates.localCheckpoint(eager=False)
+    candidates = local_ckpt(candidates, eager=True)
     ids = (candidates.select(F.col("d1").alias("doc_id"))
            .union(candidates.select(F.col("d2").alias("doc_id")))
            .distinct())
@@ -182,11 +184,17 @@ def jaccard_pairs_lsh(sh: DataFrame, threshold: float = 0.1) -> DataFrame:
     The shingle relation feeds FOUR subtrees (minhash, sizes, both verify
     sides); without materialization Catalyst re-evaluates the whole
     explode+distinct pipeline for each (r5 plan: 12 scans, 0 reused
-    exchanges). One eager localCheckpoint computes it once per invocation
+    exchanges). One localCheckpoint computes it once per invocation
     (guide §2.4 'share one exchange'; §5 localCheckpoint) — deliberately
     NOT persist(): the CacheManager would match identical plans across
-    queries and turn this into cross-query result reuse."""
-    shc = sh.localCheckpoint(eager=False)
+    queries and turn this into cross-query result reuse. The pipeline
+    checkpoints (shingles/bands/candidates) are EAGER on purpose: lazy
+    checkpoints defer the whole verify DAG into one materialization whose
+    concurrent AQE stages (parallel broadcast builds + wide sorts)
+    exhausted the unified memory pool at 4x bench scale; sequential
+    materialization bounds the peak, and the A/B at sf1.0 measured the
+    extra jobs as free (ngram 6.47 s eager vs 6.43 s lazy)."""
+    shc = local_ckpt(sh, eager=True)
     return jaccard_for_candidates(
         shc, lsh_candidate_pairs(minhash_signatures(shc)), threshold)
 
@@ -212,12 +220,13 @@ def connected_components(edges: DataFrame, max_iter: int = 64) -> DataFrame:
     e = (edges.select(F.col("d1").cast("long").alias("u"),
                       F.col("d2").cast("long").alias("v"))
          .filter(F.col("u") != F.col("v")))
-    e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))) \
-         .distinct().localCheckpoint(eager=False)
-    lab = (e.groupBy("u").agg(F.min("v").alias("nmin"))
-           .select(F.col("u").alias("id"),
-                   F.least("u", "nmin").alias("comp"))
-           .localCheckpoint(eager=False))
+    e = local_ckpt(
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct())
+    lab = local_ckpt(
+        e.groupBy("u").agg(F.min("v").alias("nmin"))
+        .select(F.col("u").alias("id"),
+                F.least("u", "nmin").alias("comp")))
     # exact convergence check without a per-round join (r6, guide §2.6 /
     # fewer jobs per round): labels are monotone non-increasing, so the
     # label sum strictly decreases on any change and is unchanged iff the
@@ -243,9 +252,9 @@ def connected_components(edges: DataFrame, max_iter: int = 64) -> DataFrame:
         # tests/test_plan_quality.py).
         j = lab2.select(F.col("id").alias("comp"),
                         F.col("comp").alias("jumped"))
-        lab2 = (lab2.join(j, "comp", "left")
-                .select("id", F.coalesce("jumped", "comp").alias("comp"))
-                .localCheckpoint(eager=False))
+        lab2 = local_ckpt(
+            lab2.join(j, "comp", "left")
+            .select("id", F.coalesce("jumped", "comp").alias("comp")))
         cur_sum = _sum(lab2)
         changed = cur_sum != prev_sum
         lab, prev_sum = lab2, cur_sum

@@ -34,6 +34,27 @@ def ensure_shipped(spark) -> None:
     spark.sparkContext.addPyFile(zpath)
 
 
+def local_ckpt(df, eager: bool = False):
+    """Materialize-once-per-invocation intermediate: lineage-truncating
+    localCheckpoint with DISK_ONLY storage.
+
+    Default deserialized MEMORY_AND_DISK caching of wide string relations
+    costs 5-10x their on-disk bytes as Java objects, and because dropped
+    checkpoint blocks are only released after a JVM GC + ContextCleaner
+    pass, a sequence of heavy queries accumulates them until a broadcast
+    build dies with notEnoughMemoryToBuildAndBroadcastTable (reproduced at
+    4x bench scale, r6 smoke test). DISK_ONLY keeps the compute-once
+    semantics with ZERO heap competition — the same choice a 100 TB
+    pipeline makes for corpus-sized intermediates — at the price of a
+    local-disk round-trip that is noise next to the recompute it replaces.
+    Lazy by default so the consumer's first action materializes the blocks
+    (no extra Spark job); never persist() — the CacheManager would match
+    identical plans across queries, i.e. cross-query result reuse."""
+    from pyspark.storagelevel import StorageLevel
+
+    return df.localCheckpoint(eager=eager, storageLevel=StorageLevel.DISK_ONLY)
+
+
 def ensure_parallelism(df, min_fraction: float = 0.5):
     """Repartition `df` up to the session's default parallelism ONLY when
     its scan produced too few splits to use the cluster.
