@@ -4,8 +4,9 @@ subword statistics and merge learning, and an eval-contamination screen.
 Engine-original (no charabia counterpart — this is the LLM-data-pipeline
 surface the task brief asks for beyond the reference's own operators, same
 family as `sparkft.dedup`). Everything here is JVM-side `pyspark.sql.
-functions` except the one genuinely sequential step (BPE's in-array pair
-merge), which runs as an Arrow-batched `mapInPandas` — never per-row Python.
+functions` — including BPE's in-array greedy pair merge, which since r6 is
+a chained JVM `aggregate` fold (`_merge_pair_col`), so no Python crosses
+the executor boundary at all.
 
 Scale notes (100 TB):
 - `pii_scan` is a single narrow projection: regex count + replace per row,
