@@ -304,3 +304,62 @@ def test_exact_dedup_partial_aggregated(spark):
     df = entry.queries()["dedup_exact"](spark, SF)
     plan = plan_of(df)
     assert "partial_count" in plan or "partial_" in plan, plan[:800]
+
+
+# --- r6 optimization shapes -------------------------------------------------
+
+
+def test_pii_scan_spreads_before_regex(spark):
+    """The regex projection must sit ABOVE a round-robin spread of the
+    few-split demo scan (r6: it ran on 2 of N cores otherwise)."""
+    import __spark_entry__ as entry
+
+    plan = plan_of(entry.queries()["pii_scan"](spark, SF))
+    assert "RoundRobinPartitioning" in plan, plan[:800]
+
+
+def test_positional_selfjoin_paths_spread(spark):
+    """phrase_match / proximity_search_topk posexplode above the spread."""
+    import __spark_entry__ as entry
+
+    for q in ("phrase_match", "proximity_search_topk"):
+        plan = plan_of(entry.queries()[q](spark, SF))
+        assert "RoundRobinPartitioning" in plan, (q, plan[:500])
+
+
+def test_embedding_near_dup_single_band_pass(spark):
+    """The sign-LSH banding must be materialized once: the final plan reads
+    the checkpointed bands (ExistingRDD) and contains NO MapInArrow node
+    (r5's plan ran the band matmul twice, once per self-join side)."""
+    import __spark_entry__ as entry
+
+    plan = plan_of(entry.queries()["embedding_near_dup"](spark, SF))
+    assert "ExistingRDD" in plan
+    assert "MapInArrow" not in plan, plan[:800]
+
+
+def test_winnow_plan_unchanged_codegen_form(spark):
+    """winnow keeps the explode+window md5 projection (the A/B-measured
+    faster form) — no interpreted higher-order transform chain, no Python
+    evaluation nodes."""
+    import __spark_entry__ as entry
+
+    plan = plan_of(entry.queries()["winnow_fingerprints"](spark, SF))
+    assert "Window" in plan and "md5" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bpe_merges_has_no_python_eval(spark):
+    """learn_bpe_merges' per-round pair-count plan is pure JVM: the chained
+    merge folds must not introduce Python evaluation nodes."""
+    from pyspark.sql import functions as F
+
+    from sparkft.corpus_ops import _merge_pair_col
+
+    df = spark.createDataFrame(
+        [(["a", "b", "a", "b"], 3)], "syms array<string>, freq long")
+    out = df.select(_merge_pair_col(F.col("syms"), "a", "b").alias("syms"),
+                    "freq")
+    plan = plan_of(out)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan and "MapInPandas" not in plan
